@@ -448,3 +448,73 @@ class Detector:
             "conf2": conf2,
             "n_values": n_values,
         }
+
+    # ------------------------------------------------------------ perplexity
+
+    def trigram_perplexity(self, texts: list[str],
+                           langs: np.ndarray) -> np.ndarray:
+        """Char-trigram perplexity of each text under its assigned language.
+
+        KenLM-style stand-in built from the same n-gram tables (SURVEY.md §2.3
+        T3): ppl = exp(−mean ln P(trigram)) over the text's distinct trigrams,
+        with the reference's 3→2→1 backoff on misses.  Rows with UNKNOWN
+        language or no trigrams get NaN.
+        """
+        n_rows = len(texts)
+        ppl = np.full(n_rows, np.nan, dtype=np.float64)
+        cleaned = clean_batch(texts)
+        langs = np.asarray(langs)
+        for lang in np.unique(langs):
+            if lang >= C.UNKNOWN or lang < 0:
+                continue
+            rows = np.flatnonzero(langs == lang)
+            logsum, count = self._lang_trigram_stats(cleaned, rows, int(lang))
+            ok = count > 0
+            ppl[rows[ok]] = np.exp(-logsum[ok] / count[ok])
+        return ppl
+
+    def _lang_trigram_stats(self, cleaned: CharBatch, rows: np.ndarray,
+                            lang: int):
+        g = len(rows)
+        offs = cleaned.offsets
+        take = np.concatenate(
+            [np.arange(offs[r], offs[r + 1]) for r in rows]
+        ) if g else np.zeros(0, dtype=np.int64)
+        lens = offs[rows + 1] - offs[rows]
+        sub_offsets = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum(lens, out=sub_offsets[1:])
+        sub = CharBatch(cleaned.cps[take], sub_offsets)
+
+        logsum = np.zeros(g, dtype=np.float64)
+        count = np.zeros(g, dtype=np.int64)
+        n = 3
+        n_windows = len(sub.cps) - n + 1
+        if n_windows <= 0:
+            return logsum, count
+        H = rolling_hashes(sub.cps, n)
+        is_letter = IS_LETTER[sub.cps]
+        cum = np.zeros(len(sub.cps) + 1, dtype=np.int64)
+        np.cumsum(is_letter, out=cum[1:])
+        row_id = sub.row_ids()
+        all_letters = (cum[n:] - cum[:-n]) == n
+        same_row = row_id[:n_windows] == row_id[n - 1:]
+        starts = np.flatnonzero(all_letters & same_row)
+        if len(starts) == 0:
+            return logsum, count
+        h = H[n - 1][starts]
+        r = row_id[starts]
+        order = np.lexsort((h, r))
+        hs, rs, ss = h[order], r[order], starts[order]
+        first = np.concatenate([[True], (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])])
+        p_start, p_row = ss[first], rs[first]
+        count = np.bincount(p_row, minlength=g)
+        for k in range(n, 0, -1):
+            if len(p_start) == 0:
+                break
+            f = self.models.lookup_hashes(lang, k, H[k - 1][p_start])
+            hit = f > 0
+            if hit.any():
+                logsum += np.bincount(p_row[hit], weights=np.log(f[hit]),
+                                      minlength=g)
+            p_start, p_row = p_start[~hit], p_row[~hit]
+        return logsum, count

@@ -1,0 +1,120 @@
+"""The flagship transcript quality-filter pipeline, Ray-Data-first.
+
+    read_parquet(turns)
+      → map_batches(LangIdScorer actor pool)      # lang, lang_confidence, ppl
+      → map_batches(quality_batch)                # heuristic quality flags
+      → map_batches(scrub_batch)                  # PII scrub + tox count
+      → map_batches(keep_batch)                   # keep/drop decision
+      → [restore_order]                           # stable (conv_id, turn_idx)
+      → write_parquet / consume
+
+Scale notes (designed for 10^12 turns on a multi-node cluster, tested on one
+node):
+
+* Detection is embarrassingly row-parallel — no shuffle before the final
+  order-restoring partition step.
+* The only shuffle is the hash(conv_id) → partition exchange in
+  :func:`restore_order`.  Partition count is explicit; a mega-conversation
+  lands wholly in one partition (required for per-conversation ordering) but
+  is only *sorted* there — all scoring happened shuffle-free upstream, so
+  skew costs O(n log n) sort time, not compute time (the salting scheme from
+  SURVEY.md §4).
+* Model state is per-actor, loaded once in ``__init__`` (mmap, page-cache
+  shared per node).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.keep import DEFAULT_PPL_THRESHOLD, keep_batch
+from ..stages.langid import LangIdScorer
+from ..stages.quality import quality_batch
+from ..stages.scrub import scrub_batch
+
+
+@dataclass
+class PipelineOptions:
+    text_col: str = "text"
+    languages: list[str] | None = None
+    low_accuracy: bool = False
+    ppl_threshold: float = DEFAULT_PPL_THRESHOLD
+    batch_size: int = 2048
+    langid_concurrency: int | tuple[int, int] = 4
+    num_output_partitions: int = 16
+    restore_order: bool = True
+    keep_only: bool = False
+
+
+def conv_partition_ids(conv_ids: list[str], num_partitions: int) -> np.ndarray:
+    """Deterministic hash(conv_id) % P — the pipeline's single shuffle key."""
+    return np.fromiter(
+        (zlib.crc32(c.encode("utf-8")) % num_partitions for c in conv_ids),
+        dtype=np.int32, count=len(conv_ids))
+
+
+def apply_stages(ds: "ray.data.Dataset", opts: PipelineOptions | None = None
+                 ) -> "ray.data.Dataset":
+    """Attach the scoring stages (no shuffle) to a turns Dataset."""
+    opts = opts or PipelineOptions()
+    ds = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        batch_size=opts.batch_size,
+        concurrency=opts.langid_concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={
+            "text_col": opts.text_col,
+            "languages": opts.languages,
+            "low_accuracy": opts.low_accuracy,
+        },
+    )
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow",
+                        fn_kwargs={"text_col": opts.text_col})
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow",
+                        fn_kwargs={"text_col": opts.text_col})
+    ds = ds.map_batches(keep_batch, batch_format="pyarrow",
+                        fn_kwargs={"ppl_threshold": opts.ppl_threshold})
+    if opts.keep_only:
+        ds = ds.map_batches(
+            lambda t: t.filter(t.column("keep")), batch_format="pyarrow")
+    return ds
+
+
+def _add_part_id(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pids = conv_partition_ids(batch.column("conv_id").to_pylist(),
+                              num_partitions)
+    return batch.append_column("part_id", pa.array(pids, type=pa.int32()))
+
+
+def _sort_group(batch: pa.Table) -> pa.Table:
+    return batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def restore_order(ds: "ray.data.Dataset",
+                  num_partitions: int = 16) -> "ray.data.Dataset":
+    """Stable (conv_id, turn_idx) order within hash(conv_id) partitions.
+
+    groupby(part_id).map_groups — one hash exchange, then a vectorized Arrow
+    sort per partition.  Every conversation is wholly contained in one
+    partition, so per-conversation order is globally correct.
+    """
+    ds = ds.map_batches(_add_part_id, batch_format="pyarrow",
+                        fn_kwargs={"num_partitions": num_partitions})
+    return ds.groupby("part_id").map_groups(_sort_group, batch_format="pyarrow")
+
+
+def run_quality_filter(ds: "ray.data.Dataset",
+                       opts: PipelineOptions | None = None
+                       ) -> "ray.data.Dataset":
+    opts = opts or PipelineOptions()
+    ds = apply_stages(ds, opts)
+    if opts.restore_order:
+        ds = restore_order(ds, opts.num_output_partitions)
+    return ds

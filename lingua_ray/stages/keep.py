@@ -1,0 +1,33 @@
+"""Keep/drop decision, stateless ``map_batches`` fn.
+
+keep = language detected (not "un")
+     ∧ quality_flags == 0
+     ∧ ppl ≤ threshold (NaN fails)
+     ∧ tox_count == 0
+
+A pure function of the columns produced by the langid / quality / scrub
+stages, so the decision is deterministic per turn regardless of batching or
+partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_PPL_THRESHOLD = 2000.0
+
+
+def keep_batch(batch: pa.Table,
+               ppl_threshold: float = DEFAULT_PPL_THRESHOLD) -> pa.Table:
+    lang = np.asarray(batch.column("lang").to_pandas())
+    flags = batch.column("quality_flags").to_numpy()
+    ppl = batch.column("ppl").to_numpy()
+    tox = batch.column("tox_count").to_numpy()
+    keep = (
+        (lang != "un")
+        & (flags == 0)
+        & (np.nan_to_num(ppl, nan=np.inf) <= ppl_threshold)
+        & (tox == 0)
+    )
+    return batch.append_column("keep", pa.array(keep, type=pa.bool_()))

@@ -1,0 +1,49 @@
+"""Regex PII scrub + toxicity count, stateless ``map_batches`` fn.
+
+Implemented entirely with ``pyarrow.compute`` RE2 kernels
+(``replace_substring_regex`` / ``count_substring_regex``) — zero-copy Arrow
+in, Arrow out, and *identical* regex semantics to the DuckDB oracle (also
+RE2).  Patterns are ASCII-class only (``[0-9]``, not ``\\d``) so the two
+engines cannot diverge on Unicode classes.
+
+Patterns are applied in the fixed order below; each count is taken on the
+text as it stands *before* that pattern's own replacement.  Scrubbed text is
+therefore a pure function of the input text — byte-identical across runs,
+partitions, and resumes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (column_suffix, pattern, replacement) — applied in order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("cc", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CC>"),
+    ("phone",
+     r"\+[0-9]{7,15}|\([0-9]{3}\) ?[0-9]{3}[- ][0-9]{4}"
+     r"|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b|\b[0-9]{10,11}\b",
+     "<PHONE>"),
+]
+
+# Demo toxicity lexicon; counted on the lowercased scrubbed text.
+TOX_WORDS = ("damn", "hell", "idiot", "stupid", "hate", "kill")
+TOX_PATTERN = r"\b(?:" + "|".join(TOX_WORDS) + r")\b"
+
+
+def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    col = batch.column(text_col)
+    col = pc.fill_null(col, "")
+    current = col
+    for suffix, pattern, replacement in PII_PATTERNS:
+        count = pc.count_substring_regex(current, pattern)
+        batch = batch.append_column(
+            f"pii_{suffix}", pc.cast(count, pa.int32()))
+        current = pc.replace_substring_regex(current, pattern, replacement)
+    tox = pc.count_substring_regex(pc.utf8_lower(current), TOX_PATTERN)
+    batch = batch.append_column("tox_count", pc.cast(tox, pa.int32()))
+    batch = batch.append_column("scrubbed_text", current)
+    return batch

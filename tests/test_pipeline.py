@@ -1,0 +1,112 @@
+"""End-to-end Ray Data pipeline tests: the distributed result must equal the
+single-process oracle (same kernels, no Ray) row-for-row."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lingua_ray import models as M
+from lingua_ray.kernel import Detector
+from lingua_ray.pipelines.quality_filter import (
+    PipelineOptions, run_quality_filter)
+from lingua_ray.sources.transcripts import ensure_transcripts, generate_transcripts
+from lingua_ray.stages.keep import keep_batch
+from lingua_ray.stages.quality import quality_batch
+from lingua_ray.stages.scrub import scrub_batch
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("turns") / "sf_test"
+    return ensure_transcripts(d, n_turns=4000, seed=42, n_shards=4)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, transcripts_dir):
+    ray = ray_session
+    ds = ray.data.read_parquet(str(transcripts_dir))
+    out = run_quality_filter(
+        ds, PipelineOptions(langid_concurrency=2, num_output_partitions=4))
+    return out.take_batch(100_000, batch_format="pyarrow")
+
+
+def _oracle(transcripts_dir) -> pa.Table:
+    """Single-process run of the identical stage kernels."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    table = pads.dataset(str(transcripts_dir)).to_table()
+    det = Detector(M.NgramModels())
+    texts = ["" if t is None else t for t in
+             table.column("text").to_pylist()]
+    res = det.detect(texts)
+    from lingua_ray import constants as C
+    iso = np.array(list(C.ISO1_CODES) + ["un"])
+    table = table.append_column("lang", pa.array(iso[res["lang"]]))
+    table = table.append_column(
+        "lang_confidence", pa.array(1.0 - res["conf2"]))
+    table = table.append_column(
+        "ppl", pa.array(det.trigram_perplexity(texts, res["lang"])))
+    table = quality_batch(table)
+    table = scrub_batch(table)
+    table = keep_batch(table)
+    return table
+
+
+def test_row_count_and_schema(pipeline_result, transcripts_dir):
+    assert pipeline_result.num_rows == 4000
+    for col in ("lang", "lang_confidence", "ppl", "quality_flags",
+                "scrubbed_text", "keep"):
+        assert col in pipeline_result.schema.names
+
+
+def test_order_restored(pipeline_result):
+    """Within the output, each conversation's turns appear in turn_idx order."""
+    conv = pipeline_result.column("conv_id").to_pylist()
+    tix = pipeline_result.column("turn_idx").to_pylist()
+    last: dict[str, int] = {}
+    for c, t in zip(conv, tix):
+        if c in last:
+            assert t > last[c], f"conversation {c} out of order"
+        last[c] = t
+
+
+def test_pipeline_matches_oracle(pipeline_result, transcripts_dir):
+    want = _oracle(transcripts_dir)
+    key = lambda tbl: {
+        (c, t): i for i, (c, t) in enumerate(
+            zip(tbl.column("conv_id").to_pylist(),
+                tbl.column("turn_idx").to_pylist()))
+    }
+    wk, gk = key(want), key(pipeline_result)
+    assert set(wk) == set(gk)
+    order_w = [wk[k] for k in sorted(wk)]
+    order_g = [gk[k] for k in sorted(wk)]
+    for col in ("lang", "scrubbed_text", "keep", "quality_flags", "tox_count",
+                "pii_email", "pii_ip", "pii_ssn", "pii_cc", "pii_phone"):
+        w = np.asarray(want.column(col).to_pylist(), dtype=object)[order_w]
+        g = np.asarray(pipeline_result.column(col).to_pylist(),
+                       dtype=object)[order_g]
+        mism = np.flatnonzero(w != g)
+        assert len(mism) == 0, (col, mism[:5], w[mism[:5]], g[mism[:5]])
+    # floats: exact equality expected (same kernel, same inputs)
+    for col in ("lang_confidence", "ppl"):
+        w = np.array(want.column(col).to_pylist(), dtype=np.float64)[order_w]
+        g = np.array(pipeline_result.column(col).to_pylist(),
+                     dtype=np.float64)[order_g]
+        same = (w == g) | (np.isnan(w) & np.isnan(g))
+        assert same.all(), (col, np.flatnonzero(~same)[:5])
+
+
+def test_generator_determinism():
+    a = generate_transcripts(500, 20, seed=7)
+    b = generate_transcripts(500, 20, seed=7)
+    assert a.equals(b)
+    c = generate_transcripts(500, 20, seed=8)
+    assert not a.equals(c)
+
+
+def test_generator_has_mega_conversation():
+    t = generate_transcripts(2000, 50, seed=42)
+    import collections
+    counts = collections.Counter(t.column("conv_id").to_pylist())
+    assert counts.most_common(1)[0][1] >= 0.05 * 2000

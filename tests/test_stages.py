@@ -1,0 +1,81 @@
+"""Unit tests for the stateless stages (no Ray needed — plain Arrow tables)."""
+
+import numpy as np
+import pyarrow as pa
+
+from lingua_ray.stages.keep import keep_batch
+from lingua_ray.stages.quality import quality_batch
+from lingua_ray.stages.scrub import scrub_batch
+
+
+def _t(texts):
+    return pa.table({"text": pa.array(texts, type=pa.large_string())})
+
+
+def test_scrub_email_ip_ssn_cc_phone():
+    out = scrub_batch(_t([
+        "mail foo.bar+x@example.co.uk now",
+        "ping 10.0.0.1 and 192.168.1.255.",
+        "ssn is 123-45-6789 ok",
+        "card 4111 1111 1111 1111 thanks",
+        "call +4915123456789 or (555) 123-4567 or 555-123-4567",
+        "clean text with no pii at all",
+    ]))
+    scrubbed = out.column("scrubbed_text").to_pylist()
+    assert scrubbed[0] == "mail <EMAIL> now"
+    assert scrubbed[1] == "ping <IP> and <IP>."
+    assert scrubbed[2] == "ssn is <SSN> ok"
+    assert scrubbed[3] == "card <CC> thanks"
+    assert scrubbed[4] == "call <PHONE> or <PHONE> or <PHONE>"
+    assert scrubbed[5] == "clean text with no pii at all"
+    assert out.column("pii_email").to_pylist()[0] == 1
+    assert out.column("pii_ip").to_pylist()[1] == 2
+    assert out.column("pii_ssn").to_pylist()[2] == 1
+    assert out.column("pii_cc").to_pylist()[3] == 1
+    assert out.column("pii_phone").to_pylist()[4] == 3
+
+
+def test_scrub_is_pure_function_of_text():
+    texts = ["a foo@bar.com b", "no pii", "10.1.2.3"]
+    a = scrub_batch(_t(texts)).column("scrubbed_text").to_pylist()
+    b = scrub_batch(_t(list(reversed(texts)))).column("scrubbed_text").to_pylist()
+    assert a == list(reversed(b))
+
+
+def test_tox_count():
+    out = scrub_batch(_t(["you stupid idiot", "what the hell", "nice day",
+                          "HELL and Hate"]))
+    assert out.column("tox_count").to_pylist() == [2, 1, 0, 2]
+
+
+def test_quality_metrics():
+    out = quality_batch(_t([
+        "one two three four five",
+        "ab",
+        "a a a a a a a a a a a a a a a a a a a a a a a a a a a a b c",
+        "12345 67890 11 22 33",
+    ]))
+    assert out.column("n_words").to_pylist() == [5, 1, 30, 5]
+    assert out.column("n_chars").to_pylist()[1] == 2
+    flags = out.column("quality_flags").to_pylist()
+    assert flags[0] == 0
+    assert flags[1] & 1  # too few words
+    assert flags[2] & 32  # low distinct
+    assert flags[3] & 16  # high digit
+
+
+def test_keep_decision():
+    t = pa.table({
+        "lang": ["en", "un", "en", "en", "en"],
+        "quality_flags": pa.array([0, 0, 1, 0, 0], type=pa.int32()),
+        "ppl": pa.array([100.0, 100.0, 100.0, float("nan"), 100.0]),
+        "tox_count": pa.array([0, 0, 0, 0, 2], type=pa.int32()),
+    })
+    keep = keep_batch(t).column("keep").to_pylist()
+    assert keep == [True, False, False, False, False]
+
+
+def test_quality_null_text():
+    out = quality_batch(pa.table({"text": pa.array([None, "ok text here"],
+                                                   type=pa.large_string())}))
+    assert out.column("n_chars").to_pylist() == [0, 12]
