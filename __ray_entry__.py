@@ -1,44 +1,290 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` entries marked SQL-verified have a matching ``oracle_sql()``
+DuckDB statement over the same parquet views; the rest (language detection,
+MinHash/SimHash, the full transcript pipeline) are not SQL-expressible and
+get the driver's rows-only check — their correctness gate is the pytest
+suite, which compares the Ray pipeline against the scalar reference
+transcription row-for-row.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# --------------------------------------------------------------------- utils
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _transcripts_for_sf(sf_dir: str) -> Path:
+    """Deterministic transcript table sized to the scale factor (12 turns per
+    documents row), cached under /tmp."""
+    from lingua_ray.sources.transcripts import ensure_transcripts
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_turns = max(2000, n_docs * 12)
+    out = Path(f"/tmp/lingua_ray/transcripts-{n_turns}")
+    return ensure_transcripts(out, n_turns=n_turns, seed=42)
+
+
+# ------------------------------------------------------------------- queries
+
+def _q_quality_filter_transcripts(sf_dir: str):
+    """Flagship: full langid + quality + scrub + keep pipeline with stable
+    (conv_id, turn_idx) output order.  [rows-only — langid not in SQL]"""
+    import ray.data
+    from lingua_ray.models import ensure_models
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     run_quality_filter)
+    ensure_models()
+    ds = ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)))
+    out = run_quality_filter(ds, PipelineOptions(langid_concurrency=4))
+    return out.select_columns(["conv_id", "turn_idx", "lang", "ppl",
+                               "quality_flags", "tox_count", "scrubbed_text",
+                               "keep"])
+
+
+def _q_langid_documents(sf_dir: str):
+    """Language-ID over the documents table.  [rows-only]"""
+    from lingua_ray.models import ensure_models
+    from lingua_ray.stages.langid import LangIdScorer
+    ensure_models()
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={"text_col": "text", "with_ppl": True})
+    return ds.select_columns(["doc_id", "lang", "lang_confidence", "ppl"])
+
+
+def _q_doc_quality(sf_dir: str):
+    """Heuristic quality metrics + flags.  [SQL-verified]"""
+    from lingua_ray.stages.quality import quality_batch
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars", "n_words", "n_alpha",
+                              "n_digits", "n_distinct_words", "quality_flags"])
+
+
+def _q_doc_scrub(sf_dir: str):
+    """PII scrub + toxicity count.  [SQL-verified — both engines are RE2]"""
+    from lingua_ray.stages.scrub import scrub_batch
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "pii_email", "pii_ip", "pii_ssn",
+                              "pii_cc", "pii_phone", "tox_count",
+                              "scrubbed_text"])
+
+
+def _q_doc_tokens(sf_dir: str):
+    """Token counting (BPE-ish regex + whitespace).  [SQL-verified]"""
+    from lingua_ray.functions.textstats import token_count_batch
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5).  [SQL-verified]"""
+    from lingua_ray.functions.textstats import fingerprint_batch
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text, with per-batch combiner
+    before the shuffle.  [SQL-verified]"""
+    from lingua_ray.stages.dedup import exact_dedup_local_min
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(exact_dedup_local_min, batch_format="pyarrow")
+    return ds.groupby("text").min("doc_id").rename_columns(
+        {"min(doc_id)": "doc_id"})
+
+
+def _q_lang_hist(sf_dir: str):
+    """Language histogram (groupby-count).  [SQL-verified]"""
+    ds = _read(sf_dir, "documents")
+    return ds.groupby("lang").count().rename_columns({"count()": "n"})
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup candidates: (doc_id, dup_of).  [rows-only]"""
+    from lingua_ray.stages.dedup import (bucket_pairs_group, lsh_band_batch,
+                                         minhash_signature_batch)
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
+    ds = ds.map_batches(lsh_band_batch, batch_format="pyarrow")
+    pairs = ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs_group, batch_format="pyarrow")
+    # a doc may appear in several buckets: keep the smallest dup_of
+    return pairs.groupby("doc_id").min("dup_of").rename_columns(
+        {"min(dup_of)": "dup_of"})
+
+
+def _q_simhash(sf_dir: str):
+    """64-bit SimHash signatures per document.  [rows-only]"""
+    from lingua_ray.stages.dedup import simhash_batch
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "simhash"])
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-10 around the vec_id=0 embedding.
+    [SQL-verified — id set only, float scores excluded from the compare]"""
+    from lingua_ray.stages.ann import knn_bruteforce
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings")
+    top = knn_bruteforce(ds, q, k=10)
+    return top.select(["vec_id"])
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding near-duplicates via hyperplane LSH buckets.  [rows-only]"""
+    from lingua_ray.stages.ann import add_lsh_bucket, neardup_pairs_group
+    ds = _read(sf_dir, "embeddings")
+    dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+              .read_row_group(0).column("embedding")[0])
+    ds = ds.map_batches(add_lsh_bucket, batch_format="pyarrow",
+                        fn_kwargs={"dim": dim, "n_planes": 8})
+    pairs = ds.groupby("bucket").map_groups(
+        neardup_pairs_group, batch_format="pyarrow")
+    return pairs.select_columns(["vec_id", "dup_of"])
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = t.column("embedding")
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(emb[idx].as_py(), dtype=np.float64)
+
+
+def _q_accuracy_report(sf_dir: str):
+    """Per-(true_lang, pred_lang, category) confusion counts over a sample
+    of the reference accuracy corpus — the reference's accuracyReport batch
+    job as a Ray pipeline (SURVEY.md §3.2).  [rows-only]"""
+    from lingua_ray.pipelines.accuracy import accuracy_confusion
+    return accuracy_confusion(langs=("en", "de", "fr", "es", "zh", "ja"),
+                              sample_per_file=100)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale transcripts."""
+    return _q_quality_filter_transcripts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "quality_filter_transcripts": _q_quality_filter_transcripts,
+        "langid_documents": _q_langid_documents,
+        "doc_quality": _q_doc_quality,
+        "doc_scrub": _q_doc_scrub,
+        "doc_tokens": _q_doc_tokens,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "lang_hist": _q_lang_hist,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash": _q_simhash,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "embedding_neardup": _q_embedding_neardup,
+        "accuracy_report": _q_accuracy_report,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_CC = "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\\b"
+_PHONE = ("\\+[0-9]{7,15}|\\([0-9]{3}\\) ?[0-9]{3}[- ][0-9]{4}"
+          "|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b|\\b[0-9]{10,11}\\b")
+_TOX = "\\b(?:damn|hell|idiot|stupid|hate|kill)\\b"
+_TOKEN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    quality = """
+    SELECT doc_id,
+      length(text) AS n_chars,
+      length(string_split(text, ' ')) AS n_words,
+      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+      length(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+      CAST(
+        CASE WHEN length(string_split(text, ' ')) < 3 THEN 1 ELSE 0 END
+      + CASE WHEN length(text) > 20000 THEN 2 ELSE 0 END
+      + CASE WHEN (length(replace(text, ' ', ''))
+                     < length(string_split(text, ' ')))
+              OR (length(replace(text, ' ', ''))
+                     > 12 * length(string_split(text, ' ')))
+             THEN 4 ELSE 0 END
+      + CASE WHEN 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 < length(text) THEN 8 ELSE 0 END
+      + CASE WHEN 10 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 > 3 * length(text) THEN 16 ELSE 0 END
+      + CASE WHEN length(string_split(text, ' ')) >= 10
+              AND 10 * length(list_distinct(string_split(text, ' ')))
+                  < 3 * length(string_split(text, ' '))
+             THEN 32 ELSE 0 END
+      AS INTEGER) AS quality_flags
+    FROM documents
     """
-    return {}
+    scrub = f"""
+    WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+    s1 AS (SELECT doc_id, t0,
+             regexp_replace(t0, '{_EMAIL}', '<EMAIL>', 'g') AS t1 FROM s0),
+    s2 AS (SELECT *, regexp_replace(t1, '{_IP}', '<IP>', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2, '{_SSN}', '<SSN>', 'g') AS t3 FROM s2),
+    s4 AS (SELECT *, regexp_replace(t3, '{_CC}', '<CC>', 'g') AS t4 FROM s3),
+    s5 AS (SELECT *, regexp_replace(t4, '{_PHONE}', '<PHONE>', 'g') AS t5
+           FROM s4)
+    SELECT doc_id,
+      CAST(length(regexp_extract_all(t0, '{_EMAIL}')) AS INTEGER) AS pii_email,
+      CAST(length(regexp_extract_all(t1, '{_IP}')) AS INTEGER) AS pii_ip,
+      CAST(length(regexp_extract_all(t2, '{_SSN}')) AS INTEGER) AS pii_ssn,
+      CAST(length(regexp_extract_all(t3, '{_CC}')) AS INTEGER) AS pii_cc,
+      CAST(length(regexp_extract_all(t4, '{_PHONE}')) AS INTEGER) AS pii_phone,
+      CAST(length(regexp_extract_all(lower(t5), '{_TOX}')) AS INTEGER)
+        AS tox_count,
+      t5 AS scrubbed_text
+    FROM s5
+    """
+    tokens = f"""
+    SELECT doc_id,
+      CAST(length(regexp_extract_all(text, '{_TOKEN}')) AS BIGINT) AS n_tokens,
+      CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """
+    return {
+        "doc_quality": quality,
+        "doc_scrub": scrub,
+        "doc_tokens": tokens,
+        "doc_fingerprint":
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dedup_exact":
+            "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "lang_hist":
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "knn_bruteforce": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(
+                embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+              vec_id
+            LIMIT 10
+        """,
+    }

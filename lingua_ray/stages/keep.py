@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from .util import set_column
 
 DEFAULT_PPL_THRESHOLD = 2000.0
 
@@ -30,4 +31,4 @@ def keep_batch(batch: pa.Table,
         & (np.nan_to_num(ppl, nan=np.inf) <= ppl_threshold)
         & (tox == 0)
     )
-    return batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+    return set_column(batch, "keep", pa.array(keep, type=pa.bool_()))

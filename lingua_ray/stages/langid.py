@@ -24,6 +24,7 @@ import pyarrow as pa
 from .. import constants as C
 from ..kernel import Detector, DetectorConfig
 from ..models import get_models
+from .util import set_column
 
 _ISO_LOOKUP = np.array(list(C.ISO1_CODES) + [C.UNKNOWN_CODE])
 
@@ -51,11 +52,11 @@ class LangIdScorer:
         res = self.detector.detect(texts)
         lang_codes = _ISO_LOOKUP[res["lang"]]
         confidence = 1.0 - res["conf2"]
-        batch = batch.append_column(
+        batch = set_column(batch, 
             "lang", pa.array(lang_codes, type=pa.string()))
-        batch = batch.append_column(
+        batch = set_column(batch, 
             "lang_confidence", pa.array(confidence, type=pa.float64()))
         if self.with_ppl:
             ppl = self.detector.trigram_perplexity(texts, res["lang"])
-            batch = batch.append_column("ppl", pa.array(ppl, type=pa.float64()))
+            batch = set_column(batch, "ppl", pa.array(ppl, type=pa.float64()))
         return batch

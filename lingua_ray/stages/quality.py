@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..chartables import encode_batch
+from .util import set_column
 
 QUALITY_FLAG_NAMES = {
     1: "too_few_words",        # n_words < 3
@@ -73,5 +74,5 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("n_distinct_words", n_distinct, pa.int64()),
         ("quality_flags", flags, pa.int32()),
     ):
-        batch = batch.append_column(name, pa.array(arr, type=typ))
+        batch = set_column(batch, name, pa.array(arr, type=typ))
     return batch

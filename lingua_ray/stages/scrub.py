@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from .util import set_column
 
 # (column_suffix, pattern, replacement) — applied in order.
 PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -40,10 +41,10 @@ def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     current = col
     for suffix, pattern, replacement in PII_PATTERNS:
         count = pc.count_substring_regex(current, pattern)
-        batch = batch.append_column(
+        batch = set_column(batch, 
             f"pii_{suffix}", pc.cast(count, pa.int32()))
         current = pc.replace_substring_regex(current, pattern, replacement)
     tox = pc.count_substring_regex(pc.utf8_lower(current), TOX_PATTERN)
-    batch = batch.append_column("tox_count", pc.cast(tox, pa.int32()))
-    batch = batch.append_column("scrubbed_text", current)
+    batch = set_column(batch, "tox_count", pc.cast(tox, pa.int32()))
+    batch = set_column(batch, "scrubbed_text", current)
     return batch
