@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Default: run the headline quality-filter pipeline plus representative
+operator queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+print ONE JSON line.
+
+``--scaling``: run the headline pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs plus
+scaling efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _n_turns_for_sf(sf_dir: str) -> int:
+    # 120 turns per documents row: sf0.01 -> 60k turns, sf0.1 -> 600k turns.
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return max(2000, n_docs * 120)
+
+
+def run_headline(num_cpus: int, sf_dir: str) -> dict:
+    """Full quality-filter pipeline; returns timing + throughput."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True)
+    from lingua_ray.models import ensure_models
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     run_quality_filter)
+    from lingua_ray.sources.transcripts import ensure_transcripts
+
+    ensure_models()
+    n_turns = _n_turns_for_sf(sf_dir)
+    tdir = ensure_transcripts(Path(f"/tmp/lingua_ray/transcripts-{n_turns}"),
+                              n_turns=n_turns, seed=42, n_shards=32)
+    # Actor pool sized to the session: one CPU per langid actor, leaving
+    # headroom for the stateless stages and the shuffle.
+    concurrency = max(2, int(num_cpus * 0.75))
+    opts = PipelineOptions(langid_concurrency=concurrency,
+                           batch_size=2048,
+                           num_output_partitions=max(16, num_cpus))
+    ds = ray.data.read_parquet(str(tdir))
+    t0 = time.perf_counter()
+    out = run_quality_filter(ds, opts)
+    out_dir = f"/tmp/lingua_ray/bench-out-{os.getpid()}"
+    out.write_parquet(out_dir)
+    elapsed = time.perf_counter() - t0
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {"sec": elapsed, "turns": n_turns,
+            "turns_per_sec": n_turns / elapsed}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+    timings = {}
+    bench_queries = ["langid_documents", "doc_quality", "doc_scrub",
+                     "doc_tokens", "dedup_exact", "dedup_minhash",
+                     "simhash", "knn_bruteforce", "lang_hist"]
+    qs = E.queries()
+    import ray
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main_bench() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True)
+    headline = run_headline(NUM_CPUS, SF_DIR)
+    timings = run_queries(SF_DIR)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "quality_filter_e2e_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": headline["turns"],
+        "turns_per_sec": round(headline["turns_per_sec"], 1),
+    }))
+
+
+def main_scaling() -> None:
+    """Same job at two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import json,sys; sys.path.insert(0, '.');"
+            "from bench import run_headline;"
+            f"print('RESULT ' + json.dumps(run_headline({cpus}, '{SF_DIR}')))"
+        )
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              cwd=Path(__file__).parent, timeout=3600)
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    efficiency = (t32 / t8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            "turns_per_sec_8cpu": round(t8, 1),
+            "turns_per_sec_32cpu": round(t32, 1),
+            "sec_8cpu": round(results[8]["sec"], 2),
+            "sec_32cpu": round(results[32]["sec"], 2),
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()
