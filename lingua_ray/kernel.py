@@ -43,6 +43,18 @@ _ACCENT_LANGS: tuple[int, ...] = tuple(sorted({
 }))
 
 
+def _gather_rows(cleaned: CharBatch, rows: np.ndarray) -> CharBatch:
+    """Sub-batch of selected rows' codepoints, without per-row Python loops."""
+    offs = cleaned.offsets
+    lens = (offs[rows + 1] - offs[rows]).astype(np.int64)
+    sub_offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=sub_offsets[1:])
+    total = int(sub_offsets[-1])
+    base = np.repeat(offs[rows], lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(sub_offsets[:-1], lens)
+    return CharBatch(cleaned.cps[base + within], sub_offsets)
+
+
 @dataclass
 class DetectorConfig:
     languages: np.ndarray = field(
@@ -282,7 +294,12 @@ class Detector:
         """N-gram Naive-Bayes scoring for one row group.
 
         rows: global row indices; cand: (len(rows), NUM_LANGUAGES) bool.
-        Returns (totals float64[g, L], has_prob bool[g, L]).
+        Returns (totals float64[g, L], unigram counts int64[g, L]).
+
+        Model probes are deduplicated *batch-globally*: per backoff level k
+        the distinct hashes across all rows are looked up ONCE per language
+        (one searchsorted on the distinct set), and the per-window backoff
+        walk becomes pure integer gathers.
         """
         g = len(rows)
         totals = np.zeros((g, C.NUM_LANGUAGES), dtype=np.float64)
@@ -290,32 +307,40 @@ class Detector:
         if g == 0:
             return totals, unicnt
 
-        # Sub-batch of cleaned codepoints for these rows.
-        offs = cleaned.offsets
-        lens = offs[rows + 1] - offs[rows]
-        sub_offsets = np.zeros(g + 1, dtype=np.int64)
-        np.cumsum(lens, out=sub_offsets[1:])
-        take = np.concatenate(
-            [np.arange(offs[r], offs[r + 1]) for r in rows]
-        ) if g else np.zeros(0, dtype=np.int64)
-        sub = CharBatch(cleaned.cps[take], sub_offsets)
-
+        sub = _gather_rows(cleaned, rows)
         H = rolling_hashes(sub.cps, MAX_N)
         is_letter = IS_LETTER[sub.cps] if len(sub.cps) else np.zeros(0, bool)
         cum = np.zeros(len(sub.cps) + 1, dtype=np.int64)
         np.cumsum(is_letter, out=cum[1:])
         row_id = sub.row_ids()
+        n_pos = len(sub.cps)
+        max_n = max(ns) if ns else 0
 
-        # Deduplicated windows per (row, n): representative start index.
+        # Per level k: valid-window starts, distinct hashes, start→index map.
+        level_distinct: dict[int, np.ndarray] = {}
+        level_idx: dict[int, np.ndarray] = {}
+        valid_starts: dict[int, np.ndarray] = {}
+        for k in range(1, max_n + 1):
+            n_windows = n_pos - k + 1
+            if n_windows <= 0:
+                level_distinct[k] = np.zeros(0, dtype=np.uint64)
+                level_idx[k] = np.zeros(0, dtype=np.int64)
+                valid_starts[k] = np.zeros(0, dtype=np.int64)
+                continue
+            all_letters = (cum[k:] - cum[:-k]) == k
+            same_row = row_id[:n_windows] == row_id[k - 1:]
+            starts_k = np.flatnonzero(all_letters & same_row)
+            valid_starts[k] = starts_k
+            D, inv = np.unique(H[k - 1][starts_k], return_inverse=True)
+            idx = np.full(n_pos, -1, dtype=np.int64)
+            idx[starts_k] = inv
+            level_distinct[k] = D
+            level_idx[k] = idx
+
+        # Deduplicated probe windows per (row, n0).
         uniq: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for n in ns:
-            n_windows = len(sub.cps) - n + 1
-            if n_windows <= 0:
-                uniq[n] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
-                continue
-            all_letters = (cum[n:] - cum[:-n]) == n
-            same_row = row_id[:n_windows] == row_id[n - 1:]
-            starts = np.flatnonzero(all_letters & same_row)
+            starts = valid_starts.get(n, np.zeros(0, dtype=np.int64))
             if len(starts) == 0:
                 uniq[n] = (starts, starts)
                 continue
@@ -327,10 +352,16 @@ class Detector:
                 [[True], (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])])
             uniq[n] = (ss[first], rs[first])
 
+        cjk_set = set(_CJK_BOOST_LANGS.tolist())
         for lang in range(C.NUM_LANGUAGES):
             rows_l = cand[:, lang]
             if not rows_l.any():
                 continue
+            # One distinct-set lookup per level for this language.
+            freq = {
+                k: self.models.lookup_hashes(lang, k, level_distinct[k])
+                for k in range(1, max_n + 1) if len(level_distinct[k])
+            }
             for n0 in ns:
                 starts, rids = uniq[n0]
                 if len(starts) == 0:
@@ -341,8 +372,9 @@ class Detector:
                 for k in range(n0, 0, -1):
                     if len(p_start) == 0:
                         break
-                    f = self.models.lookup_hashes(
-                        lang, k, H[k - 1][p_start])
+                    if k not in freq:
+                        break
+                    f = freq[k][level_idx[k][p_start]]
                     hit = f > 0
                     if hit.any():
                         logsum += np.bincount(
@@ -352,7 +384,7 @@ class Detector:
                                 p_row[hit], minlength=g)
                     keep = ~hit
                     p_start, p_row = p_start[keep], p_row[keep]
-                if lang in _CJK_BOOST_LANGS:
+                if lang in cjk_set:
                     logsum *= 0.85  # LanguageDetector.kt:577-586
                 totals[:, lang] += logsum
 
@@ -476,14 +508,7 @@ class Detector:
     def _lang_trigram_stats(self, cleaned: CharBatch, rows: np.ndarray,
                             lang: int):
         g = len(rows)
-        offs = cleaned.offsets
-        take = np.concatenate(
-            [np.arange(offs[r], offs[r + 1]) for r in rows]
-        ) if g else np.zeros(0, dtype=np.int64)
-        lens = offs[rows + 1] - offs[rows]
-        sub_offsets = np.zeros(g + 1, dtype=np.int64)
-        np.cumsum(lens, out=sub_offsets[1:])
-        sub = CharBatch(cleaned.cps[take], sub_offsets)
+        sub = _gather_rows(cleaned, rows)
 
         logsum = np.zeros(g, dtype=np.float64)
         count = np.zeros(g, dtype=np.int64)

@@ -1,8 +1,10 @@
 """N-gram frequency models: deterministic training, artifact, vectorized lookup.
 
-Reference semantics (``buildSrc/.../GenerateLanguageModelsTask.kt:176-187``):
-frequency of n-gram *g* in language *L* = count(g) / count(all n-grams of the
-same length), converted to float32.  The reference ships these as JVM
+Reference semantics (``buildSrc/.../GenerateLanguageModelsTask.kt:176-187``
+consuming upstream lingua's ``"num/denom"`` JSON fractions, produced by
+upstream's TrainingDataLanguageModel): *conditional* relative frequencies —
+freq(g) = count(g) / count(prefix(g)) for n ≥ 2, count(g)/total for unigrams
+— converted to float32.  The reference ships these as JVM
 byte/short/int/long sorted-array maps built from an upstream corpus clone; we
 train deterministically from the reference's own accuracy-report corpus
 (``src/accuracyReport/resources/language-testdata/``) since the upstream
@@ -37,7 +39,7 @@ from .textprep import CharBatch, clean_batch
 
 HASH_MULT = np.uint64(1099511628211)  # FNV-1a 64 prime, odd
 MAX_N = 5
-MODEL_VERSION = 1
+MODEL_VERSION = 2
 
 _DATA_DIR = Path(__file__).resolve().parent / "data"
 DEFAULT_MODEL_DIR = _DATA_DIR / "models" / f"v{MODEL_VERSION}"
@@ -90,18 +92,46 @@ def valid_window_mask(batch: CharBatch, n: int) -> np.ndarray:
 
 
 def train_language(texts: list[str]) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """Train (keys, freqs) per n from a list of raw corpus texts."""
+    """Train (keys, freqs) per n from a list of raw corpus texts.
+
+    Frequency semantics follow upstream lingua's TrainingDataLanguageModel:
+    *conditional* relative frequencies — for n ≥ 2,
+    freq(g) = count_n(g) / count_{n-1}(prefix(g)); for n = 1,
+    freq(g) = count_1(g) / total unigrams.  (The reference consumes these as
+    the "num/denom" fractions of the upstream JSON models —
+    GenerateLanguageModelsTask.kt:176-187.)
+    """
     batch = clean_batch(texts)
     hashes = rolling_hashes(batch.cps)
-    result: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    counts_per_n: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for n in range(1, MAX_N + 1):
         mask = valid_window_mask(batch, n)
-        h = hashes[n - 1][: len(mask)][mask]
+        starts = np.flatnonzero(mask)
+        h = hashes[n - 1][starts] if len(starts) else np.zeros(0, np.uint64)
         if len(h) == 0:
-            result[n] = (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float32))
+            counts_per_n[n] = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                               np.zeros(0, np.int64))
             continue
-        keys, counts = np.unique(h, return_counts=True)
-        freqs = (counts / len(h)).astype(np.float32)
+        keys, first_idx, counts = np.unique(h, return_index=True,
+                                            return_counts=True)
+        counts_per_n[n] = (keys, counts.astype(np.int64), starts[first_idx])
+
+    result: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for n in range(1, MAX_N + 1):
+        keys, counts, first_start = counts_per_n[n]
+        if len(keys) == 0:
+            result[n] = (keys, np.zeros(0, dtype=np.float32))
+            continue
+        if n == 1:
+            denom = np.float64(counts.sum())
+            freqs = (counts / denom).astype(np.float32)
+        else:
+            pk, pc, _ = counts_per_n[n - 1]
+            prefix_hash = hashes[n - 2][first_start]
+            idx = np.searchsorted(pk, prefix_hash)
+            # every valid n-window start is a valid (n-1)-window start
+            assert (pk[idx] == prefix_hash).all()
+            freqs = (counts / pc[idx]).astype(np.float32)
         result[n] = (keys, freqs)
     return result
 
