@@ -395,13 +395,14 @@ class Detector:
 
     # ------------------------------------------------------------------ main
 
-    def detect(self, texts: list[str]) -> dict[str, np.ndarray]:
+    def detect(self, texts: list[str],
+               with_ppl: bool = False) -> dict[str, np.ndarray]:
         """Detect languages for a batch.  Returns columns:
 
         lang (int16, C.UNKNOWN for unknown), conf1, conf2 (float64),
-        n_values (int32 — number of confidence entries),
-        tri_logsum, tri_count (float64/int64 — trigram score of the winning
-        language, reused by the perplexity stage).
+        n_values (int32 — number of confidence entries), and with
+        ``with_ppl`` also ppl (char-trigram perplexity under the winning
+        language, computed on the same cleaned batch — no re-cleaning).
         """
         cfg = self.config
         n_rows = len(texts)
@@ -474,14 +475,30 @@ class Detector:
             conf2[rows] = np.where(nv > 1, v2, 0.0)
             n_values[rows] = nv
 
-        return {
+        out = {
             "lang": lang,
             "conf1": conf1,
             "conf2": conf2,
             "n_values": n_values,
         }
+        if with_ppl:
+            out["ppl"] = self._perplexity_from_cleaned(cleaned, lang)
+        return out
 
     # ------------------------------------------------------------ perplexity
+
+    def _perplexity_from_cleaned(self, cleaned: CharBatch,
+                                 langs: np.ndarray) -> np.ndarray:
+        n_rows = len(cleaned.offsets) - 1
+        ppl = np.full(n_rows, np.nan, dtype=np.float64)
+        for lang in np.unique(langs):
+            if lang >= C.UNKNOWN or lang < 0:
+                continue
+            rows = np.flatnonzero(langs == lang)
+            logsum, count = self._lang_trigram_stats(cleaned, rows, int(lang))
+            ok = count > 0
+            ppl[rows[ok]] = np.exp(-logsum[ok] / count[ok])
+        return ppl
 
     def trigram_perplexity(self, texts: list[str],
                            langs: np.ndarray) -> np.ndarray:
@@ -492,18 +509,8 @@ class Detector:
         with the reference's 3→2→1 backoff on misses.  Rows with UNKNOWN
         language or no trigrams get NaN.
         """
-        n_rows = len(texts)
-        ppl = np.full(n_rows, np.nan, dtype=np.float64)
-        cleaned = clean_batch(texts)
-        langs = np.asarray(langs)
-        for lang in np.unique(langs):
-            if lang >= C.UNKNOWN or lang < 0:
-                continue
-            rows = np.flatnonzero(langs == lang)
-            logsum, count = self._lang_trigram_stats(cleaned, rows, int(lang))
-            ok = count > 0
-            ppl[rows[ok]] = np.exp(-logsum[ok] / count[ok])
-        return ppl
+        return self._perplexity_from_cleaned(clean_batch(texts),
+                                             np.asarray(langs))
 
     def _lang_trigram_stats(self, cleaned: CharBatch, rows: np.ndarray,
                             lang: int):

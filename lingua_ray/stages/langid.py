@@ -49,14 +49,14 @@ class LangIdScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         texts = ["" if t is None else t for t in texts]
-        res = self.detector.detect(texts)
+        res = self.detector.detect(texts, with_ppl=self.with_ppl)
         lang_codes = _ISO_LOOKUP[res["lang"]]
         confidence = 1.0 - res["conf2"]
-        batch = set_column(batch, 
+        batch = set_column(batch,
             "lang", pa.array(lang_codes, type=pa.string()))
-        batch = set_column(batch, 
+        batch = set_column(batch,
             "lang_confidence", pa.array(confidence, type=pa.float64()))
         if self.with_ppl:
-            ppl = self.detector.trigram_perplexity(texts, res["lang"])
-            batch = set_column(batch, "ppl", pa.array(ppl, type=pa.float64()))
+            batch = set_column(batch, "ppl",
+                               pa.array(res["ppl"], type=pa.float64()))
         return batch

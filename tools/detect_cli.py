@@ -1,0 +1,51 @@
+"""Interactive / batch detection CLI — the analogue of the reference's
+console app (``app/App.kt:29-170``).
+
+Usage:
+  echo "bonjour le monde" | python tools/detect_cli.py
+  python tools/detect_cli.py --languages en,de,fr --confidence < texts.txt
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--languages", help="comma-separated ISO 639-1 subset")
+    ap.add_argument("--low-accuracy", action="store_true")
+    ap.add_argument("--confidence", action="store_true",
+                    help="print top-5 confidence values")
+    ap.add_argument("--min-distance", type=float, default=0.0)
+    args = ap.parse_args()
+
+    from lingua_ray.api import LanguageDetectorBuilder
+    if args.languages:
+        builder = LanguageDetectorBuilder.from_iso_codes_639_1(
+            *args.languages.split(","))
+    else:
+        builder = LanguageDetectorBuilder.from_all_languages()
+    builder = builder.with_minimum_relative_distance(args.min_distance)
+    if args.low_accuracy:
+        builder = builder.with_low_accuracy_mode()
+    det = builder.build()
+
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print("Type a sentence per line (ctrl-d to exit):")
+    for line in sys.stdin:
+        text = line.rstrip("\n")
+        if not text:
+            continue
+        if args.confidence:
+            values = det.compute_language_confidence_values(text)[:5]
+            print(" ".join(f"{c}:{v:.4f}" for c, v in values) or "un")
+        else:
+            print(det.detect_language_of(text))
+
+
+if __name__ == "__main__":
+    main()
