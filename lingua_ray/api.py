@@ -151,5 +151,11 @@ class LanguageDetector:
             low_accuracy=self._detector.config.low_accuracy)
         return [(C.ISO1_CODES[lang], conf) for lang, conf in values]
 
+    def detect_multi_language_of(self, text: str):
+        """Sections of a mixed-language text — the reference's experimental
+        ``detectMultiLanguageOf`` (api/LanguageDetector.kt:187-191)."""
+        from .multilang import MultiLanguageDetector
+        return MultiLanguageDetector(self._detector).detect(text)
+
     def unload_language_models(self) -> None:
         pass  # models are mmap-backed; the page cache handles this

@@ -396,7 +396,8 @@ class Detector:
     # ------------------------------------------------------------------ main
 
     def detect(self, texts: list[str],
-               with_ppl: bool = False) -> dict[str, np.ndarray]:
+               with_ppl: bool = False,
+               with_matrix: bool = False) -> dict[str, np.ndarray]:
         """Detect languages for a batch.  Returns columns:
 
         lang (int16, C.UNKNOWN for unknown), conf1, conf2 (float64),
@@ -411,6 +412,9 @@ class Detector:
         conf2 = np.zeros(n_rows, dtype=np.float64)
         n_values = np.zeros(n_rows, dtype=np.int32)
 
+        conf_matrix = (np.zeros((n_rows, C.NUM_LANGUAGES), dtype=np.float64)
+                       if with_matrix else None)
+
         cleaned = clean_batch(texts)
         clen = cleaned.row_lengths()
         letters_per_row = np.bincount(
@@ -423,15 +427,21 @@ class Detector:
         lang[rule_hit] = rule_lang[rule_hit]
         conf1[rule_hit] = 1.0
         n_values[rule_hit] = 1
+        if conf_matrix is not None:
+            conf_matrix[np.flatnonzero(rule_hit),
+                        rule_lang[rule_hit].astype(np.int64)] = 1.0
 
         # single-candidate short-circuit (LanguageDetector.kt:241-244)
         open_rows = viable & ~rule_hit
         ncand = cand.sum(axis=1)
         single_cand = open_rows & (ncand == 1)
         if single_cand.any():
-            lang[single_cand] = cand[single_cand].argmax(axis=1).astype(np.int16)
+            only = cand[single_cand].argmax(axis=1)
+            lang[single_cand] = only.astype(np.int16)
             conf1[single_cand] = 1.0
             n_values[single_cand] = 1
+            if conf_matrix is not None:
+                conf_matrix[np.flatnonzero(single_cand), only] = 1.0
         open_rows &= ~single_cand
 
         if cfg.low_accuracy:
@@ -474,6 +484,8 @@ class Detector:
             conf1[rows] = np.where(any_nz, v1, 0.0)
             conf2[rows] = np.where(nv > 1, v2, 0.0)
             n_values[rows] = nv
+            if conf_matrix is not None:
+                conf_matrix[rows] = confs
 
         out = {
             "lang": lang,
@@ -483,7 +495,17 @@ class Detector:
         }
         if with_ppl:
             out["ppl"] = self._perplexity_from_cleaned(cleaned, lang)
+        if conf_matrix is not None:
+            out["conf_matrix"] = conf_matrix
         return out
+
+    def confidence_values(self, text: str) -> list[tuple[int, float]]:
+        """Full descending (lang, confidence) list for one text — the batch
+        analogue of ``computeLanguageConfidenceValues``."""
+        m = self.detect([text], with_matrix=True)["conf_matrix"][0]
+        nz = np.flatnonzero(m)
+        order = nz[np.lexsort((nz, -m[nz]))]
+        return [(int(i), float(m[i])) for i in order]
 
     # ------------------------------------------------------------ perplexity
 
