@@ -118,3 +118,55 @@ def run_quality_filter(ds: "ray.data.Dataset",
     if opts.restore_order:
         ds = restore_order(ds, opts.num_output_partitions)
     return ds
+
+
+def _finalize_partition(part_dir: str, out_file: str) -> int:
+    """Sort one hash partition by (conv_id, turn_idx) and write it as a
+    single parquet file.  Runs as a plain Ray task — partitions are
+    independent, so finalization parallelizes perfectly."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    table = pads.dataset(part_dir).to_table()
+    table = table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pq.write_table(table, out_file)
+    return table.num_rows
+
+
+def write_ordered(ds: "ray.data.Dataset", out_dir: str,
+                  opts: PipelineOptions | None = None) -> int:
+    """Scored dataset → order-restored partitioned parquet on disk.
+
+    Two-phase manual exchange that avoids Ray's all-to-all operators (which
+    impose a full barrier and, measured on this workload, cost 2-3× the
+    useful work):
+
+    1. streaming hive-partitioned write by hash(conv_id) % P — overlaps with
+       the scoring stages, no barrier;
+    2. one Ray task per partition: read that partition's fragments, Arrow
+       sort by (conv_id, turn_idx), rewrite as one sorted file.
+
+    Each conversation lives wholly inside one partition, so per-conversation
+    order is globally correct.  Returns total rows written.
+    """
+    import shutil
+    from pathlib import Path
+
+    import ray
+
+    opts = opts or PipelineOptions()
+    out = Path(out_dir)
+    unsorted = out / "_unsorted"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ds.map_batches(_add_part_id, batch_format="pyarrow",
+                        fn_kwargs={"num_partitions": opts.num_output_partitions})
+    ds.write_parquet(str(unsorted), partition_cols=["part_id"])
+
+    finalize = ray.remote(num_cpus=1)(_finalize_partition)
+    futures = []
+    for pdir in sorted(unsorted.glob("part_id=*")):
+        pid = pdir.name.split("=", 1)[1]
+        futures.append(finalize.remote(str(pdir), str(out / f"part-{int(pid):05d}.parquet")))
+    rows = sum(ray.get(futures))
+    shutil.rmtree(unsorted, ignore_errors=True)
+    return rows
