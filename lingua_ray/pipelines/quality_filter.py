@@ -50,6 +50,9 @@ class PipelineOptions:
     num_output_partitions: int = 16
     restore_order: bool = True
     keep_only: bool = False
+    # User stage plug-ins (SURVEY.md §2.9): callables Table -> Table appended
+    # after the built-in stages, each run as a stateless map_batches.
+    extra_stages: list = field(default_factory=list)
 
 
 def conv_partition_ids(conv_ids: list[str], num_partitions: int) -> np.ndarray:
@@ -81,6 +84,8 @@ def apply_stages(ds: "ray.data.Dataset", opts: PipelineOptions | None = None
                         fn_kwargs={"text_col": opts.text_col})
     ds = ds.map_batches(keep_batch, batch_format="pyarrow",
                         fn_kwargs={"ppl_threshold": opts.ppl_threshold})
+    for stage in opts.extra_stages:
+        ds = ds.map_batches(stage, batch_format="pyarrow")
     if opts.keep_only:
         ds = ds.map_batches(
             lambda t: t.filter(t.column("keep")), batch_format="pyarrow")
