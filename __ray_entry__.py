@@ -165,6 +165,44 @@ def _q_embedding_neardup(sf_dir: str):
     return pairs.select_columns(["vec_id", "dup_of"])
 
 
+def _q_langid_documents_lowacc(sf_dir: str):
+    """Language-ID in low-accuracy (trigram-only) mode.  [rows-only]"""
+    from lingua_ray.models import ensure_models
+    from lingua_ray.stages.langid import LangIdScorer
+    ensure_models()
+    ds = _read(sf_dir, "documents")
+    ds = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={"text_col": "text", "with_ppl": False,
+                               "low_accuracy": True})
+    return ds.select_columns(["doc_id", "lang"])
+
+
+def _q_events_stats(sf_dir: str):
+    """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
+    from ray.data.aggregate import Count, Max, Min
+    ds = _read(sf_dir, "events")
+    out = ds.groupby("event_type").aggregate(
+        Count(), Min("value"), Max("value"))
+    return out.rename_columns({"count()": "n", "min(value)": "min_value",
+                               "max(value)": "max_value"})
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling one-hour window counts (event-time bucketing inside
+    map_batches, then a small groupby).  [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"hour": hour})
+
+    ds = _read(sf_dir, "events")
+    out = ds.map_batches(bucket, batch_format="pyarrow")
+    return out.groupby("hour").count().rename_columns({"count()": "n"})
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     emb = t.column("embedding")
@@ -201,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_neardup": _q_embedding_neardup,
         "accuracy_report": _q_accuracy_report,
+        "langid_documents_lowacc": _q_langid_documents_lowacc,
+        "events_stats": _q_events_stats,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -286,5 +327,14 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
               vec_id
             LIMIT 10
+        """,
+        "events_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY date_trunc('hour', ts)
         """,
     }
