@@ -16,7 +16,10 @@ import numpy as np
 import pyarrow as pa
 from .util import set_column
 
-DEFAULT_PPL_THRESHOLD = 2000.0
+# Calibrated to ~p99.9 of the char-trigram perplexity distribution on the
+# synthetic transcript mix (median ≈ 7.6, p99 ≈ 21): drops only pathological
+# outliers while keeping ordinary text of every supported language.
+DEFAULT_PPL_THRESHOLD = 30.0
 
 
 def keep_batch(batch: pa.Table,

@@ -157,6 +157,21 @@ class CheckpointedRun:
         tmp.write_text(json.dumps(manifest, indent=2))
         os.replace(tmp, self._manifest_path(shard_id))
 
+    def finalize_ordered(self, ordered_dir: str | Path | None = None) -> int:
+        """After all shards complete: produce order-restored partitioned
+        output (stable (conv_id, turn_idx) within hash(conv_id) partitions)
+        from the checkpointed shard data.  Returns rows written."""
+        import ray.data
+
+        from ..pipelines.quality_filter import write_ordered
+
+        if self.pending_shards():
+            raise RuntimeError(
+                f"cannot finalize: shards pending {self.pending_shards()}")
+        ordered_dir = Path(ordered_dir or (self.out_dir / "ordered"))
+        ds = ray.data.read_parquet(str(self.data_dir))
+        return write_ordered(ds, str(ordered_dir), self.opts)
+
     def metrics_table(self) -> pa.Table:
         """Aggregated per-shard metrics (G3 in SURVEY.md §2.6)."""
         rows = []

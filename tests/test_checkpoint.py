@@ -77,6 +77,24 @@ def test_manifest_contents_and_metrics(ray_session, turns_dir, tmp_path):
     assert sum(metrics.column("output_rows").to_pylist()) == 2000
 
 
+def test_finalize_ordered(ray_session, turns_dir, tmp_path):
+    out = tmp_path / "out_f"
+    run = CheckpointedRun(turns_dir, out, _opts())
+    with pytest.raises(RuntimeError):
+        run.finalize_ordered()
+    run.run(wave_size=6)
+    rows = run.finalize_ordered()
+    assert rows == 2000
+    t = pads.dataset(str(out / "ordered")).to_table()
+    assert t.num_rows == 2000
+    last = {}
+    for c, i in zip(t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist()):
+        if c in last:
+            assert i > last[c]
+        last[c] = i
+
+
 def test_options_change_invalidates_manifests(ray_session, turns_dir, tmp_path):
     out = tmp_path / "out_inv"
     run = CheckpointedRun(turns_dir, out, _opts())

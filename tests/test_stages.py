@@ -68,7 +68,7 @@ def test_keep_decision():
     t = pa.table({
         "lang": ["en", "un", "en", "en", "en"],
         "quality_flags": pa.array([0, 0, 1, 0, 0], type=pa.int32()),
-        "ppl": pa.array([100.0, 100.0, 100.0, float("nan"), 100.0]),
+        "ppl": pa.array([10.0, 10.0, 10.0, float("nan"), 10.0]),
         "tox_count": pa.array([0, 0, 0, 0, 2], type=pa.int32()),
     })
     keep = keep_batch(t).column("keep").to_pylist()
