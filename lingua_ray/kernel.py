@@ -139,11 +139,10 @@ class Detector:
         cps_w = wb.cps[in_word]
 
         # --- per-word language vote counts ---------------------------------
-        Wc = np.zeros((n_words, ncol), dtype=np.int32)
         sv = self._script_vote[np.minimum(sid_w, C.NUM_SCRIPTS)]
         has_sv = sv >= 0
-        if has_sv.any():
-            np.add.at(Wc, (cw[has_sv], self._lang_to_col[sv[has_sv]]), 1)
+        vote_word = [cw[has_sv]]
+        vote_col = [self._lang_to_col[sv[has_sv]]]
         # unique-char votes for Latin/Cyrillic/Devanagari chars
         lcd = np.isin(sid_w, _LATIN_CYR_DEV) & ~has_sv
         if lcd.any():
@@ -158,7 +157,14 @@ class Detector:
                 bit = np.uint64(1 << (int(li) & 63))
                 hit = (um[:, int(li) >> 6] & bit) != 0
                 if hit.any():
-                    np.add.at(Wc, (cw_l[hit], self._lang_to_col[li]), 1)
+                    vote_word.append(cw_l[hit])
+                    vote_col.append(
+                        np.full(int(hit.sum()), self._lang_to_col[li],
+                                dtype=np.int64))
+        vw = np.concatenate(vote_word)
+        vc = np.concatenate(vote_col)
+        Wc = np.bincount(vw * ncol + vc, minlength=n_words * ncol) \
+            .reshape(n_words, ncol).astype(np.int32)
 
         nz = (Wc > 0).sum(axis=1)
         c1 = Wc.max(axis=1)
@@ -182,12 +188,11 @@ class Detector:
                       C.LOGOGRAM_WORD_VALUE, C.FULL_WORD_VALUE)
 
         # --- per-row totals -------------------------------------------------
-        T = np.zeros((n_rows, ncol), dtype=np.float64)
         voted = word_vote >= 0
-        if voted.any():
-            np.add.at(
-                T, (wb.word_row[voted], self._lang_to_col[word_vote[voted]]),
-                wv[voted])
+        T = np.bincount(
+            wb.word_row[voted] * ncol + self._lang_to_col[word_vote[voted]],
+            weights=wv[voted], minlength=n_rows * ncol
+        ).reshape(n_rows, ncol)
         U = np.bincount(wb.word_row[~voted], weights=wv[~voted],
                         minlength=n_rows).astype(np.float64)
         adjusted = np.bincount(wb.word_row, weights=wv,
@@ -241,10 +246,11 @@ class Detector:
         uniform = (smin == smax) & (smin < C.NUM_SCRIPTS)
         wv_f = np.where(wb.word_is_logogram,
                         C.LOGOGRAM_WORD_VALUE, C.FULL_WORD_VALUE)
-        A = np.zeros((n_rows, C.NUM_SCRIPTS), dtype=np.float64)
-        if uniform.any():
-            np.add.at(A, (wb.word_row[uniform], smin[uniform].astype(np.int64)),
-                      wv_f[uniform])
+        A = np.bincount(
+            wb.word_row[uniform] * C.NUM_SCRIPTS
+            + smin[uniform].astype(np.int64),
+            weights=wv_f[uniform], minlength=n_rows * C.NUM_SCRIPTS
+        ).reshape(n_rows, C.NUM_SCRIPTS)
         adjusted_f = np.bincount(wb.word_row, weights=wv_f,
                                  minlength=n_rows).astype(np.float64)
 
