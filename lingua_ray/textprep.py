@@ -60,6 +60,8 @@ def clean_batch(texts: list[str]) -> CharBatch:
     keep = ~IS_NUM_PUNCT[cps]
     cps = cps[keep]
     row_id = row_id[keep]
+    if len(cps) == 0:
+        return CharBatch(cps, np.zeros(n_rows + 1, dtype=np.int64))
 
     # Collapse Java \s+ runs to a single ' '.
     sp = IS_JAVA_REGEX_SPACE[cps]

@@ -1,0 +1,86 @@
+"""Property-based tests: the vectorized kernel must agree with the scalar
+transcription on arbitrary Unicode input, and batch composition must not
+affect per-row results."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lingua_ray import models as M
+from lingua_ray import reference_impl as ref
+from lingua_ray.kernel import Detector
+
+# Mix of scripts, punctuation, digits, whitespace, emoji, non-BMP letters.
+_ALPHABETS = st.sampled_from([
+    st.characters(min_codepoint=0x20, max_codepoint=0x7E),       # ASCII
+    st.characters(min_codepoint=0xC0, max_codepoint=0x17F),      # Latin ext
+    st.characters(min_codepoint=0x370, max_codepoint=0x3FF),     # Greek
+    st.characters(min_codepoint=0x400, max_codepoint=0x4FF),     # Cyrillic
+    st.characters(min_codepoint=0x590, max_codepoint=0x6FF),     # Heb/Arab
+    st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF),   # Han
+    st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),   # Kana
+    st.characters(min_codepoint=0x1F300, max_codepoint=0x1F64F),  # emoji
+    st.characters(min_codepoint=0x10330, max_codepoint=0x1034A),  # Gothic
+])
+
+
+@st.composite
+def mixed_text(draw):
+    n_chunks = draw(st.integers(0, 4))
+    parts = []
+    for _ in range(n_chunks):
+        alphabet = draw(_ALPHABETS)
+        parts.append(draw(st.text(alphabet=alphabet, min_size=0, max_size=24)))
+    return " ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    M.ensure_models()
+    return Detector(M.NgramModels())
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(mixed_text(), min_size=1, max_size=6))
+def test_kernel_equals_scalar_on_fuzzed_text(detector, texts):
+    got = detector.detect(texts)["lang"]
+    lookup = detector.models.freq_of_str
+    want = np.array([ref.detect_language(t, lookup) for t in texts],
+                    dtype=np.int16)
+    assert (got == want).all(), [
+        (texts[i], int(got[i]), int(want[i]))
+        for i in np.flatnonzero(got != want)
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(mixed_text(), min_size=2, max_size=8), st.integers(1, 7))
+def test_batch_composition_invariance(detector, texts, split):
+    split = split % (len(texts) - 1) + 1 if len(texts) > 1 else 1
+    whole = detector.detect(texts, with_ppl=True)
+    a = detector.detect(texts[:split], with_ppl=True)
+    b = detector.detect(texts[split:], with_ppl=True)
+    assert (whole["lang"] == np.concatenate([a["lang"], b["lang"]])).all()
+    w = whole["ppl"]
+    p = np.concatenate([a["ppl"], b["ppl"]])
+    assert ((w == p) | (np.isnan(w) & np.isnan(p))).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=120))
+def test_scrub_matches_duckdb(texts_one):
+    """RE2 parity: pyarrow.compute vs DuckDB on arbitrary strings."""
+    import duckdb
+    import pyarrow as pa
+    from lingua_ray.stages.scrub import PII_PATTERNS, scrub_batch
+
+    t = pa.table({"text": pa.array([texts_one], type=pa.large_string())})
+    got = scrub_batch(t).column("scrubbed_text").to_pylist()[0]
+    expr = "text"
+    for _, pattern, replacement in PII_PATTERNS:
+        esc = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{replacement}', 'g')"
+    con = duckdb.connect()
+    con.register("tt", t)
+    want = con.execute(f"SELECT {expr} FROM tt").fetchone()[0]
+    assert got == want
