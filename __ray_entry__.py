@@ -75,7 +75,8 @@ def _q_doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents")
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_chars", "n_words", "n_alpha",
-                              "n_digits", "n_distinct_words", "quality_flags"])
+                              "n_digits", "n_logograms", "n_distinct_words",
+                              "quality_flags"])
 
 
 def _q_doc_scrub(sf_dir: str):
@@ -258,31 +259,37 @@ _TOKEN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
 
 
 def oracle_sql() -> dict[str, str]:
-    quality = """
-    SELECT doc_id,
-      length(text) AS n_chars,
-      length(string_split(text, ' ')) AS n_words,
-      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-      length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-      length(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+    from lingua_ray.stages.quality import LOGOGRAM_RE_CLASS
+    quality = f"""
+    WITH q AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        length(string_split(text, ' ')) AS n_words,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+        length(regexp_replace(text, '{LOGOGRAM_RE_CLASS}', '', 'g'))
+          AS n_logograms,
+        length(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+        length(replace(text, ' ', '')) AS word_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words, n_alpha, n_digits, n_logograms,
+      n_distinct_words,
       CAST(
-        CASE WHEN length(string_split(text, ' ')) < 3 THEN 1 ELSE 0 END
-      + CASE WHEN length(text) > 20000 THEN 2 ELSE 0 END
-      + CASE WHEN (length(replace(text, ' ', ''))
-                     < length(string_split(text, ' ')))
-              OR (length(replace(text, ' ', ''))
-                     > 12 * length(string_split(text, ' ')))
+        CASE WHEN n_chars > 0 AND 2 * n_logograms >= n_chars
+             THEN CASE WHEN n_chars < 3 THEN 1 ELSE 0 END
+             ELSE CASE WHEN n_words < 3 THEN 1 ELSE 0 END END
+      + CASE WHEN n_chars > 20000 THEN 2 ELSE 0 END
+      + CASE WHEN NOT (n_chars > 0 AND 2 * n_logograms >= n_chars)
+              AND (word_chars < n_words OR word_chars > 12 * n_words)
              THEN 4 ELSE 0 END
-      + CASE WHEN 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                 < length(text) THEN 8 ELSE 0 END
-      + CASE WHEN 10 * length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 > 3 * length(text) THEN 16 ELSE 0 END
-      + CASE WHEN length(string_split(text, ' ')) >= 10
-              AND 10 * length(list_distinct(string_split(text, ' ')))
-                  < 3 * length(string_split(text, ' '))
+      + CASE WHEN 2 * (n_alpha + n_logograms) < n_chars THEN 8 ELSE 0 END
+      + CASE WHEN 10 * n_digits > 3 * n_chars THEN 16 ELSE 0 END
+      + CASE WHEN NOT (n_chars > 0 AND 2 * n_logograms >= n_chars)
+              AND n_words >= 10 AND 10 * n_distinct_words < 3 * n_words
              THEN 32 ELSE 0 END
       AS INTEGER) AS quality_flags
-    FROM documents
+    FROM q
     """
     scrub = f"""
     WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),

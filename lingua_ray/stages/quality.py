@@ -21,19 +21,32 @@ from ..chartables import encode_batch
 from .util import set_column
 
 QUALITY_FLAG_NAMES = {
-    1: "too_few_words",        # n_words < 3
+    1: "too_few_words",        # space-script: n_words < 3; CJK: n_chars < 3
     2: "too_long",             # n_chars > 20000
-    4: "bad_mean_word_len",    # word-chars < n_words or > 12*n_words
-    8: "low_alpha",            # 2*n_alpha < n_chars
+    4: "bad_mean_word_len",    # space-script only: word-chars < n_words or > 12*n_words
+    8: "low_letter",           # 2*(n_alpha + n_logograms) < n_chars
     16: "high_digit",          # 10*n_digits > 3*n_chars
-    32: "low_distinct",        # n_words >= 10 and 10*distinct < 3*n_words
+    32: "low_distinct",        # space-script only: n_words >= 10, 10*distinct < 3*n_words
 }
+
+# Word-based rules are meaningless for space-free logographic scripts; a row
+# is "CJK-dominant" when logogram chars are at least half its chars, and the
+# word-count rules are replaced by a plain char-count floor.  Logogram ranges
+# are fixed codepoint intervals (identical in NumPy and DuckDB's RE2) so the
+# oracle stays bit-exact: CJK Unified (+ext A), Hiragana/Katakana, Hangul.
+LOGOGRAM_RANGES = ((0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF),
+                   (0xAC00, 0xD7A3))
+LOGOGRAM_RE_CLASS = (r"[^\x{3040}-\x{30FF}\x{3400}-\x{4DBF}"
+                     r"\x{4E00}-\x{9FFF}\x{AC00}-\x{D7A3}]")
 
 _ASCII_ALPHA = np.zeros(0x110000, dtype=bool)
 _ASCII_ALPHA[ord("A"): ord("Z") + 1] = True
 _ASCII_ALPHA[ord("a"): ord("z") + 1] = True
 _ASCII_DIGIT = np.zeros(0x110000, dtype=bool)
 _ASCII_DIGIT[ord("0"): ord("9") + 1] = True
+_IS_LOGOGRAM_Q = np.zeros(0x110000, dtype=bool)
+for _lo, _hi in LOGOGRAM_RANGES:
+    _IS_LOGOGRAM_Q[_lo: _hi + 1] = True
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -47,6 +60,8 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_alpha = np.bincount(row_id[_ASCII_ALPHA[cps]], minlength=n).astype(np.int64)
     n_digits = np.bincount(row_id[_ASCII_DIGIT[cps]], minlength=n).astype(np.int64)
     n_spaces = np.bincount(row_id[cps == 0x20], minlength=n).astype(np.int64)
+    n_logograms = np.bincount(
+        row_id[_IS_LOGOGRAM_Q[cps]], minlength=n).astype(np.int64)
 
     n_words = np.empty(n, dtype=np.int64)
     n_distinct = np.empty(n, dtype=np.int64)
@@ -56,14 +71,20 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         n_distinct[i] = len(set(toks))
 
     word_chars = n_chars - n_spaces
+    cjk = 2 * n_logograms >= n_chars
+    cjk &= n_chars > 0
     flags = np.zeros(n, dtype=np.int32)
-    flags |= np.where(n_words < 3, 1, 0).astype(np.int32)
+    flags |= np.where(np.where(cjk, n_chars < 3, n_words < 3),
+                      1, 0).astype(np.int32)
     flags |= np.where(n_chars > 20000, 2, 0).astype(np.int32)
-    flags |= np.where((word_chars < n_words) | (word_chars > 12 * n_words),
+    flags |= np.where(~cjk & ((word_chars < n_words)
+                              | (word_chars > 12 * n_words)),
                       4, 0).astype(np.int32)
-    flags |= np.where(2 * n_alpha < n_chars, 8, 0).astype(np.int32)
+    flags |= np.where(2 * (n_alpha + n_logograms) < n_chars,
+                      8, 0).astype(np.int32)
     flags |= np.where(10 * n_digits > 3 * n_chars, 16, 0).astype(np.int32)
-    flags |= np.where((n_words >= 10) & (10 * n_distinct < 3 * n_words),
+    flags |= np.where(~cjk & (n_words >= 10)
+                      & (10 * n_distinct < 3 * n_words),
                       32, 0).astype(np.int32)
 
     for name, arr, typ in (
@@ -71,6 +92,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         ("n_words", n_words, pa.int64()),
         ("n_alpha", n_alpha, pa.int64()),
         ("n_digits", n_digits, pa.int64()),
+        ("n_logograms", n_logograms, pa.int64()),
         ("n_distinct_words", n_distinct, pa.int64()),
         ("quality_flags", flags, pa.int32()),
     ):

@@ -22,10 +22,14 @@ def main() -> None:
     ap.add_argument("--min-distance", type=float, default=0.0)
     args = ap.parse_args()
 
+    from lingua_ray import constants as C
     from lingua_ray.api import LanguageDetectorBuilder
     if args.languages:
-        builder = LanguageDetectorBuilder.from_iso_codes_639_1(
-            *args.languages.split(","))
+        codes = args.languages.split(",")
+        unknown = [c for c in codes if c.lower() not in C.ISO1_INDEX]
+        if unknown:
+            ap.error(f"unknown ISO 639-1 code(s): {', '.join(unknown)}")
+        builder = LanguageDetectorBuilder.from_iso_codes_639_1(*codes)
     else:
         builder = LanguageDetectorBuilder.from_all_languages()
     builder = builder.with_minimum_relative_distance(args.min_distance)
