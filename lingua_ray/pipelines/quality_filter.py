@@ -99,7 +99,9 @@ def _add_part_id(batch: pa.Table, num_partitions: int) -> pa.Table:
 
 
 def _sort_group(batch: pa.Table) -> pa.Table:
-    return batch.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    batch = batch.sort_by([("conv_id", "ascending"),
+                           ("turn_idx", "ascending")])
+    return batch.drop_columns(["part_id"])
 
 
 def restore_order(ds: "ray.data.Dataset",
@@ -171,7 +173,12 @@ def write_ordered(ds: "ray.data.Dataset", out_dir: str,
     futures = []
     for pdir in sorted(unsorted.glob("part_id=*")):
         pid = pdir.name.split("=", 1)[1]
-        futures.append(finalize.remote(str(pdir), str(out / f"part-{int(pid):05d}.parquet")))
-    rows = sum(ray.get(futures))
+        futures.append(finalize.remote(
+            str(pdir), str(out / f"part-{int(pid):05d}.parquet")))
+    # Windowed waits: bounds driver memory at very large partition counts.
+    rows = 0
+    while futures:
+        done, futures = ray.wait(futures, num_returns=min(64, len(futures)))
+        rows += sum(ray.get(done))
     shutil.rmtree(unsorted, ignore_errors=True)
     return rows
