@@ -343,12 +343,16 @@ class Detector:
             level_distinct[k] = D
             level_idx[k] = idx
 
-        # Deduplicated probe windows per (row, n0).
+        # Deduplicated probe windows per (row, n0), with per-level distinct
+        # indices precomputed ONCE (shared by all languages — the backoff
+        # walk then only gathers into per-language frequency vectors).
         uniq: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        probe_idx: dict[int, list[np.ndarray]] = {}
         for n in ns:
             starts = valid_starts.get(n, np.zeros(0, dtype=np.int64))
             if len(starts) == 0:
                 uniq[n] = (starts, starts)
+                probe_idx[n] = []
                 continue
             h = H[n - 1][starts]
             r = row_id[starts]
@@ -356,7 +360,11 @@ class Detector:
             hs, rs, ss = h[order], r[order], starts[order]
             first = np.concatenate(
                 [[True], (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])])
-            uniq[n] = (ss[first], rs[first])
+            u_starts = ss[first]
+            uniq[n] = (u_starts, rs[first])
+            # probe_idx[n][k-1][j] = index into level_distinct[k] for the
+            # k-prefix of probe window j
+            probe_idx[n] = [level_idx[k][u_starts] for k in range(1, n + 1)]
 
         cjk_set = set(_CJK_BOOST_LANGS.tolist())
         for lang in range(C.NUM_LANGUAGES):
@@ -372,15 +380,15 @@ class Detector:
                 starts, rids = uniq[n0]
                 if len(starts) == 0:
                     continue
-                sel = rows_l[rids]
-                p_start, p_row = starts[sel], rids[sel]
+                p_pos = np.flatnonzero(rows_l[rids])
+                p_row = rids[p_pos]
                 logsum = np.zeros(g, dtype=np.float64)
                 for k in range(n0, 0, -1):
-                    if len(p_start) == 0:
+                    if len(p_pos) == 0:
                         break
                     if k not in freq:
                         break
-                    f = freq[k][level_idx[k][p_start]]
+                    f = freq[k][probe_idx[n0][k - 1][p_pos]]
                     hit = f > 0
                     if hit.any():
                         logsum += np.bincount(
@@ -389,7 +397,7 @@ class Detector:
                             unicnt[:, lang] += np.bincount(
                                 p_row[hit], minlength=g)
                     keep = ~hit
-                    p_start, p_row = p_start[keep], p_row[keep]
+                    p_pos, p_row = p_pos[keep], p_row[keep]
                 if lang in cjk_set:
                     logsum *= 0.85  # LanguageDetector.kt:577-586
                 totals[:, lang] += logsum
