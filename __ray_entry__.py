@@ -180,6 +180,31 @@ def _q_langid_documents_lowacc(sf_dir: str):
     return ds.select_columns(["doc_id", "lang"])
 
 
+def _q_multilang_documents(sf_dir: str):
+    """Experimental multi-language section detection per document.
+    [rows-only]"""
+    import pyarrow.compute as pc
+    from lingua_ray.models import ensure_models
+    from lingua_ray.multilang import MultiLangScorer
+    ensure_models()
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = ds.map_batches(MultiLangScorer, batch_format="pyarrow",
+                        batch_size=256, concurrency=4, num_cpus=1)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        secs = batch.column("sections")
+        n_sections = pc.list_value_length(secs)
+        first_lang = [
+            (row[0]["lang"] if row else "un") for row in secs.to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_sections": pc.cast(n_sections, pa.int32()),
+            "first_lang": pa.array(first_lang, type=pa.string()),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_events_stats(sf_dir: str):
     """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
     from ray.data.aggregate import Count, Max, Min
@@ -241,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "accuracy_report": _q_accuracy_report,
         "langid_documents_lowacc": _q_langid_documents_lowacc,
+        "multilang_documents": _q_multilang_documents,
         "events_stats": _q_events_stats,
         "events_hourly": _q_events_hourly,
     }
