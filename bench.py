@@ -118,7 +118,7 @@ def main_bench() -> None:
 def main_scaling() -> None:
     """Same job at two parallelism levels in fresh processes.
 
-    Uses a 4× larger input than the default headline so fixed costs (actor
+    Uses an 8× larger input than the default headline so fixed costs (actor
     pool spin-up, read, sort barrier) amortize — the quantity under test is
     streaming throughput scaling, the sandbox stand-in for N vs 4N nodes.
     """
@@ -127,7 +127,7 @@ def main_scaling() -> None:
         for mode in ("e2e", "stages"):
             code = (
                 "import json,sys; sys.path.insert(0, '.');"
-                "import bench; bench._TURNS_MULTIPLIER = 4;"
+                "import bench; bench._TURNS_MULTIPLIER = 8;"
                 f"print('RESULT ' + json.dumps("
                 f"bench.run_headline({cpus}, '{SF_DIR}', mode='{mode}')))"
             )
