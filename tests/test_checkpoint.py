@@ -95,6 +95,21 @@ def test_finalize_ordered(ray_session, turns_dir, tmp_path):
         last[c] = i
 
 
+def test_corrupted_manifest_treated_as_pending(ray_session, turns_dir,
+                                               tmp_path):
+    out = tmp_path / "out_c"
+    run = CheckpointedRun(turns_dir, out, _opts())
+    run.run(wave_size=6)
+    assert run.pending_shards() == []
+    # truncate one manifest mid-write (simulated crash during commit)
+    victim = run.manifest_dir / "shard-00002.json"
+    victim.write_text('{"shard_id": 2, "input_')
+    assert run.pending_shards() == [2]
+    summary = run.run(wave_size=6)
+    assert summary["processed_shards"] == [2]
+    assert run.pending_shards() == []
+
+
 def test_options_change_invalidates_manifests(ray_session, turns_dir, tmp_path):
     out = tmp_path / "out_inv"
     run = CheckpointedRun(turns_dir, out, _opts())
