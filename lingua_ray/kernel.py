@@ -283,6 +283,13 @@ class Detector:
         acc_cand = cand_new[:, self._accent_langs]
         subset = acc_cand & (hits >= half[:, None]) & (half > 0)[:, None]
         has_subset = subset.any(axis=1)
+        # Reference returns the full language set early when NO word is
+        # script-uniform (LanguageDetector.kt:494-496,
+        # detectedAlphabets.hasOnlyZeroValues() -> return languages) --
+        # the accent-char narrowing below must be skipped for those rows,
+        # just as the script narrowing above already is (cand_new keeps
+        # `cand` where ~has_alpha).
+        has_subset &= has_alpha
         cand_final = cand_new.copy()
         rows_sub = np.flatnonzero(has_subset)
         if len(rows_sub):

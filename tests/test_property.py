@@ -40,7 +40,7 @@ def detector():
     return Detector(M.NgramModels())
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(st.lists(mixed_text(), min_size=1, max_size=6))
 def test_kernel_equals_scalar_on_fuzzed_text(detector, texts):
     got = detector.detect(texts)["lang"]

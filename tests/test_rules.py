@@ -193,3 +193,25 @@ def test_no_letter_texts_empty():
         cleaned = ref.clean_up(text)
         import regex
         assert not cleaned or not regex.search(r"\p{L}", cleaned)
+
+
+def test_no_uniform_word_skips_accent_narrowing():
+    """Regression (round-1 VERDICT): when NO word is script-uniform the
+    reference returns the full language set early
+    (``LanguageDetector.kt:494-496``) and the accent-char narrowing must
+    NOT apply.  'À×' (letter + math symbol in one word) was the falsifying
+    input: the kernel narrowed to VIETNAMESE while the oracle kept the
+    full set and scored YORUBA."""
+    from lingua_ray import models as M
+    from lingua_ray.kernel import Detector
+
+    # Scalar oracle: the candidate set stays the full set.
+    got = ref.filter_languages_by_rules(ref.word_list("à×"), ALL)
+    assert got == ALL
+
+    M.ensure_models()
+    det = Detector(M.NgramModels())
+    texts = ["À×"]
+    kernel_lang = int(det.detect(texts)["lang"][0])
+    oracle_lang = ref.detect_language(texts[0], det.models.freq_of_str)
+    assert kernel_lang == oracle_lang
