@@ -24,9 +24,10 @@ import pyarrow.parquet as pq
 
 # --------------------------------------------------------------------- utils
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned parquet read: only the named columns leave storage."""
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _transcripts_for_sf(sf_dir: str) -> Path:
@@ -61,7 +62,7 @@ def _q_langid_documents(sf_dir: str):
     from lingua_ray.models import ensure_models
     from lingua_ray.stages.langid import LangIdScorer
     ensure_models()
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=2048,
         concurrency=2, num_cpus=1,
@@ -72,7 +73,7 @@ def _q_langid_documents(sf_dir: str):
 def _q_doc_quality(sf_dir: str):
     """Heuristic quality metrics + flags.  [SQL-verified]"""
     from lingua_ray.stages.quality import quality_batch
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_chars", "n_words", "n_alpha",
                               "n_digits", "n_logograms", "n_distinct_words",
@@ -82,7 +83,7 @@ def _q_doc_quality(sf_dir: str):
 def _q_doc_scrub(sf_dir: str):
     """PII scrub + toxicity count.  [SQL-verified — both engines are RE2]"""
     from lingua_ray.stages.scrub import scrub_batch
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "pii_email", "pii_ip", "pii_ssn",
                               "pii_cc", "pii_phone", "tox_count",
@@ -92,7 +93,7 @@ def _q_doc_scrub(sf_dir: str):
 def _q_doc_tokens(sf_dir: str):
     """Token counting (BPE-ish regex + whitespace).  [SQL-verified]"""
     from lingua_ray.functions.textstats import token_count_batch
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
 
@@ -100,45 +101,56 @@ def _q_doc_tokens(sf_dir: str):
 def _q_doc_fingerprint(sf_dir: str):
     """Document fingerprinting (md5).  [SQL-verified]"""
     from lingua_ray.functions.textstats import fingerprint_batch
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
 def _q_dedup_exact(sf_dir: str):
-    """Exact dedup: min doc_id per distinct text, with per-batch combiner
-    before the shuffle.  [SQL-verified]"""
+    """Exact dedup: kept doc_ids (min doc_id per distinct text).  The
+    combiner hashes text → fingerprint64 and pre-aggregates per batch, so
+    the global groupby shuffles 16-byte (hash, id) rows — never document
+    bodies.  [SQL-verified — DuckDB groups by the text itself; identical
+    output as long as the 64-bit fingerprint is collision-free on the
+    input, which the driver compare would catch]"""
     from lingua_ray.stages.dedup import exact_dedup_local_min
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(exact_dedup_local_min, batch_format="pyarrow")
-    return ds.groupby("text").min("doc_id").rename_columns(
-        {"min(doc_id)": "doc_id"})
+    return ds.groupby("fp64").min("doc_id").rename_columns(
+        {"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
 
 
 def _q_lang_hist(sf_dir: str):
     """Language histogram (groupby-count).  [SQL-verified]"""
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["lang"])
     return ds.groupby("lang").count().rename_columns({"count()": "n"})
 
 
 def _q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup candidates: (doc_id, dup_of).  [rows-only]"""
+    """MinHash+LSH near-dup pairs, VERIFIED by estimated Jaccard ≥ 0.5
+    (the LSH threshold for 16 bands × 4 rows): (doc_id, dup_of,
+    jaccard_est).  Signatures are materialized once (id + 512-byte sig,
+    text dropped first) and reused by both the banding pass and the
+    verification joins.  [rows-only]"""
     from lingua_ray.stages.dedup import (bucket_pairs_group, lsh_band_batch,
-                                         minhash_signature_batch)
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    ds = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
-    ds = ds.map_batches(lsh_band_batch, batch_format="pyarrow")
-    pairs = ds.groupby(["band", "band_hash"]).map_groups(
+                                         minhash_signature_batch,
+                                         verify_minhash_candidates)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
+    sig = sig.select_columns(["doc_id", "minhash"]).materialize()
+    bands = sig.map_batches(lsh_band_batch, batch_format="pyarrow")
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs_group, batch_format="pyarrow")
     # a doc may appear in several buckets: keep the smallest dup_of
-    return pairs.groupby("doc_id").min("dup_of").rename_columns(
+    cand = cand.groupby("doc_id").min("dup_of").rename_columns(
         {"min(dup_of)": "dup_of"})
+    return verify_minhash_candidates(cand, sig, threshold=0.5)
 
 
 def _q_simhash(sf_dir: str):
     """64-bit SimHash signatures per document.  [rows-only]"""
     from lingua_ray.stages.dedup import simhash_batch
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "simhash"])
 
@@ -148,7 +160,7 @@ def _q_knn_bruteforce(sf_dir: str):
     [SQL-verified — id set only, float scores excluded from the compare]"""
     from lingua_ray.stages.ann import knn_bruteforce
     q = _query_vector(sf_dir)
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     top = knn_bruteforce(ds, q, k=10)
     return top.select(["vec_id"])
 
@@ -171,7 +183,7 @@ def _q_langid_documents_lowacc(sf_dir: str):
     from lingua_ray.models import ensure_models
     from lingua_ray.stages.langid import LangIdScorer
     ensure_models()
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=2048,
         concurrency=2, num_cpus=1,
@@ -187,7 +199,7 @@ def _q_multilang_documents(sf_dir: str):
     from lingua_ray.models import ensure_models
     from lingua_ray.multilang import MultiLangScorer
     ensure_models()
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(MultiLangScorer, batch_format="pyarrow",
                         batch_size=256, concurrency=4, num_cpus=1)
 
@@ -208,7 +220,7 @@ def _q_multilang_documents(sf_dir: str):
 def _q_events_stats(sf_dir: str):
     """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
     from ray.data.aggregate import Count, Max, Min
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
         Count(), Min("value"), Max("value"))
     return out.rename_columns({"count()": "n", "min(value)": "min_value",
@@ -224,7 +236,7 @@ def _q_events_hourly(sf_dir: str):
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.table({"hour": hour})
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["ts"])
     out = ds.map_batches(bucket, batch_format="pyarrow")
     return out.groupby("hour").count().rename_columns({"count()": "n"})
 
@@ -350,7 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "dedup_exact":
-            "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "knn_bruteforce": """

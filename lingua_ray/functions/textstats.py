@@ -33,19 +33,72 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+_MIX64 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _mix64(h: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
+    h = (h ^ (h >> np.uint64(30))) * _MIX64
+    return h ^ (h >> np.uint64(27))
+
+
 def _fingerprint64(text: str) -> np.uint64:
-    h = 14695981039346656037  # FNV-1a offset basis
+    """Scalar reference for :func:`fingerprint64_array` (tests only)."""
+    h = 0
     m = int(HASH_MULT)
-    for b in text.encode("utf-8"):
-        h = ((h ^ b) * m) & 0xFFFFFFFFFFFFFFFF
-    return np.uint64(h)
+    data = text.encode("utf-8")
+    for b in data:
+        h = (h * m + b) & 0xFFFFFFFFFFFFFFFF
+    # 1-element array: numpy warns on scalar uint64 overflow, not on arrays
+    h = (np.array([h], dtype=np.uint64)
+         ^ np.array([len(data)], dtype=np.uint64) * HASH_MULT)
+    return _mix64(h)[0]
+
+
+def fingerprint64_array(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit text fingerprint (uint64 per row).
+
+    Polynomial rolling hash over the UTF-8 bytes (Horner with
+    ``HASH_MULT``), finalized with a length xor + bit mix.  Computed with
+    one cumulative sum over the batch's concatenated value buffer — the
+    per-row hash is the wrapped difference of prefix sums, no Python loop.
+    Used as the shuffle key for exact dedup so the groupby exchange moves
+    8-byte hashes instead of document bodies.
+    """
+    col = pc.fill_null(col, "")
+    arr = pc.cast(col, pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    lengths = (off[1:] - off[:-1]).astype(np.int64)
+    total = int(off[-1] - off[0])
+    if total == 0:
+        h = np.zeros(n, dtype=np.uint64)
+    else:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        idx = np.arange(off[0], off[-1], dtype=np.int64)
+        # exponent of HASH_MULT for byte j of a row ending at e: e - 1 - j
+        exp = np.repeat(off[1:], lengths) - 1 - idx
+        pows = np.empty(int(lengths.max()), dtype=np.uint64)
+        pows[0] = 1
+        np.multiply.accumulate(
+            np.full(len(pows), HASH_MULT, dtype=np.uint64)[:-1],
+            out=pows[1:])
+        terms = data[idx].astype(np.uint64) * pows[exp]
+        cs = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(terms, dtype=np.uint64, out=cs[1:])
+        h = cs[off[1:] - off[0]] - cs[off[:-1] - off[0]]
+    return _mix64(h ^ (lengths.astype(np.uint64) * HASH_MULT))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = ["" if t is None else t for t in batch.column(text_col).to_pylist()]
     md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    f64 = np.array([_fingerprint64(t) for t in texts], dtype=np.uint64)
+    f64 = fingerprint64_array(batch.column(text_col))
     batch = set_column(batch, "fingerprint", pa.array(md5, type=pa.string()))
-    batch = set_column(batch, 
+    batch = set_column(batch,
         "fingerprint64", pa.array(f64.view(np.int64), type=pa.int64()))
     return batch

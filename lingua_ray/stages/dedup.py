@@ -29,12 +29,42 @@ _MIX = np.uint64(0xBF58476D1CE4E5B9)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Scalar reference: distinct k-shingle rolling hashes of one text
+    (space-padded to k).  Used by :func:`jaccard` and as the oracle for
+    the batch kernel in tests."""
     cps = np.frombuffer(text.lower().encode("utf-32-le"),
                         dtype=np.uint32).astype(np.int32)
     if len(cps) < k:
         cps = np.pad(cps, (0, k - len(cps)), constant_values=32)
     h = rolling_hashes(cps, k)[k - 1]
     return np.unique(h)
+
+
+def _shingle_hashes_batch(texts: list[str], k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-shingle hashes for a batch in one pass (duplicates KEPT).
+
+    Returns ``(hashes uint64, offsets int64)`` where row *i*'s shingles are
+    ``hashes[offsets[i]:offsets[i+1]]``.  One C-level UTF-32 encode for the
+    whole batch (``encode_batch``), one vectorized rolling hash, then the
+    windows that straddle row boundaries are dropped by index arithmetic —
+    no per-row Python.  Rows are lowercased and space-padded to length k to
+    match :func:`_shingle_hashes`, so every row has ≥ 1 shingle.
+    """
+    pad = " " * k
+    lowered = [t.lower() for t in texts]   # lower() may change str length
+    padded = [t if len(t) >= k else (t + pad)[:k] for t in lowered]
+    cps, offs = encode_batch(padded)
+    h = rolling_hashes(cps, k)[k - 1]
+    lengths = offs[1:] - offs[:-1]
+    n_sh = lengths - k + 1            # ≥ 1 per row after padding
+    tot = int(n_sh.sum())
+    ends = np.cumsum(n_sh)
+    starts_out = np.concatenate([[0], ends[:-1]])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(starts_out, n_sh)
+    widx = np.repeat(offs[:-1], n_sh) + within
+    out_offs = np.concatenate([[0], ends]).astype(np.int64)
+    return h[widx] if tot else np.zeros(0, np.uint64), out_offs
 
 
 def _mix(h: np.ndarray) -> np.ndarray:
@@ -44,18 +74,23 @@ def _mix(h: np.ndarray) -> np.ndarray:
 
 def minhash_signature_batch(batch: pa.Table, text_col: str = "text",
                             num_perm: int = 64, k: int = 5) -> pa.Table:
-    """Append ``minhash`` (fixed_size_list<uint64, num_perm>)."""
+    """Append ``minhash`` (fixed_size_list<uint64, num_perm>).
+
+    Vectorized over the whole batch: ONE shingle-hash pass
+    (:func:`_shingle_hashes_batch`), then per permutation j a single
+    ``mix(h ^ seed_j)`` + ``np.minimum.reduceat`` over the row offsets —
+    g_j(x) = mix(x ^ seed_j), signature = min over the row's shingles.
+    Duplicate shingles don't affect the min, so no per-row unique needed.
+    """
     texts = ["" if t is None else t for t in batch.column(text_col).to_pylist()]
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    seeds = _SIG_SEEDS[:num_perm]
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, k)
-        if len(sh) == 0:
-            sigs[i] = 0
-            continue
-        # g_j(x) = mix(x ^ seed_j); signature = min over shingles.
-        m = _mix(sh[:, None] ^ seeds[None, :])
-        sigs[i] = m.min(axis=0)
+    n = len(texts)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n:
+        hashes, offs = _shingle_hashes_batch(texts, k)
+        seeds = _SIG_SEEDS[:num_perm]
+        for j in range(num_perm):
+            sigs[:, j] = np.minimum.reduceat(_mix(hashes ^ seeds[j]),
+                                             offs[:-1])
     arr = pa.FixedSizeListArray.from_arrays(
         pa.array(sigs.reshape(-1), type=pa.uint64()), num_perm)
     return set_column(batch, "minhash", arr)
@@ -64,10 +99,22 @@ def minhash_signature_batch(batch: pa.Table, text_col: str = "text",
 def lsh_band_batch(batch: pa.Table, id_col: str = "doc_id",
                    num_bands: int = 16) -> pa.Table:
     """Expand each row into ``num_bands`` (band, band_hash, id) rows."""
+    # num_perm from the schema, not len(sig)//n — robust to empty batches
+    # (Ray Data can deliver them mid-pipeline).
+    num_perm = batch.schema.field("minhash").type.list_size
+    if num_perm % num_bands:
+        raise ValueError(
+            f"num_perm={num_perm} not divisible by num_bands={num_bands}: "
+            "trailing permutations would be silently ignored")
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "band": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+        })
     sig = np.asarray(batch.column("minhash").combine_chunks().flatten()
                      .to_numpy(zero_copy_only=False), dtype=np.uint64)
-    n = batch.num_rows
-    num_perm = len(sig) // max(n, 1)
     sig = sig.reshape(n, num_perm)
     r = num_perm // num_bands
     ids = batch.column(id_col).to_numpy()
@@ -100,20 +147,104 @@ def bucket_pairs_group(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 def simhash_batch(batch: pa.Table, text_col: str = "text",
                   k: int = 5) -> pa.Table:
-    """Append ``simhash`` (int64 — the 64-bit signature reinterpreted)."""
+    """Append ``simhash`` (int64 — the 64-bit signature reinterpreted).
+
+    Vectorized: one batch shingle pass, per-row distinct via lexsort+diff
+    (simhash votes count each distinct shingle once; mix is bijective so
+    unique-before-mix == unique-after-mix), then 64 ``bincount`` bit votes
+    — bit b is set when strictly more than half the distinct shingles have
+    bit b set, matching the scalar ``vote > 0`` rule.
+    """
     texts = ["" if t is None else t for t in batch.column(text_col).to_pylist()]
-    out = np.empty(len(texts), dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _mix(_shingle_hashes(t, k))
-        if len(sh) == 0:
-            out[i] = 0
-            continue
-        bits = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        vote = bits.sum(axis=0) * 2 - len(sh)
-        out[i] = np.sum((vote > 0).astype(np.uint64) << bit_idx)
-    return set_column(batch, 
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n:
+        hashes, offs = _shingle_hashes_batch(texts, k)
+        row_of = np.repeat(np.arange(n, dtype=np.int64),
+                           offs[1:] - offs[:-1])
+        order = np.lexsort((hashes, row_of))
+        hs, rs = hashes[order], row_of[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        hs, rs = _mix(hs[keep]), rs[keep]
+        cnt = np.bincount(rs, minlength=n)
+        for b in range(64):
+            ones = np.bincount(
+                rs, weights=((hs >> np.uint64(b)) & np.uint64(1)
+                             ).astype(np.float64), minlength=n)
+            out |= (2 * ones > cnt).astype(np.uint64) << np.uint64(b)
+    return set_column(batch,
         "simhash", pa.array(out.view(np.int64), type=pa.int64()))
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """Signature column → (n, num_perm) uint64 matrix.  Accepts the native
+    fixed_size_list<uint64> layout or its large_binary join encoding."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        num_perm = arr.type.list_size
+        flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.uint64)
+        return flat.reshape(-1, num_perm)
+    n = len(arr)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    nbytes = int(off[1] - off[0]) if n else 0
+    idx = (off[:-1, None] + np.arange(nbytes, dtype=np.int64)).ravel()
+    return data[idx].reshape(n, nbytes).view(np.uint64)
+
+
+def sig_to_binary_batch(batch: pa.Table, col: str = "minhash") -> pa.Table:
+    """Re-encode the minhash column as large_binary — Acero hash joins do
+    not support fixed_size_list payload columns."""
+    m = _sig_matrix(batch.column(col))
+    n, num_perm = m.shape
+    off = np.arange(n + 1, dtype=np.int64) * (num_perm * 8)
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+    return set_column(batch, col, arr)
+
+
+def estimate_jaccard_batch(batch: pa.Table, col_a: str = "sig_a",
+                           col_b: str = "sig_b") -> pa.Table:
+    """Append ``jaccard_est``: the fraction of equal minhash components —
+    an unbiased estimator of the true shingle-set Jaccard similarity."""
+    out = np.zeros(batch.num_rows, dtype=np.float64)
+    if batch.num_rows:
+        a = _sig_matrix(batch.column(col_a))
+        b = _sig_matrix(batch.column(col_b))
+        out = (a == b).mean(axis=1)
+    return set_column(batch, "jaccard_est", pa.array(out, type=pa.float64()))
+
+
+def verify_minhash_candidates(pairs, signatures, threshold: float = 0.5,
+                              id_col: str = "doc_id",
+                              num_partitions: int = 16):
+    """Verification stage after LSH bucketing: keep only candidate pairs
+    whose *estimated* Jaccard (fraction of equal minhash components) is
+    ≥ ``threshold``.
+
+    Expressed as two Ray Data hash joins against the signature table — the
+    exchange moves candidate pairs plus ``8 * num_perm`` bytes per document,
+    never the text, so the stage stays shuffle-bounded at corpus scale.
+
+    ``pairs``: Dataset[(id_col, dup_of)]; ``signatures``:
+    Dataset[(id_col, minhash)].  Returns Dataset[(id_col, dup_of,
+    jaccard_est)] filtered to verified pairs.
+    """
+    sig_bin = signatures.map_batches(sig_to_binary_batch,
+                                     batch_format="pyarrow")
+    j1 = pairs.join(sig_bin, "inner", num_partitions, on=(id_col,))
+    j1 = j1.rename_columns({"minhash": "sig_a"})
+    j2 = j1.join(sig_bin, "inner", num_partitions,
+                 on=("dup_of",), right_on=(id_col,), right_suffix="_r")
+    j2 = j2.rename_columns({"minhash": "sig_b"})
+    est = j2.map_batches(estimate_jaccard_batch, batch_format="pyarrow")
+    est = est.filter(expr=f"jaccard_est >= {threshold!r}")
+    return est.select_columns([id_col, "dup_of", "jaccard_est"])
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
@@ -128,10 +259,22 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 def exact_dedup_local_min(batch: pa.Table, text_col: str = "text",
                           id_col: str = "doc_id") -> pa.Table:
-    """Per-batch combiner: min id per distinct text (pre-aggregation before
-    the global groupby — shrinks the shuffle to distinct keys)."""
-    import pandas as pd
-    df = pd.DataFrame({text_col: batch.column(text_col).to_pandas(),
-                       id_col: batch.column(id_col).to_pandas()})
-    g = df.groupby(text_col, sort=False, as_index=False)[id_col].min()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    """Per-batch combiner for exact dedup: min id per distinct *fingerprint*.
+
+    The text is hashed to a 64-bit fingerprint inside the combiner
+    (vectorized, :func:`..functions.textstats.fingerprint64_array`) so the
+    global ``groupby("fp64").min(id)`` exchange moves 16 bytes per distinct
+    document instead of the document body — at 100 TB the shuffle payload
+    is ids + hashes, not the corpus.  A 64-bit hash over ~10^10 documents
+    has ~3·10^-4 expected colliding *pairs per 10^10 docs* (birthday bound
+    n²/2^65); collisions only ever merge two distinct documents into one
+    keep-group, never drop all copies.
+    """
+    from ..functions.textstats import fingerprint64_array
+
+    fp = fingerprint64_array(batch.column(text_col)).view(np.int64)
+    t = pa.table({"fp64": pa.array(fp, type=pa.int64()),
+                  id_col: batch.column(id_col)})
+    return (t.group_by("fp64", use_threads=False)
+             .aggregate([(id_col, "min")])
+             .rename_columns(["fp64", id_col]))

@@ -151,3 +151,111 @@ def test_multimodal_stub_stages(ray_session):
     assert a.equals(b)
     with pytest.raises(NotImplementedError):
         ImageDecoder(real=True)
+
+
+# ---- round 2: vectorized kernel equivalence vs scalar references ----------
+
+FUZZ_TEXTS = ["", "a", "ab", "abcd", "hello world", "HELLO WORLD",
+              "İstanbul'da yaşıyorum", "日本語のテキストです",
+              "the quick brown fox jumps over the lazy dog " * 20,
+              "aaaaa", "  \t\n ", "ñandú ñandú ñandú", "x" * 4,
+              "emoji 🎉🎉 mixed 中文 text"]
+
+
+def test_shingle_hashes_batch_matches_scalar():
+    from lingua_ray.stages.dedup import _shingle_hashes, _shingle_hashes_batch
+    hashes, offs = _shingle_hashes_batch(FUZZ_TEXTS, 5)
+    for i, t in enumerate(FUZZ_TEXTS):
+        got = np.unique(hashes[offs[i]:offs[i + 1]])
+        assert (got == _shingle_hashes(t, 5)).all(), t
+
+
+def test_minhash_batch_matches_scalar():
+    from lingua_ray.stages.dedup import (_SIG_SEEDS, _mix, _shingle_hashes,
+                                         minhash_signature_batch)
+    t = minhash_signature_batch(_docs(FUZZ_TEXTS), num_perm=32)
+    sigs = np.array(t.column("minhash").to_pylist(), dtype=np.uint64)
+    seeds = _SIG_SEEDS[:32]
+    for i, txt in enumerate(FUZZ_TEXTS):
+        sh = _shingle_hashes(txt, 5)
+        want = _mix(sh[:, None] ^ seeds[None, :]).min(axis=0)
+        assert (sigs[i] == want).all(), txt
+
+
+def test_simhash_batch_matches_scalar():
+    from lingua_ray.stages.dedup import _mix, _shingle_hashes, simhash_batch
+    t = simhash_batch(_docs(FUZZ_TEXTS))
+    got = np.array(t.column("simhash").to_pylist(),
+                   dtype=np.int64).view(np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, txt in enumerate(FUZZ_TEXTS):
+        sh = _mix(_shingle_hashes(txt, 5))
+        bits = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+            np.int64)
+        vote = bits.sum(axis=0) * 2 - len(sh)
+        want = np.sum((vote > 0).astype(np.uint64) << bit_idx)
+        assert got[i] == want, txt
+
+
+def test_lsh_band_batch_empty_and_bad_bands():
+    from lingua_ray.stages.dedup import lsh_band_batch, minhash_signature_batch
+    empty = minhash_signature_batch(_docs([])).slice(0, 0)
+    out = lsh_band_batch(empty)
+    assert out.num_rows == 0
+    assert out.column_names == ["band", "band_hash", "doc_id"]
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_band_batch(minhash_signature_batch(_docs(["x"])), num_bands=7)
+
+
+def test_fingerprint64_batch_matches_scalar():
+    from lingua_ray.functions.textstats import (_fingerprint64,
+                                                fingerprint64_array)
+    col = pa.array(FUZZ_TEXTS + [None], type=pa.string())
+    got = fingerprint64_array(col)
+    want = np.array([_fingerprint64(t) for t in FUZZ_TEXTS + [""]],
+                    dtype=np.uint64)
+    assert (got == want).all()
+    # distinctness on the fuzz set (sans case/whitespace dupes)
+    assert len(np.unique(got)) == len(set(FUZZ_TEXTS + [""]))
+
+
+def test_exact_dedup_local_min_fp64():
+    from lingua_ray.stages.dedup import exact_dedup_local_min
+    t = pa.table({"doc_id": pa.array([3, 1, 2, 9], type=pa.int64()),
+                  "text": ["same", "same", "other", "same"]})
+    out = exact_dedup_local_min(t)
+    assert out.column_names == ["fp64", "doc_id"]
+    kept = dict(zip(out.column("fp64").to_pylist(),
+                    out.column("doc_id").to_pylist()))
+    assert sorted(kept.values()) == [1, 2]
+
+
+def test_estimate_jaccard_batch():
+    from lingua_ray.stages.dedup import estimate_jaccard_batch
+    sig_t = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(8, dtype=np.uint64)), 4)
+    half = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.array([0, 1, 99, 98, 4, 5, 6, 7], dtype=np.uint64)), 4)
+    t = pa.table({"sig_a": sig_t, "sig_b": half})
+    est = estimate_jaccard_batch(t).column("jaccard_est").to_pylist()
+    assert est == [0.5, 1.0]
+    assert estimate_jaccard_batch(t.slice(0, 0)).num_rows == 0
+
+
+def test_verify_minhash_candidates_e2e(ray_session):
+    import ray.data
+    from lingua_ray.stages.dedup import (minhash_signature_batch,
+                                         verify_minhash_candidates)
+    texts = [BASE, BASE.replace("tonight", "today"),
+             "completely different content about gardening and soil"]
+    sig_tab = minhash_signature_batch(_docs(texts)).select(
+        ["doc_id", "minhash"])
+    sig = ray.data.from_arrow(sig_tab)
+    pairs = ray.data.from_items([
+        {"doc_id": 1, "dup_of": 0},   # true near-dup
+        {"doc_id": 2, "dup_of": 0},   # false candidate
+    ])
+    out = verify_minhash_candidates(pairs, sig, threshold=0.5,
+                                    num_partitions=2).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["jaccard_est"] >= 0.5
