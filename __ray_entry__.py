@@ -165,17 +165,77 @@ def _q_knn_bruteforce(sf_dir: str):
     return top.select(["vec_id"])
 
 
+def _planted_neardups(sf_dir: str, n_plant: int = 20,
+                      cos_target: float = 0.97) -> pa.Table:
+    """Deterministic near-duplicate vectors derived from the input: for the
+    first ``n_plant`` embeddings, emit a copy rotated to EXACTLY
+    ``cos_target`` cosine against the original, with vec_id = max_id+1+i.
+    The synthetic embeddings table has no natural pairs above ~0.60 cosine,
+    so without planting the near-dup operator is never exercised
+    (round-1 verdict: the query returned 0 rows at every sf)."""
+    pf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = np.asarray(pf.column("vec_id").to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)[:n_plant]
+    base_ids = ids[order]
+    emb = np.stack([np.asarray(pf.column("embedding")[int(i)].as_py(),
+                               dtype=np.float64) for i in order])
+    v = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    rng = np.random.RandomState(777)
+    g = rng.standard_normal(v.shape)
+    u = g - (g * v).sum(axis=1, keepdims=True) * v     # orthogonal component
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    theta = np.arccos(cos_target)
+    w = np.cos(theta) * v + np.sin(theta) * u
+    new_ids = int(ids.max()) + 1 + np.arange(n_plant, dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(new_ids),
+        "embedding": pa.array(list(w), type=pf.schema.field("embedding").type),
+        "planted_from": pa.array(base_ids.astype(np.int64)),
+    })
+
+
 def _q_embedding_neardup(sf_dir: str):
-    """Embedding near-duplicates via hyperplane LSH buckets.  [rows-only]"""
-    from lingua_ray.stages.ann import add_lsh_bucket, neardup_pairs_group
-    ds = _read(sf_dir, "embeddings")
-    dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-              .read_row_group(0).column("embedding")[0])
-    ds = ds.map_batches(add_lsh_bucket, batch_format="pyarrow",
-                        fn_kwargs={"dim": dim, "n_planes": 8})
-    pairs = ds.groupby("bucket").map_groups(
-        neardup_pairs_group, batch_format="pyarrow")
-    return pairs.select_columns(["vec_id", "dup_of"])
+    """Embedding near-duplicates via size-scaled banded hyperplane LSH with
+    bounded in-bucket pairing (all-pairs ≤ 256 members, pivot-linking
+    above).  The input is augmented with deterministic planted near-dups
+    (cos = 0.97 rotations of the first 20 vectors) so the detector has
+    true positives to find.  [rows-only]"""
+    import ray.data
+    from lingua_ray.stages.ann import embedding_neardup
+    meta = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = meta.metadata.num_rows
+    dim = len(meta.read_row_group(0).column("embedding")[0])
+    planted = _planted_neardups(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.union(ray.data.from_arrow(
+        planted.select(["vec_id", "embedding"])))
+    out = embedding_neardup(ds, dim=dim, n=n + planted.num_rows,
+                            threshold=0.95)
+    return out.select_columns(["vec_id", "dup_of"])
+
+
+def _q_knn_lsh(sf_dir: str):
+    """LSH-pruned approximate top-10 around the vec_id=0 embedding —
+    multi-probe: scans buckets within Hamming radius 2 of the query's
+    6-bit sign bucket (~34% of the data) before exact scoring.
+    [rows-only; pytest gates multi-probe semantics + recall]"""
+    from lingua_ray.stages.ann import knn_lsh
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, q, dim=len(q), k=10, n_planes=6,
+                   hamming_radius=2).select(["vec_id"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 around the vec_id=0 embedding — coarse
+    quantizer trained on a bounded sample, vectors assigned to centroid
+    lists in map_batches, only the 6 / 16 lists nearest the query scanned.
+    [rows-only; pytest gates recall on clustered fixtures]"""
+    from lingua_ray.stages.ann import ivf_knn
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_knn(ds, q, k=10, n_list=16, n_probe=6).select(["vec_id"])
 
 
 def _q_langid_documents_lowacc(sf_dir: str):
@@ -275,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "accuracy_report": _q_accuracy_report,
         "langid_documents_lowacc": _q_langid_documents_lowacc,

@@ -4,11 +4,15 @@
   against a broadcast query matrix (closure-captured / ``ray.put`` once —
   never re-shipped per batch), local top-k inside ``map_batches``, tiny
   global reduce at the driver.  Scales as a single streaming pass.
-* **Random-hyperplane LSH buckets** — the scale path: 16-bit sign-bucket per
-  vector (fixed seeded hyperplanes), prune to the query's bucket
-  neighborhood before exact scoring.
-* **Embedding near-duplicate detection** — bucket → within-bucket pairwise
-  cosine ≥ τ pairs via ``groupby(bucket).map_groups``.
+* **Multi-probe sign-LSH kNN** — prune to the query's bucket neighborhood
+  (Hamming radius r of an n-plane sign bucket) before exact scoring.
+* **IVF kNN** — the general scale path: spherical-k-means coarse quantizer
+  trained on a bounded sample, per-vector list assignment in
+  ``map_batches``, scan only the n_probe lists nearest the query.
+* **Embedding near-duplicate detection** — banded hyperplane LSH with
+  size-scaled bits per band (``choose_lsh_params``), bounded in-bucket
+  pairing (all-pairs below a cap, pivot-linking above), cross-band pair
+  dedup via ``groupby(pair).max(cos)``.
 """
 
 from __future__ import annotations
@@ -108,12 +112,23 @@ def add_lsh_bucket(batch: pa.Table, dim: int, n_planes: int = 16,
 
 
 def knn_lsh(ds, query: np.ndarray, dim: int, k: int = 10,
-            n_planes: int = 8, id_col: str = "vec_id") -> pa.Table:
-    """LSH-pruned top-k: score only vectors whose bucket is within Hamming
-    distance 1 of the query's bucket."""
+            n_planes: int = 8, id_col: str = "vec_id",
+            hamming_radius: int = 1) -> pa.Table:
+    """LSH-pruned top-k: score only vectors whose sign-bucket is within
+    ``hamming_radius`` of the query's bucket (multi-probe).  Scanned
+    fraction ≈ Σ_{i≤r} C(n_planes, i) / 2^n_planes; raise the radius (or
+    lower n_planes) to trade scan cost for recall — sign LSH recall decays
+    fast for neighbors that are only moderately similar."""
+    from itertools import combinations
     planes = hyperplanes(dim, n_planes)
     qb = int(bucket_ids(np.atleast_2d(query), planes)[0])
-    near = {qb} | {qb ^ (1 << i) for i in range(n_planes)}
+    near = {qb}
+    for r in range(1, hamming_radius + 1):
+        for flips in combinations(range(n_planes), r):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            near.add(qb ^ m)
     near_arr = np.array(sorted(near), dtype=np.int32)
 
     def prune(batch: pa.Table) -> pa.Table:
@@ -125,16 +140,188 @@ def knn_lsh(ds, query: np.ndarray, dim: int, k: int = 10,
     return knn_bruteforce(pruned, query, k, id_col)
 
 
+def choose_lsh_params(n: int, threshold: float = 0.95,
+                      target_bucket: int = 256, recall: float = 0.9,
+                      max_bands: int = 32) -> tuple[int, int]:
+    """Pick (bits_per_band, n_bands) for banded hyperplane LSH.
+
+    ``bits_per_band`` scales with log2(n / target_bucket) so the EXPECTED
+    random-bucket size stays ~target_bucket as the dataset grows — the
+    fixed-256-global-buckets failure mode (every bucket holds n/256 rows,
+    O(n²) pairing explodes) cannot happen.  ``n_bands`` is then the
+    smallest count whose union probability reaches ``recall`` for pairs at
+    cosine = threshold: P[collide in one band] = (1 - θ/π)^bits.
+    """
+    bits = max(4, int(np.ceil(np.log2(max(n, 2) / target_bucket))))
+    p_bit = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+    p_band = p_bit ** bits
+    if p_band >= 1.0:
+        return bits, 1
+    n_bands = int(np.ceil(np.log1p(-recall) / np.log1p(-p_band)))
+    return bits, int(np.clip(n_bands, 1, max_bands))
+
+
+def lsh_bands_batch(batch: pa.Table, dim: int, bits_per_band: int,
+                    n_bands: int, id_col: str = "vec_id",
+                    col: str = "embedding") -> pa.Table:
+    """Expand each vector into ``n_bands`` (band, bucket, id, embedding)
+    rows.  All ``n_bands * bits_per_band`` hyperplane signs come from ONE
+    matmul; each band hashes its own disjoint bit slice.  The embedding is
+    carried so the in-bucket verifier can score cosine without a join —
+    the exchange payload is n_bands x the vector (floats), never O(n²).
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "band": pa.array([], type=pa.int32()),
+            "bucket": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=batch.schema.field(id_col).type),
+            col: pa.array([], type=batch.schema.field(col).type),
+        })
+    m = _embedding_matrix(batch, col)
+    planes = hyperplanes(dim, bits_per_band * n_bands)
+    bits = (m @ planes.T) > 0                      # (n, bands*bits)
+    w = (1 << np.arange(bits_per_band, dtype=np.int64))
+    out_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+    buckets = np.empty((n_bands, n), dtype=np.int64)
+    for b in range(n_bands):
+        chunk = bits[:, b * bits_per_band:(b + 1) * bits_per_band]
+        buckets[b] = chunk.astype(np.int64) @ w
+    idx = np.tile(np.arange(n, dtype=np.int64), n_bands)
+    ids = batch.column(id_col).take(pa.array(idx))
+    emb = batch.column(col).take(pa.array(idx))
+    return pa.table({"band": pa.array(out_band),
+                     "bucket": pa.array(buckets.reshape(-1)),
+                     id_col: ids, col: emb})
+
+
 def neardup_pairs_group(batch: pa.Table, threshold: float = 0.95,
-                        id_col: str = "vec_id",
-                        col: str = "embedding") -> pa.Table:
-    """Within one LSH bucket: all pairs with cosine >= threshold."""
+                        id_col: str = "vec_id", col: str = "embedding",
+                        all_pairs_cap: int = 256) -> pa.Table:
+    """Within one LSH bucket: near-duplicate pairs with cosine >= threshold.
+
+    Work per bucket is explicitly bounded: buckets up to ``all_pairs_cap``
+    members get the exact all-pairs check (≤ cap² sims); larger buckets
+    fall back to pivot linking — every member scored against the bucket's
+    min-id member only, O(|bucket| · dim).  Pivot linking under-reports
+    pairs inside oversized buckets but keeps the stage linear, and banding
+    gives each pair n_bands chances to land in a small bucket.
+    """
+    n = batch.num_rows
+    ids = batch.column(id_col).to_numpy() if n else np.zeros(0, np.int64)
+    if n < 2:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "dup_of": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     m = _normalize(_embedding_matrix(batch, col))
-    ids = batch.column(id_col).to_numpy()
-    sims = m @ m.T
-    iu = np.triu_indices(len(ids), k=1)
-    hit = sims[iu] >= threshold
-    a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    if n <= all_pairs_cap:
+        sims = m @ m.T
+        iu = np.triu_indices(n, k=1)
+        hit = sims[iu] >= threshold
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        cos = sims[iu][hit]
+    else:
+        sims = m[1:] @ m[0]
+        hit = sims >= threshold
+        a, b = np.full(int(hit.sum()), ids[0]), ids[1:][hit]
+        cos = sims[hit]
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    return pa.table({id_col: pa.array(hi), "dup_of": pa.array(lo),
-                     "cos": pa.array(sims[iu][hit], type=pa.float64())})
+    return pa.table({id_col: pa.array(hi, type=pa.int64()),
+                     "dup_of": pa.array(lo, type=pa.int64()),
+                     "cos": pa.array(cos, type=pa.float64())})
+
+
+def embedding_neardup(ds, dim: int, n: int, threshold: float = 0.95,
+                      id_col: str = "vec_id", col: str = "embedding",
+                      target_bucket: int = 256, recall: float = 0.9):
+    """Banded-LSH embedding near-duplicate detection, end to end:
+    size-scaled band parameters → band expansion → per-(band, bucket)
+    bounded pairing → cross-band pair dedup (groupby max cos)."""
+    bits, n_bands = choose_lsh_params(n, threshold, target_bucket, recall)
+    bands = ds.map_batches(
+        lsh_bands_batch, batch_format="pyarrow",
+        fn_kwargs={"dim": dim, "bits_per_band": bits, "n_bands": n_bands,
+                   "id_col": id_col, "col": col})
+    pairs = bands.groupby(["band", "bucket"]).map_groups(
+        neardup_pairs_group, batch_format="pyarrow",
+        fn_kwargs={"threshold": threshold, "id_col": id_col, "col": col})
+    out = pairs.groupby([id_col, "dup_of"]).max("cos")
+    return out.rename_columns({"max(cos)": "cos"})
+
+
+# ------------------------------------------------------------------ IVF path
+
+def spherical_kmeans(sample: np.ndarray, n_list: int, iters: int = 10,
+                     seed: int = 4242) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side sample.
+
+    Returns L2-normalized centroids (n_list, dim).  The sample is small
+    (training an IVF coarse quantizer needs ~10-100 vectors per centroid,
+    independent of corpus size); the big table is never pulled to the
+    driver."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    n_list = min(n_list, len(x))
+    c = x[rng.choice(len(x), size=n_list, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_list):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.sum(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class IvfAssigner:
+    """Actor-pool stage: append ``list_id`` = nearest centroid (one matmul
+    per batch).  Centroids load once per actor in ``__init__`` — at scale
+    pass them via ``ray.put`` and feed the ObjectRef through
+    ``fn_constructor_kwargs`` so each node fetches them once."""
+
+    def __init__(self, centroids, col: str = "embedding"):
+        import ray
+        if isinstance(centroids, ray.ObjectRef):
+            centroids = ray.get(centroids)
+        self.c = np.asarray(centroids, dtype=np.float64)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list_id",
+                                       pa.array([], type=pa.int32()))
+        m = _normalize(_embedding_matrix(batch, self.col))
+        assign = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(assign))
+
+
+def ivf_knn(ds, query: np.ndarray, k: int = 10, n_list: int = 16,
+            n_probe: int = 4, id_col: str = "vec_id",
+            col: str = "embedding", train_sample: int = 4096) -> pa.Table:
+    """IVF approximate top-k: train a coarse quantizer on a bounded sample,
+    assign each vector to its nearest centroid inside ``map_batches``, scan
+    only the ``n_probe`` lists nearest the query, exact-score the rest.
+
+    Scanned fraction ≈ n_probe / n_list regardless of corpus size.  In a
+    persisted deployment the ``list_id`` assignment is written once as a
+    partition column (write_parquet(partition_cols=["list_id"])) and the
+    probe filter becomes a partition-pruned read."""
+    sample_tab = ds.limit(train_sample).take_batch(
+        train_sample, batch_format="pyarrow")
+    sample = _embedding_matrix(sample_tab, col)
+    c = spherical_kmeans(sample, n_list)
+    qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]
+    probe = np.argsort(-(c @ qn))[:n_probe].astype(np.int32)
+    probe_set = np.sort(probe)
+
+    assigner = IvfAssigner(c, col)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        b = assigner(batch)
+        mask = np.isin(b.column("list_id").to_numpy(), probe_set)
+        return b.filter(pa.array(mask))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return knn_bruteforce(pruned, query, k, id_col)

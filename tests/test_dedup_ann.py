@@ -259,3 +259,100 @@ def test_verify_minhash_candidates_e2e(ray_session):
                                     num_partitions=2).take_all()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["jaccard_est"] >= 0.5
+
+
+# ---- round 2: banded near-dup LSH, multi-probe kNN, IVF --------------------
+
+def _vec_table(vs, ids=None):
+    vs = np.asarray(vs, dtype=np.float64)
+    ids = np.arange(len(vs)) if ids is None else np.asarray(ids)
+    return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                     "embedding": pa.array(list(vs),
+                                           type=pa.list_(pa.float64()))})
+
+
+def test_choose_lsh_params_scales_with_n():
+    from lingua_ray.stages.ann import choose_lsh_params
+    bits_small, _ = choose_lsh_params(1_000)
+    bits_big, bands_big = choose_lsh_params(10_000_000_000)
+    assert bits_big > bits_small
+    # expected random-bucket size stays bounded as n grows
+    assert 10_000_000_000 / 2 ** bits_big <= 512
+    assert 1 <= bands_big <= 32
+
+
+def test_neardup_pairs_group_pivot_fallback_bounded():
+    from lingua_ray.stages.ann import neardup_pairs_group
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(16)
+    vs = np.stack([base + rng.standard_normal(16) * 0.01 for _ in range(40)])
+    t = _vec_table(vs)
+    full = neardup_pairs_group(t, threshold=0.9)          # all-pairs path
+    capped = neardup_pairs_group(t, threshold=0.9, all_pairs_cap=8)  # pivot
+    assert full.num_rows == 40 * 39 // 2                  # everything close
+    assert capped.num_rows == 39                          # one row per member
+    assert set(capped.column("dup_of").to_pylist()) == {0}
+
+
+def test_embedding_neardup_detects_planted(ray_session):
+    import ray.data
+    from lingua_ray.stages.ann import embedding_neardup
+    rng = np.random.RandomState(7)
+    vs = rng.standard_normal((300, 32))
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+    # plant 10 exact-cosine-0.97 rotations of vectors 0..9
+    g = rng.standard_normal((10, 32))
+    v = vs[:10]
+    u = g - (g * v).sum(axis=1, keepdims=True) * v
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    th = np.arccos(0.97)
+    planted = np.cos(th) * v + np.sin(th) * u
+    allv = np.concatenate([vs, planted])
+    ds = ray.data.from_arrow(_vec_table(allv))
+    out = embedding_neardup(ds, dim=32, n=len(allv), threshold=0.95,
+                            target_bucket=64).take_all()
+    got = {(r["dup_of"], r["vec_id"]) for r in out}
+    want = {(i, 300 + i) for i in range(10)}
+    assert len(got & want) >= 9          # ≥90% recall on planted pairs
+    for r in out:
+        assert r["cos"] >= 0.95
+
+
+def test_knn_lsh_full_radius_equals_bruteforce(ray_session):
+    import ray.data
+    from lingua_ray.stages.ann import knn_bruteforce, knn_lsh
+    rng = np.random.RandomState(3)
+    vs = rng.standard_normal((200, 16))
+    ds = ray.data.from_arrow(_vec_table(vs))
+    q = vs[5]
+    bf = knn_bruteforce(ds, q, 10).column("vec_id").to_pylist()
+    # radius = n_planes probes every bucket -> exact equality
+    ls = knn_lsh(ds, q, dim=16, k=10, n_planes=6,
+                 hamming_radius=6).column("vec_id").to_pylist()
+    assert ls == bf
+
+
+def test_ivf_knn_clustered_recall(ray_session):
+    import ray.data
+    from lingua_ray.stages.ann import ivf_knn, knn_bruteforce
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((4, 24)) * 10
+    vs = np.concatenate([c + rng.standard_normal((100, 24))
+                         for c in centers])
+    ds = ray.data.from_arrow(_vec_table(vs))
+    q = vs[0]
+    bf = set(knn_bruteforce(ds, q, 10).column("vec_id").to_pylist())
+    iv = set(ivf_knn(ds, q, 10, n_list=8, n_probe=2,
+                     train_sample=400).column("vec_id").to_pylist())
+    # well-separated clusters: the probed lists contain the whole
+    # neighborhood, so recall is perfect
+    assert iv == bf
+
+
+def test_spherical_kmeans_deterministic():
+    from lingua_ray.stages.ann import spherical_kmeans
+    x = np.random.RandomState(1).standard_normal((128, 8))
+    c1 = spherical_kmeans(x, 4)
+    c2 = spherical_kmeans(x, 4)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
