@@ -63,7 +63,10 @@ def run_headline(num_cpus: int, sf_dir: str, mode: str = "e2e") -> dict:
     opts = PipelineOptions(langid_concurrency=concurrency,
                            batch_size=2048,
                            num_output_partitions=max(16, num_cpus))
-    ds = ray.data.read_parquet(str(tdir), override_num_blocks=4 * num_cpus)
+    # Explicit column pruning: the pipeline needs exactly these three;
+    # wider metadata columns in a production turns table never leave disk.
+    ds = ray.data.read_parquet(str(tdir), override_num_blocks=4 * num_cpus,
+                               columns=["conv_id", "turn_idx", "text"])
     out_dir = f"/tmp/lingua_ray/bench-out-{os.getpid()}"
     t0 = time.perf_counter()
     out = apply_stages(ds, opts)

@@ -50,6 +50,11 @@ class PipelineOptions:
     num_output_partitions: int = 16
     restore_order: bool = True
     keep_only: bool = False
+    # Column pruning at the read: when set, only these columns leave
+    # storage (pass to read_parquet(columns=...)).  None = all columns
+    # pass through.  Part of the checkpoint options fingerprint — changing
+    # it changes the output schema.
+    input_columns: list[str] | None = None
     # User stage plug-ins (SURVEY.md §2.9): callables Table -> Table appended
     # after the built-in stages, each run as a stateless map_batches.
     extra_stages: list = field(default_factory=list)

@@ -13,7 +13,12 @@ Usage::
 
 Appends columns: ``lang`` (ISO 639-1, "un" for unknown), ``lang_confidence``
 (1 − second-best relative confidence, in [0,1]), ``ppl`` (char-trigram
-perplexity under the detected language, NaN when unknown).
+perplexity under the detected language, NaN when unknown), and — when
+``top_k_confidences`` > 0 — ``confidences``, a
+``list<struct<lang: string, score: float64>>`` of the top-k languages
+sorted by descending confidence with enum-order tie-break, mirroring the
+reference's sorted confidence map (``api/LanguageDetector.kt:194-217``,
+tie-break ``internal/EnumDoubleMap.kt:97-128``).
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ class LangIdScorer:
                  languages: list[str] | None = None,
                  low_accuracy: bool = False,
                  minimum_relative_distance: float = 0.0,
-                 with_ppl: bool = True):
+                 with_ppl: bool = True,
+                 top_k_confidences: int = 0):
         cfg = (DetectorConfig.from_iso1(
                    languages,
                    low_accuracy=low_accuracy,
@@ -45,11 +51,13 @@ class LangIdScorer:
         self.detector = Detector(get_models(), cfg)
         self.text_col = text_col
         self.with_ppl = with_ppl
+        self.top_k = top_k_confidences
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         texts = ["" if t is None else t for t in texts]
-        res = self.detector.detect(texts, with_ppl=self.with_ppl)
+        res = self.detector.detect(texts, with_ppl=self.with_ppl,
+                                   with_matrix=self.top_k > 0)
         lang_codes = _ISO_LOOKUP[res["lang"]]
         confidence = 1.0 - res["conf2"]
         batch = set_column(batch,
@@ -59,4 +67,25 @@ class LangIdScorer:
         if self.with_ppl:
             batch = set_column(batch, "ppl",
                                pa.array(res["ppl"], type=pa.float64()))
+        if self.top_k:
+            batch = set_column(batch, "confidences",
+                               _topk_confidences(res["conf_matrix"],
+                                                 self.top_k))
         return batch
+
+
+def _topk_confidences(conf_matrix: np.ndarray, k: int) -> pa.ListArray:
+    """conf_matrix (n, L) → list<struct<lang, score>> of the ≤k nonzero
+    confidences per row, descending score; ties broken by language enum
+    order (stable argsort on the negated matrix)."""
+    idx = np.argsort(-conf_matrix, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(conf_matrix, idx, axis=1)
+    valid = vals > 0.0                       # row-major flatten below
+    counts = valid.sum(axis=1)
+    offsets = np.zeros(len(conf_matrix) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    child = pa.StructArray.from_arrays(
+        [pa.array(_ISO_LOOKUP[idx[valid]], type=pa.string()),
+         pa.array(vals[valid], type=pa.float64())],
+        ["lang", "score"])
+    return pa.ListArray.from_arrays(pa.array(offsets), child)

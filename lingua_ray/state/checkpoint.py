@@ -43,7 +43,7 @@ def _options_fingerprint(opts: PipelineOptions) -> str:
     payload = json.dumps({
         "languages": opts.languages, "low_accuracy": opts.low_accuracy,
         "ppl_threshold": opts.ppl_threshold, "keep_only": opts.keep_only,
-        "text_col": opts.text_col,
+        "text_col": opts.text_col, "input_columns": opts.input_columns,
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
@@ -69,15 +69,30 @@ class CheckpointedRun:
         return self.manifest_dir / f"shard-{shard_id:05d}.json"
 
     def completed_shards(self) -> set[int]:
+        """Shards with a valid manifest for the CURRENT input listing and
+        options.  A manifest only counts if its recorded input_file (and
+        row count) still matches the shard at that position — adding,
+        removing or renaming a part file shifts shard ids, and stale
+        positional manifests must not silently skip the wrong inputs."""
         done = set()
         fp = _options_fingerprint(self.opts)
+        shards = self.shards()
         for p in sorted(self.manifest_dir.glob("shard-*.json")):
             try:
                 m = json.loads(p.read_text())
             except json.JSONDecodeError:
                 continue
-            if m.get("options_fingerprint") == fp:
-                done.add(m["shard_id"])
+            if m.get("options_fingerprint") != fp:
+                continue
+            sid = m["shard_id"]
+            if sid >= len(shards):
+                continue
+            if m.get("input_file") != str(shards[sid]):
+                continue
+            if (m.get("input_rows")
+                    != pq.ParquetFile(shards[sid]).metadata.num_rows):
+                continue
+            done.add(sid)
         return done
 
     def pending_shards(self) -> list[int]:
@@ -109,6 +124,7 @@ class CheckpointedRun:
                               ignore_errors=True)
 
             ds = ray.data.read_parquet([str(shards[i]) for i in wave],
+                                       columns=self.opts.input_columns,
                                        include_paths=True)
 
             def tag(batch: pa.Table, _map=path_to_shard) -> pa.Table:
@@ -137,12 +153,18 @@ class CheckpointedRun:
                       fingerprint: str) -> None:
         part_dir = self.data_dir / f"shard_id={shard_id}"
         files = sorted(part_dir.glob("*.parquet"))
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        # Column-pruned metrics scan (lang histogram + keep counts).
-        stats = pads.dataset([str(f) for f in files]).to_table(
-            columns=["lang", "keep"])
-        langs = Counter(stats.column("lang").to_pylist())
-        kept = sum(1 for k in stats.column("keep").to_pylist() if k)
+        if files:
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            # Column-pruned metrics scan (lang histogram + keep counts).
+            stats = pads.dataset([str(f) for f in files]).to_table(
+                columns=["lang", "keep"])
+            langs = Counter(stats.column("lang").to_pylist())
+            kept = sum(1 for k in stats.column("keep").to_pylist() if k)
+        else:
+            # A shard can legitimately produce zero output rows (e.g.
+            # keep_only=True filters everything) — no partition dir is
+            # written then; commit an empty manifest instead of crashing.
+            rows, langs, kept = 0, Counter(), 0
         manifest = {
             "shard_id": shard_id,
             "input_file": str(input_path),

@@ -120,3 +120,41 @@ def test_options_change_invalidates_manifests(ray_session, turns_dir, tmp_path):
                                               restore_order=False,
                                               ppl_threshold=123.0))
     assert changed.pending_shards() == [0, 1, 2, 3, 4, 5]
+
+
+def test_zero_output_shard_commits_empty_manifest(ray_session, turns_dir,
+                                                  tmp_path):
+    """keep_only together with an impossible ppl threshold filters every
+    row: the shard writes no partition dir, and the commit must record an
+    empty manifest instead of crashing (round-1 ADVICE)."""
+    opts = PipelineOptions(langid_concurrency=2, restore_order=False,
+                           keep_only=True, ppl_threshold=0.0)
+    run = CheckpointedRun(turns_dir, tmp_path / "out_empty", opts)
+    summary = run.run(wave_size=2, max_waves=1)
+    assert summary["processed_shards"] == [0, 1]
+    for sid in (0, 1):
+        m = json.loads(run._manifest_path(sid).read_text())
+        assert m["output_rows"] == 0
+        assert m["kept_rows"] == 0
+        assert m["lang_histogram"] == {}
+    # resume skips the committed-empty shards
+    assert run.pending_shards() == [2, 3, 4, 5]
+
+
+def test_resume_invalidated_by_input_listing_change(ray_session, turns_dir,
+                                                    tmp_path):
+    """Renaming/removing a part file shifts positional shard ids; stale
+    manifests must NOT mark the new shard at that position as done."""
+    import shutil
+    work = tmp_path / "turns_copy"
+    shutil.copytree(turns_dir, work)
+    out = tmp_path / "out_shift"
+    run = CheckpointedRun(work, out, _opts())
+    run.run(wave_size=6)
+    assert run.pending_shards() == []
+    # remove the first shard: every shard id shifts down by one
+    parts = sorted(work.glob("part-*.parquet"))
+    parts[0].unlink()
+    shifted = CheckpointedRun(work, out, _opts())
+    # all previously-valid manifests now point at the wrong input file
+    assert shifted.pending_shards() == list(range(5))

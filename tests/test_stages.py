@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from lingua_ray.stages.keep import keep_batch
 from lingua_ray.stages.quality import quality_batch
@@ -79,3 +80,38 @@ def test_quality_null_text():
     out = quality_batch(pa.table({"text": pa.array([None, "ok text here"],
                                                    type=pa.large_string())}))
     assert out.column("n_chars").to_pylist() == [0, 12]
+
+
+def test_langid_confidences_column():
+    """`confidences` list column: ≤k entries, descending score, enum-order
+    tie-break — row-for-row equal to the kernel's confidence_values()
+    (reference semantics: api/LanguageDetector.kt:194-217 sorted map,
+    EnumDoubleMap.kt:97-128 tie-break)."""
+    from lingua_ray import constants as C
+    from lingua_ray.stages.langid import LangIdScorer
+
+    texts = ["languages are awesome", "Ich wohne in Berlin",
+             "上海大学是一个好大学", "", "???", "bonjour tout le monde",
+             "À×"]
+    scorer = LangIdScorer(with_ppl=False, top_k_confidences=5)
+    out = scorer(pa.table({"text": pa.array(texts, type=pa.string())}))
+    confs = out.column("confidences").to_pylist()
+    iso = list(C.ISO1_CODES)
+    for text, row in zip(texts, confs):
+        want = scorer.detector.confidence_values(text)[:5]
+        got = [(iso.index(e["lang"]), e["score"]) for e in row]
+        assert got == [(i, pytest.approx(s)) for i, s in want], text
+        scores = [e["score"] for e in row]
+        assert scores == sorted(scores, reverse=True)
+        # tie-break: equal scores appear in language enum order
+        for a, b in zip(got, got[1:]):
+            if a[1] == b[1]:
+                assert a[0] < b[0]
+
+
+def test_langid_confidences_empty_batch():
+    from lingua_ray.stages.langid import LangIdScorer
+    scorer = LangIdScorer(with_ppl=False, top_k_confidences=3)
+    out = scorer(pa.table({"text": pa.array([], type=pa.string())}))
+    assert out.num_rows == 0
+    assert "confidences" in out.column_names
