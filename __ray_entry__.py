@@ -346,19 +346,24 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    emb = t.column("embedding")
-    idx = t.column("vec_id").to_pylist().index(0)
-    return np.asarray(emb[idx].as_py(), dtype=np.float64)
+    # predicate-pushdown read: one row-group's worth of IO, never the table
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", 0)])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def _q_accuracy_report(sf_dir: str):
-    """Per-(true_lang, pred_lang, category) confusion counts over a sample
-    of the reference accuracy corpus — the reference's accuracyReport batch
-    job as a Ray pipeline (SURVEY.md §3.2).  [rows-only]"""
-    from lingua_ray.pipelines.accuracy import accuracy_confusion
-    return accuracy_confusion(langs=("en", "de", "fr", "es", "zh", "ja"),
-                              sample_per_file=100)
+    """The reference's accuracyReport batch job as a Ray pipeline over the
+    FULL 79-language × 3-category corpus in BOTH accuracy modes: one row
+    per (language, mode) with per-category accuracy % + average
+    (SURVEY.md §3.2; AbstractLanguageDetectionAccuracyReport.kt:89-115).
+    [rows-only — 158 rows = 79 languages × 2 modes]"""
+    from lingua_ray.pipelines.accuracy import (accuracy_confusion_dual,
+                                               accuracy_summary)
+    conf = accuracy_confusion_dual(
+        concurrency=_langid_concurrency()).to_pandas()
+    return accuracy_summary(conf)
 
 
 def entry() -> Any:

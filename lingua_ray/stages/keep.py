@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from .util import set_column
 
 # Calibrated to ~p99.9 of the char-trigram perplexity distribution on the
@@ -24,12 +26,13 @@ DEFAULT_PPL_THRESHOLD = 30.0
 
 def keep_batch(batch: pa.Table,
                ppl_threshold: float = DEFAULT_PPL_THRESHOLD) -> pa.Table:
-    lang = np.asarray(batch.column("lang").to_pandas())
+    lang_ok = pc.not_equal(pc.fill_null(batch.column("lang"), "un"), "un") \
+        .to_numpy(zero_copy_only=False)
     flags = batch.column("quality_flags").to_numpy()
     ppl = batch.column("ppl").to_numpy()
     tox = batch.column("tox_count").to_numpy()
     keep = (
-        (lang != "un")
+        lang_ok
         & (flags == 0)
         & (np.nan_to_num(ppl, nan=np.inf) <= ppl_threshold)
         & (tox == 0)

@@ -49,6 +49,63 @@ for _lo, _hi in LOGOGRAM_RANGES:
     _IS_LOGOGRAM_Q[_lo: _hi + 1] = True
 
 
+_HASH_MULT = np.uint64(1099511628211)
+_HASH_INV = np.uint64(pow(1099511628211, -1, 2 ** 64))
+_MIX64 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _distinct_tokens(cps: np.ndarray, offsets: np.ndarray, n: int
+                     ) -> np.ndarray:
+    """Distinct single-space-split tokens per row (empties count), without
+    a Python loop.  Token hash = Horner polynomial of its codepoints
+    (prefix-sum difference with position-indexed powers), finalized with a
+    length mix; distinct = first occurrences in a (row, hash) lexsort."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    total = len(cps)
+    lengths = np.diff(offsets)
+    if total == 0:
+        return np.ones(n, dtype=np.int64)    # every row is the 1 empty token
+    idx = np.arange(total, dtype=np.int64)
+    is_space = cps == 0x20
+    # Position-indexed powers via the modular inverse of the multiplier
+    # (odd -> invertible mod 2^64):
+    #   h(token) = Σ cp_i·m^(end-1-i) = m^(end-1) · Σ cp_i·inv^i
+    # so the per-char term is cps * inv^position — a straight elementwise
+    # product with an accumulated table, no gather, no per-char token-end.
+    pinv = np.empty(total, dtype=np.uint64)
+    pinv[0] = 1
+    np.multiply.accumulate(
+        np.full(total, _HASH_INV, dtype=np.uint64)[:-1], out=pinv[1:])
+    pfwd = np.empty(total, dtype=np.uint64)
+    pfwd[0] = 1
+    np.multiply.accumulate(
+        np.full(total, _HASH_MULT, dtype=np.uint64)[:-1], out=pfwd[1:])
+    terms = cps.astype(np.uint64) * pinv
+    terms[is_space] = 0
+    cs = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(terms, dtype=np.uint64, out=cs[1:])
+    # token (start, end) pairs: row starts + char-after-space starts;
+    # spaces + row ends as ends — sorted merge pairs them up per row
+    space_idx = idx[is_space]
+    starts = np.sort(np.concatenate([offsets[:-1], space_idx + 1]))
+    ends = np.sort(np.concatenate([space_idx, offsets[1:]]))
+    h = (cs[ends] - cs[starts]) * pfwd[np.maximum(ends - 1, 0)]
+    h = (h ^ (ends - starts).astype(np.uint64) * _HASH_MULT)
+    h = (h ^ (h >> np.uint64(30))) * _MIX64
+    h ^= h >> np.uint64(27)
+    n_spaces_row = np.bincount(
+        np.repeat(np.arange(n, dtype=np.int64), lengths)[is_space],
+        minlength=n).astype(np.int64)
+    n_tokens_per_row = n_spaces_row + 1
+    tok_row = np.repeat(np.arange(n, dtype=np.int64), n_tokens_per_row)
+    order = np.lexsort((h, tok_row))
+    hs, rs = h[order], tok_row[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    return np.bincount(rs[first], minlength=n).astype(np.int64)
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     texts = ["" if t is None else t for t in texts]
@@ -63,12 +120,13 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_logograms = np.bincount(
         row_id[_IS_LOGOGRAM_Q[cps]], minlength=n).astype(np.int64)
 
-    n_words = np.empty(n, dtype=np.int64)
-    n_distinct = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        n_words[i] = len(toks)
-        n_distinct[i] = len(set(toks))
+    # split(" ") semantics, vectorized: n_words = spaces + 1 (empties
+    # included); n_distinct via a 64-bit polynomial hash per token computed
+    # with one cumulative sum (wrapped-uint64 prefix differences), then a
+    # (row, hash) lexsort + first-occurrence count.  Collisions would need
+    # two distinct tokens in one row sharing a 64-bit hash (~(toks/row)²/2⁶⁵).
+    n_words = n_spaces + 1
+    n_distinct = _distinct_tokens(cps, offsets, n)
 
     word_chars = n_chars - n_spaces
     cjk = 2 * n_logograms >= n_chars

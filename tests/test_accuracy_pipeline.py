@@ -50,3 +50,39 @@ def test_pipeline_extra_stage_plugin(ray_session, tmp_path):
                                            extra_stages=[shout_stage]))
     res = out.take_batch(10, batch_format="pyarrow")
     assert "text_upper" in res.schema.names
+
+
+def test_dual_mode_summary_and_language_reports(ray_session, tmp_path):
+    from lingua_ray.pipelines.accuracy import (accuracy_confusion_dual,
+                                               accuracy_summary,
+                                               render_language_report,
+                                               write_language_reports)
+    conf = accuracy_confusion_dual(langs=("en", "el"), sample_per_file=50,
+                                   concurrency=2).to_pandas()
+    assert set(conf["mode"]) == {"high", "low"}
+    assert conf["n"].sum() == 2 * 3 * 50 * 2     # langs x cats x lines x modes
+    summary = accuracy_summary(conf)
+    # one row per (language, mode), all three categories + average present
+    assert len(summary) == 4
+    assert {"single-words", "word-pairs", "sentences", "average"} \
+        <= set(summary.columns)
+    el_high = summary[(summary.true_lang == "el")
+                      & (summary["mode"] == "high")]
+    assert float(el_high["average"].iloc[0]) >= 95.0
+    # summary must agree with the single-mode accuracy_table
+    from lingua_ray.pipelines.accuracy import accuracy_table
+    high_tab = accuracy_table(conf[conf["mode"] == "high"]
+                              .drop(columns=["mode"]))
+    merged = summary[summary["mode"] == "high"].reset_index(drop=True)
+    for cat in ("single-words", "word-pairs", "sentences"):
+        assert (merged[cat].values == high_tab[cat].values).all()
+
+    txt = render_language_report("en", conf)
+    assert txt.startswith("#####")
+    assert "Legend: 'low accuracy mode | high accuracy mode'" in txt
+    assert ">>> Accuracy on average:" in txt
+    assert ">> Exact values:" in txt
+
+    paths = write_language_reports(conf, tmp_path / "reports")
+    assert len(paths) == 2
+    assert all(p.exists() and p.stat().st_size > 100 for p in paths)

@@ -28,7 +28,7 @@ OUT_DIR = Path(__file__).resolve().parent.parent / "accuracy-reports"
 ISO_TO_NAME = {c: n.capitalize() for c, n in zip(C.ISO1_CODES, C.LANGUAGE_NAMES)}
 
 
-def run_mode(low_accuracy: bool) -> pd.DataFrame:
+def _mode_predictions(low_accuracy: bool):
     M.ensure_models()
     det = Detector(M.NgramModels(), DetectorConfig(low_accuracy=low_accuracy))
     t = corpus_table()
@@ -37,6 +37,21 @@ def run_mode(low_accuracy: bool) -> pd.DataFrame:
     cat = np.array(t.column("category").to_pylist())
     iso = np.array(list(C.ISO1_CODES) + ["un"])
     pred = iso[det.detect(texts)["lang"]]
+    return true, cat, pred
+
+
+def _confusion_df(true, cat, pred, mode: str) -> pd.DataFrame:
+    df = pd.DataFrame({"true_lang": true, "category": cat,
+                       "pred_lang": pred})
+    out = (df.groupby(["true_lang", "pred_lang", "category"])
+           .size().rename("n").reset_index())
+    out["mode"] = mode
+    return out
+
+
+def run_mode(low_accuracy: bool,
+             preds: tuple | None = None) -> pd.DataFrame:
+    true, cat, pred = preds or _mode_predictions(low_accuracy)
     rows = []
     for lang in sorted(set(true)):
         row = {"iso1": lang}
@@ -50,8 +65,18 @@ def run_mode(low_accuracy: bool) -> pd.DataFrame:
 
 
 def main() -> None:
-    high = run_mode(False)
-    low = run_mode(True)
+    preds_high = _mode_predictions(False)
+    preds_low = _mode_predictions(True)
+    high = run_mode(False, preds_high)
+    low = run_mode(True, preds_low)
+
+    # per-language txt reports, both modes (reference layout)
+    from lingua_ray.pipelines.accuracy import write_language_reports
+    confusion = pd.concat([_confusion_df(*preds_high, "high"),
+                           _confusion_df(*preds_low, "low")],
+                          ignore_index=True)
+    paths = write_language_reports(confusion, OUT_DIR / "lingua_ray")
+    print(f"wrote {len(paths)} per-language reports to {OUT_DIR}/lingua_ray")
     ref = pd.read_csv(REFERENCE_CSV)[
         ["language", "average-lingua-high", "sentences-lingua-high",
          "average-lingua-low"]]
