@@ -29,13 +29,19 @@ def main() -> None:
         unknown = [c for c in codes if c.lower() not in C.ISO1_INDEX]
         if unknown:
             ap.error(f"unknown ISO 639-1 code(s): {', '.join(unknown)}")
-        builder = LanguageDetectorBuilder.from_iso_codes_639_1(*codes)
+        try:
+            builder = LanguageDetectorBuilder.from_iso_codes_639_1(*codes)
+        except ValueError as e:                      # fewer than 2 languages
+            ap.error(str(e))
     else:
         builder = LanguageDetectorBuilder.from_all_languages()
-    builder = builder.with_minimum_relative_distance(args.min_distance)
-    if args.low_accuracy:
-        builder = builder.with_low_accuracy_mode()
-    det = builder.build()
+    try:
+        builder = builder.with_minimum_relative_distance(args.min_distance)
+        if args.low_accuracy:
+            builder = builder.with_low_accuracy_mode()
+        det = builder.build()
+    except ValueError as e:          # e.g. <2 languages, distance ∉ [0, 0.99]
+        ap.error(str(e))
 
     interactive = sys.stdin.isatty()
     if interactive:
