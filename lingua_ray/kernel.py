@@ -378,11 +378,17 @@ class Detector:
             rows_l = cand[:, lang]
             if not rows_l.any():
                 continue
-            # One distinct-set lookup per level for this language.
-            freq = {
-                k: self.models.lookup_hashes(lang, k, level_distinct[k])
-                for k in range(1, max_n + 1) if len(level_distinct[k])
-            }
+            # One distinct-set lookup per level for this language; log is
+            # taken ONCE on the distinct frequencies (misses -> +inf
+            # sentinel), so the per-window backoff walk below does integer
+            # gathers only — no repeated np.log over gathered windows.
+            logf = {}
+            for k in range(1, max_n + 1):
+                if not len(level_distinct[k]):
+                    continue
+                f = self.models.lookup_hashes(lang, k, level_distinct[k])
+                logf[k] = np.log(f, out=np.full_like(f, np.inf),
+                                 where=f > 0)
             for n0 in ns:
                 starts, rids = uniq[n0]
                 if len(starts) == 0:
@@ -393,13 +399,13 @@ class Detector:
                 for k in range(n0, 0, -1):
                     if len(p_pos) == 0:
                         break
-                    if k not in freq:
+                    if k not in logf:
                         break
-                    f = freq[k][probe_idx[n0][k - 1][p_pos]]
-                    hit = f > 0
+                    lf = logf[k][probe_idx[n0][k - 1][p_pos]]
+                    hit = lf != np.inf
                     if hit.any():
                         logsum += np.bincount(
-                            p_row[hit], weights=np.log(f[hit]), minlength=g)
+                            p_row[hit], weights=lf[hit], minlength=g)
                         if with_unigrams and n0 == 1:
                             unicnt[:, lang] += np.bincount(
                                 p_row[hit], minlength=g)
