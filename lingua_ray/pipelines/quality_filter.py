@@ -132,17 +132,103 @@ def run_quality_filter(ds: "ray.data.Dataset",
     return ds
 
 
-def _finalize_partition(part_dir: str, out_file: str) -> int:
+_SORT_KEYS = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+# Above this row count a partition is not loaded whole; it is finalized by
+# external merge: per-fragment sorted runs + streaming k-way batch merge.
+FINALIZE_INMEM_ROWS = 8_000_000
+
+
+def _prefix_le(tbl: pa.Table, key: tuple) -> int:
+    """Rows with (conv_id, turn_idx) <= key form a PREFIX of a sorted
+    table; return its length (vectorized compare, no per-row Python)."""
+    cid, tix = key
+    cids = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    tixs = tbl.column("turn_idx").to_numpy(zero_copy_only=False)
+    mask = (cids < cid) | ((cids == cid) & (tixs <= tix))
+    return int(mask.sum())
+
+
+def _merge_sorted_runs(run_paths: list, out_file: str,
+                       batch_rows: int = 65536) -> int:
+    """Streaming k-way merge of sorted parquet runs into one sorted file.
+
+    Per iteration: M = min over runs of the last key in the run's head
+    batch; every head's prefix ≤ M merges now (prefix property of sorted
+    runs), so each step is a bounded concat+sort of ~k head batches —
+    memory is O(k · batch_rows), never the partition size.
+    """
+    import pyarrow.parquet as pq
+
+    readers = [pq.ParquetFile(p) for p in run_paths]
+    iters = [r.iter_batches(batch_size=batch_rows) for r in readers]
+    heads: list[pa.Table | None] = [None] * len(iters)
+    schema = readers[0].schema_arrow
+    rows = 0
+    with pq.ParquetWriter(out_file, schema) as writer:
+        while True:
+            for i, it in enumerate(iters):
+                while heads[i] is not None and heads[i].num_rows == 0:
+                    heads[i] = None
+                if heads[i] is None and it is not None:
+                    try:
+                        heads[i] = pa.Table.from_batches([next(it)], schema)
+                    except StopIteration:
+                        iters[i] = None
+            alive = [i for i, h in enumerate(heads) if h is not None]
+            if not alive:
+                break
+            last_keys = []
+            for i in alive:
+                h = heads[i]
+                last_keys.append((h.column("conv_id")[-1].as_py(),
+                                  h.column("turn_idx")[-1].as_py()))
+            m = min(last_keys)
+            parts = []
+            for i in alive:
+                n = _prefix_le(heads[i], m)
+                if n:
+                    parts.append(heads[i].slice(0, n))
+                    heads[i] = heads[i].slice(n)
+                if heads[i] is not None and heads[i].num_rows == 0:
+                    heads[i] = None
+            merged = pa.concat_tables(parts).sort_by(_SORT_KEYS)
+            writer.write_table(merged)
+            rows += merged.num_rows
+    return rows
+
+
+def _finalize_partition(part_dir: str, out_file: str,
+                        max_inmem_rows: int = FINALIZE_INMEM_ROWS) -> int:
     """Sort one hash partition by (conv_id, turn_idx) and write it as a
     single parquet file.  Runs as a plain Ray task — partitions are
-    independent, so finalization parallelizes perfectly."""
+    independent, so finalization parallelizes perfectly.
+
+    Partitions up to ``max_inmem_rows`` sort in memory.  Bigger ones (a
+    mega-conversation blowing the partition budget — SCALE.md "what breaks
+    first" #3) fall back to external merge: each fragment is sorted
+    individually (bounded memory) into a run, then the runs stream through
+    a k-way batch merge.  Output is byte-identical either way."""
+    import tempfile
+    from pathlib import Path
+
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    table = pads.dataset(part_dir).to_table()
-    table = table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    pq.write_table(table, out_file)
-    return table.num_rows
+    frags = sorted(str(p) for p in Path(part_dir).glob("*.parquet"))
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
+    if total <= max_inmem_rows:
+        table = pads.dataset(frags).to_table()
+        table = table.sort_by(_SORT_KEYS)
+        pq.write_table(table, out_file)
+        return table.num_rows
+
+    with tempfile.TemporaryDirectory(dir=str(Path(out_file).parent)) as tmp:
+        runs = []
+        for j, f in enumerate(frags):
+            run = str(Path(tmp) / f"run-{j:05d}.parquet")
+            pq.write_table(pq.read_table(f).sort_by(_SORT_KEYS), run)
+            runs.append(run)
+        return _merge_sorted_runs(runs, out_file)
 
 
 def write_ordered(ds: "ray.data.Dataset", out_dir: str,

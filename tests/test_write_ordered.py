@@ -36,3 +36,66 @@ def test_write_ordered(ray_session, tmp_path):
         assert not (set(conv) & seen_convs)
         seen_convs |= set(conv)
     assert total == 3000
+
+
+def test_finalize_external_merge_matches_inmem(tmp_path):
+    """The mega-partition external-merge path (per-fragment sorted runs +
+    streaming k-way merge) must produce byte-identical output to the
+    in-memory sort (SCALE.md 'what breaks first' #3)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lingua_ray.pipelines.quality_filter import _finalize_partition
+
+    rng = np.random.RandomState(9)
+    part = tmp_path / "part_id=0"
+    part.mkdir()
+    # 6 unsorted fragments with interleaved conversations, incl. one
+    # mega-conversation spanning every fragment
+    for j in range(6):
+        n = 5000
+        convs = np.array([f"conv-{c:04d}" for c in rng.randint(0, 40, n)])
+        convs[rng.rand(n) < 0.5] = "conv-mega"
+        t = pa.table({
+            "conv_id": pa.array(convs.tolist(), type=pa.string()),
+            "turn_idx": pa.array(rng.permutation(n).astype("int32")),
+            "payload": pa.array(rng.randint(0, 1 << 30, n)),
+        })
+        pq.write_table(t, part / f"frag-{j}.parquet")
+
+    inmem = tmp_path / "inmem.parquet"
+    merged = tmp_path / "merged.parquet"
+    rows_a = _finalize_partition(str(part), str(inmem))
+    rows_b = _finalize_partition(str(part), str(merged),
+                                 max_inmem_rows=1000)   # force external path
+    assert rows_a == rows_b == 30000
+    ta, tb = pq.read_table(inmem), pq.read_table(merged)
+    assert ta.equals(tb)
+
+
+def test_merge_sorted_runs_tiny_batches(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lingua_ray.pipelines.quality_filter import (_SORT_KEYS,
+                                                     _merge_sorted_runs)
+    runs = []
+    data = [
+        {"conv_id": ["a", "a", "c"], "turn_idx": [0, 2, 1]},
+        {"conv_id": ["a", "b", "c"], "turn_idx": [1, 0, 0]},
+        {"conv_id": ["b"], "turn_idx": [1]},
+    ]
+    for j, d in enumerate(data):
+        t = pa.table({"conv_id": pa.array(d["conv_id"], type=pa.string()),
+                      "turn_idx": pa.array(d["turn_idx"], type=pa.int32())})
+        p = tmp_path / f"run{j}.parquet"
+        pq.write_table(t.sort_by(_SORT_KEYS), p)
+        runs.append(str(p))
+    out = tmp_path / "out.parquet"
+    rows = _merge_sorted_runs(runs, str(out), batch_rows=2)
+    assert rows == 7
+    got = pq.read_table(out)
+    assert got.column("conv_id").to_pylist() == \
+        ["a", "a", "a", "b", "b", "c", "c"]
+    assert got.column("turn_idx").to_pylist() == [0, 1, 2, 0, 1, 0, 1]
