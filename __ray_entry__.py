@@ -334,6 +334,68 @@ def _q_multilang_documents(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30-min inactivity) per user over the
+    events stream: (user_id, session_start, session_end, n_events).
+    groupby(user).map_groups with a vectorized per-group kernel — the
+    training-data analogue of a streaming session window.  [SQL-verified
+    against DuckDB window functions]"""
+    from lingua_ray.stages.windows import sessionize
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, gap_seconds=1800.0)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Revenue per customer market segment — a broadcast map-side join:
+    the small customer table is loaded once per task as a lookup array
+    (never shuffled; the brief's broadcast-small-side pattern), orders
+    stream through map_batches, then a tiny groupby.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.asarray(cust.column("c_custkey").to_numpy())
+    order = np.argsort(keys)
+    keys = keys[order]
+    segs = np.asarray(cust.column("c_mktsegment").to_numpy(
+        zero_copy_only=False))[order]
+
+    def join_segment(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        idx = np.searchsorted(keys, ck)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx] == ck
+        seg = np.where(hit, segs[idx], None)
+        # integer cents: float sums depend on association order across
+        # engines; integer arithmetic is exact and hash-stable
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100.0)
+        return pa.table({
+            "c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
+            "cents": pa.array(cents.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(join_segment, batch_format="pyarrow")
+    out = ds.groupby("c_mktsegment").aggregate(Count(), Sum("cents"))
+    return out.rename_columns({"count()": "n_orders",
+                               "sum(cents)": "revenue_cents"})
+
+
+def _q_orders_join_customer(sf_dir: str):
+    """Row-level inner hash join (ray.data.Dataset.join — the same
+    operator the minhash verification stage relies on) verified against
+    the DuckDB join: (o_orderkey, c_mktsegment, o_totalprice).
+    [SQL-verified]"""
+    import ray
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    j = orders.join(cust, "inner", nparts,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["o_orderkey", "c_mktsegment", "o_totalprice"])
+
+
 def _q_events_stats(sf_dir: str):
     """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
     from ray.data.aggregate import Count, Max, Min
@@ -406,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multilang_documents": _q_multilang_documents,
         "events_stats": _q_events_stats,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "orders_by_segment": _q_orders_by_segment,
+        "orders_join_customer": _q_orders_join_customer,
     }
 
 
@@ -506,5 +571,34 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n
             FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orders_join_customer": """
+            SELECT o_orderkey, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
     }
