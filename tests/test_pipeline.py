@@ -110,3 +110,32 @@ def test_generator_has_mega_conversation():
     import collections
     counts = collections.Counter(t.column("conv_id").to_pylist())
     assert counts.most_common(1)[0][1] >= 0.05 * 2000
+
+
+def test_pipeline_junk_input_never_crashes(ray_session):
+    """Nulls, empty strings, emoji, pure punctuation through the FULL
+    pipeline: junk rows get lang='un' / keep=False, never an exception."""
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     run_quality_filter)
+
+    rows = ["", None, "   ", "🎉🎉🎉", "3<856%)§", "È×∑",
+            "a perfectly normal english sentence that should pass checks " * 2,
+            "\x00\x01", "日本語のテキストです、これは普通の文章です。" * 3]
+    t = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(rows))]),
+        "turn_idx": pa.array(list(range(len(rows))), type=pa.int32()),
+        "text": pa.array(rows, type=pa.large_string()),
+    })
+    out = run_quality_filter(
+        ray.data.from_arrow(t),
+        PipelineOptions(langid_concurrency=2, num_output_partitions=2),
+    ).take_all()
+    assert len(out) == len(rows)
+    by_turn = {r["turn_idx"]: r for r in out}
+    for i in (0, 1, 2, 3, 4):          # junk rows
+        assert by_turn[i]["lang"] == "un"
+        assert by_turn[i]["keep"] is False
+    assert by_turn[6]["lang"] == "en"
+    assert by_turn[8]["lang"] == "ja"
