@@ -43,6 +43,60 @@ def make_fake_media_table(n: int, seed: int = 42) -> pa.Table:
     })
 
 
+def _parse_image_dims(p: bytes) -> tuple[str | None, int, int]:
+    """(format, width, height) from container headers — REAL parsing, no
+    codec library needed (PNG/GIF/BMP fixed offsets; JPEG marker walk to
+    the first SOF segment).  Returns (None, -1, -1) for unrecognized
+    payloads."""
+    import struct
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return "png", w, h
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", p[6:10])
+        return "gif", w, h
+    if len(p) >= 26 and p[:2] == b"BM":
+        w, h = struct.unpack("<ii", p[18:26])
+        return "bmp", w, abs(h)
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", p[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return "jpeg", -1, -1
+    return None, -1, -1
+
+
+def image_dims_batch(batch: pa.Table,
+                     payload_col: str = "payload") -> pa.Table:
+    """Append (format, width, height) parsed from the binary payload's
+    container header — the pre-decode resolution/format filter every
+    image pipeline wants BEFORE shipping payloads to expensive decoders.
+    Unlike the decode stages below this is fully real: header offsets
+    need no codec library."""
+    payloads = batch.column(payload_col).to_pylist()
+    fmts, ws, hs = [], [], []
+    for p in payloads:
+        f, w, h = _parse_image_dims(p or b"")
+        fmts.append(f)
+        ws.append(w)
+        hs.append(h)
+    batch = set_column(batch, "format", pa.array(fmts, type=pa.string()))
+    batch = set_column(batch, "width", pa.array(ws, type=pa.int32()))
+    batch = set_column(batch, "height", pa.array(hs, type=pa.int32()))
+    return batch
+
+
 class ImageDecoder:
     """Actor-pool decode/feature stage.
 

@@ -356,3 +356,29 @@ def test_spherical_kmeans_deterministic():
     c2 = spherical_kmeans(x, 4)
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_image_dims_header_parsing():
+    """Real container-header parsing (no codec libs): PNG/GIF/BMP/JPEG
+    dimensions from hand-built minimal headers."""
+    import struct
+    from lingua_ray.stages.multimodal import image_dims_batch
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50)
+           + b"\x00" * 8)
+    # JPEG: SOI, APP0 (len 16), SOF0 (len 17: precision + h/w + comps)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    junk = b"not an image at all"
+    t = pa.table({"payload": pa.array([png, gif, bmp, jpeg, junk, None],
+                                      type=pa.large_binary())})
+    out = image_dims_batch(t)
+    assert out.column("format").to_pylist() == \
+        ["png", "gif", "bmp", "jpeg", None, None]
+    assert out.column("width").to_pylist() == [640, 320, 100, 1920, -1, -1]
+    assert out.column("height").to_pylist() == [480, 200, 50, 1080, -1, -1]
