@@ -317,8 +317,10 @@ def _q_multilang_documents(sf_dir: str):
     from lingua_ray.multilang import MultiLangScorer
     ensure_models()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(MultiLangScorer, batch_format="pyarrow",
-                        batch_size=256, concurrency=4, num_cpus=1)
+    ds = ds.map_batches(
+        MultiLangScorer, batch_format="pyarrow", batch_size=256,
+        concurrency=_langid_concurrency(_doc_rows(sf_dir), batch_size=256),
+        num_cpus=1)
 
     def flatten(batch: pa.Table) -> pa.Table:
         secs = batch.column("sections")
@@ -350,7 +352,6 @@ def _q_orders_by_segment(sf_dir: str):
     the small customer table is loaded once per task as a lookup array
     (never shuffled; the brief's broadcast-small-side pattern), orders
     stream through map_batches, then a tiny groupby.  [SQL-verified]"""
-    import pyarrow.compute as pc
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     keys = np.asarray(cust.column("c_custkey").to_numpy())
