@@ -204,6 +204,19 @@ def _q_dedup_minhash(sf_dir: str):
                                      num_partitions=nparts)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Transitive near-duplicate clusters: the verified MinHash pairs
+    closed under connectivity (iterative min-label propagation — joins +
+    groupby per round, int64 pairs only on the wire).  One row per
+    clustered document: (doc_id, cluster = min reachable doc_id).
+    [rows-only; pytest gates exact equality with a union-find oracle]"""
+    from lingua_ray.stages.dedup import connected_components
+    import ray
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    pairs = _q_dedup_minhash(sf_dir).select_columns(["doc_id", "dup_of"])
+    return connected_components(pairs, num_partitions=nparts)
+
+
 def _q_simhash(sf_dir: str):
     """64-bit SimHash signatures per document.  [rows-only]"""
     from lingua_ray.stages.dedup import simhash_batch
@@ -459,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,

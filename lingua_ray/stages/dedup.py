@@ -237,6 +237,9 @@ def verify_minhash_candidates(pairs, signatures, threshold: float = 0.5,
     """
     sig_bin = signatures.map_batches(sig_to_binary_batch,
                                      batch_format="pyarrow")
+    # coalesce: grouped candidate output can carry schema-less empty
+    # blocks that break the join when partitions outnumber them
+    pairs = pairs.repartition(max(1, num_partitions // 2))
     j1 = pairs.join(sig_bin, "inner", num_partitions, on=(id_col,))
     j1 = j1.rename_columns({"minhash": "sig_a"})
     j2 = j1.join(sig_bin, "inner", num_partitions,
@@ -278,3 +281,81 @@ def exact_dedup_local_min(batch: pa.Table, text_col: str = "text",
     return (t.group_by("fp64", use_threads=False)
              .aggregate([(id_col, "min")])
              .rename_columns(["fp64", id_col]))
+
+
+def connected_components(pairs, id_col: str = "doc_id",
+                         dup_col: str = "dup_of", max_iters: int = 20,
+                         num_partitions: int = 8):
+    """Transitive dedup clusters from a near-dup pair list: every document
+    is labeled with the minimum doc id reachable through pair edges
+    (min-label propagation), so a cluster keeps exactly one representative.
+
+    Iterative Ray Data algorithm — per round, each node takes the min of
+    its own label and its neighbors' labels:
+
+      messages = edges ⋈ labels (both directions) ∪ current labels
+      labels'  = messages.groupby(node).min(label)
+
+    Rounds needed = graph diameter; near-dup clusters are dense (star/
+    clique-like around LSH pivots), so 3-5 rounds converge in practice and
+    convergence is checked exactly (count of changed labels) per round.
+    All exchanges carry (int64, int64) rows only.
+
+    Returns Dataset[(id_col, cluster)] for every node that appears in
+    ``pairs``; singleton documents (no pair) are their own cluster by
+    definition and need no rows.
+    """
+    import ray.data
+
+    def _norm_labels(t: pa.Table) -> pa.Table:
+        # groupby can emit schema-less empty blocks; a later join on such
+        # a block fails with "no match for FieldRef" — normalize every
+        # block to the exact (node, label) schema.
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        if "min(label)" in t.column_names:
+            t = t.rename_columns(
+                ["label" if c == "min(label)" else c for c in t.column_names])
+        if "label" not in t.column_names:
+            t = t.append_column("label", t.column("node"))
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "label": t.column("label").cast(pa.int64())})
+
+    edges = pairs.select_columns([id_col, dup_col]).materialize()
+    a = edges.select_columns([id_col]).rename_columns({id_col: "node"})
+    b = edges.select_columns([dup_col]).rename_columns({dup_col: "node"})
+    # repartition after each groupby: grouped outputs contain schema-less
+    # empty blocks that make a downstream join fail with "no match for
+    # FieldRef" whenever num_partitions exceeds the non-empty block count;
+    # coalescing removes them (map_batches alone does NOT — Ray skips the
+    # UDF on schema-less empties).
+    labels = a.union(b).groupby("node").min("node").select_columns(["node"])
+    labels = labels.map_batches(
+        _norm_labels, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    for _ in range(max_iters):
+        # neighbor labels in both edge directions
+        m1 = (edges.join(labels, "inner", num_partitions,
+                         on=(id_col,), right_on=("node",))
+              .select_columns([dup_col, "label"])
+              .rename_columns({dup_col: "node"}))
+        m2 = (edges.join(labels, "inner", num_partitions,
+                         on=(dup_col,), right_on=("node",))
+              .select_columns([id_col, "label"])
+              .rename_columns({id_col: "node"}))
+        new_labels = (labels.union(m1).union(m2)
+                      .groupby("node").min("label")
+                      .map_batches(_norm_labels, batch_format="pyarrow")
+                      .repartition(num_partitions)
+                      .materialize())
+        # Convergence via one scalar aggregate: labels only ever DECREASE
+        # (new = min(old, neighbors)), so the label sum strictly drops on
+        # any change and equal sums mean a fixpoint — no per-round join.
+        new_sum = new_labels.sum("label")
+        old_sum = labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+    return labels.rename_columns({"node": id_col, "label": "cluster"})

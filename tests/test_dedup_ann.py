@@ -382,3 +382,36 @@ def test_image_dims_header_parsing():
         ["png", "gif", "bmp", "jpeg", None, None]
     assert out.column("width").to_pylist() == [640, 320, 100, 1920, -1, -1]
     assert out.column("height").to_pylist() == [480, 200, 50, 1080, -1, -1]
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == a driver-side union-find on
+    random pair graphs (chains, cliques, singleton edges)."""
+    import ray.data
+    from lingua_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(17)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 30, (40, 2))
+             if a != b]
+    edges += [(100, 101), (101, 102), (102, 103)]      # explicit chain
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = ray.data.from_items(
+        [{"doc_id": a, "dup_of": b} for a, b in edges])
+    out = connected_components(pairs, num_partitions=2).take_all()
+    got = {r["doc_id"]: r["cluster"] for r in out}
+    assert got == want
