@@ -84,3 +84,41 @@ def test_scrub_matches_duckdb(texts_one):
     con.register("tt", t)
     want = con.execute(f"SELECT {expr} FROM tt").fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=20))
+def test_fingerprint64_batch_equals_scalar_fuzzed(texts):
+    import pyarrow as pa
+    from lingua_ray.functions.textstats import (_fingerprint64,
+                                                fingerprint64_array)
+    got = fingerprint64_array(pa.array(texts, type=pa.string()))
+    want = np.array([_fingerprint64(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(mixed_text(), min_size=1, max_size=10),
+       st.integers(2, 7))
+def test_shingle_batch_equals_scalar_fuzzed(texts, k):
+    from lingua_ray.stages.dedup import _shingle_hashes, _shingle_hashes_batch
+    hashes, offs = _shingle_hashes_batch(texts, k)
+    for i, t in enumerate(texts):
+        got = np.unique(hashes[offs[i]:offs[i + 1]])
+        assert (got == _shingle_hashes(t, k)).all(), (t, k)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from(list("ab 日∑xyz")),
+                        min_size=0, max_size=50),
+                min_size=1, max_size=15))
+def test_distinct_tokens_equals_split_fuzzed(texts):
+    import pyarrow as pa
+    from lingua_ray.stages.quality import quality_batch
+    out = quality_batch(pa.table({"text": pa.array(texts, type=pa.string())}))
+    nw = out.column("n_words").to_pylist()
+    nd = out.column("n_distinct_words").to_pylist()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        assert nw[i] == len(toks), repr(t)
+        assert nd[i] == len(set(toks)), repr(t)
