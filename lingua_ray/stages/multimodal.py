@@ -148,3 +148,38 @@ class AudioFeaturizer:
         batch = set_column(batch, "duration_s", pa.array(dur))
         batch = set_column(batch, "rms", pa.array(rms))
         return batch
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage (brief: decode / feature-extract /
+    resize / frame-sample).  real=True documents the ffmpeg dependency
+    boundary; the deterministic fake emits a plausible frame-timestamp
+    list derived from the payload hash, so downstream per-frame stages
+    (resize, embedding) can be built and tested against the real schema:
+    ``frame_ts``: list<float64> seconds, ``n_frames``: int32.
+    """
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 16,
+                 real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "video decoding requires ffmpeg/decord, unavailable here")
+        self.fps = fps
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        all_ts, offsets = [], [0]
+        for p in payloads:
+            d = hashlib.sha256(b"v" + (p or b"")).digest()
+            duration = 1.0 + d[0] / 8.0              # fake 1-33 s clip
+            n = min(self.max_frames, max(1, int(duration * self.fps)))
+            all_ts.extend((i + 0.5) / self.fps for i in range(n))
+            offsets.append(len(all_ts))
+        ts_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(all_ts, type=pa.float64()))
+        n_frames = np.diff(np.asarray(offsets)).astype(np.int32)
+        batch = set_column(batch, "frame_ts", ts_arr)
+        batch = set_column(batch, "n_frames", pa.array(n_frames))
+        return batch

@@ -415,3 +415,23 @@ def test_connected_components_matches_union_find(ray_session):
     out = connected_components(pairs, num_partitions=2).take_all()
     got = {r["doc_id"]: r["cluster"] for r in out}
     assert got == want
+
+
+def test_video_frame_sampler_stage(ray_session):
+    import ray.data
+    from lingua_ray.stages.multimodal import (VideoFrameSampler,
+                                              make_fake_media_table)
+    t = make_fake_media_table(12, seed=3)
+    ds = ray.data.from_arrow(t).map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=4,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={"fps": 2.0, "max_frames": 8})
+    out = ds.take_all()
+    assert len(out) == 12
+    for r in out:
+        assert 1 <= r["n_frames"] <= 8
+        assert len(r["frame_ts"]) == r["n_frames"]
+        # deterministic: 0.25s, 0.75s, ... at 2 fps
+        assert r["frame_ts"][0] == 0.25
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(real=True)
