@@ -87,7 +87,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     timings = {}
     bench_queries = ["langid_documents", "doc_quality", "doc_scrub",
                      "doc_tokens", "dedup_exact", "dedup_minhash",
-                     "simhash", "knn_bruteforce", "knn_ivf", "lang_hist",
+                     "dedup_clusters", "simhash", "knn_bruteforce", "knn_ivf", "lang_hist",
                      "events_sessions", "orders_by_segment"]
     qs = E.queries()
     import ray
