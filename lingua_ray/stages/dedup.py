@@ -323,6 +323,10 @@ def connected_components(pairs, id_col: str = "doc_id",
                          "label": t.column("label").cast(pa.int64())})
 
     edges = pairs.select_columns([id_col, dup_col]).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64())}))
     a = edges.select_columns([id_col]).rename_columns({id_col: "node"})
     b = edges.select_columns([dup_col]).rename_columns({dup_col: "node"})
     # repartition after each groupby: grouped outputs contain schema-less

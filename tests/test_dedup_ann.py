@@ -435,3 +435,14 @@ def test_video_frame_sampler_stage(ray_session):
         assert r["frame_ts"][0] == 0.25
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(real=True)
+
+
+def test_connected_components_empty_pairs(ray_session):
+    import ray.data
+    from lingua_ray.stages.dedup import connected_components
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "dup_of": pa.array([], type=pa.int64())}))
+    out = connected_components(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "cluster"}

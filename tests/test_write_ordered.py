@@ -99,3 +99,20 @@ def test_merge_sorted_runs_tiny_batches(tmp_path):
     assert got.column("conv_id").to_pylist() == \
         ["a", "a", "a", "b", "b", "c", "c"]
     assert got.column("turn_idx").to_pylist() == [0, 1, 2, 0, 1, 0, 1]
+
+
+def test_write_ordered_empty_input(ray_session, tmp_path):
+    """keep_only filtering everything must produce a valid empty output
+    directory, not a crash."""
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     write_ordered)
+    t = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int32()),
+        "text": pa.array([], type=pa.large_string()),
+    })
+    rows = write_ordered(ray.data.from_arrow(t), str(tmp_path / "out"),
+                         PipelineOptions(num_output_partitions=4))
+    assert rows == 0
