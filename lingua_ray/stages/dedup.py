@@ -297,9 +297,10 @@ def connected_components(pairs, id_col: str = "doc_id",
       labels'  = messages.groupby(node).min(label)
 
     Rounds needed = graph diameter; near-dup clusters are dense (star/
-    clique-like around LSH pivots), so 3-5 rounds converge in practice and
-    convergence is checked exactly (count of changed labels) per round.
-    All exchanges carry (int64, int64) rows only.
+    clique-like around LSH pivots), so 3-5 rounds converge in practice.
+    Convergence is detected exactly with ONE scalar sum aggregate per
+    round: labels only ever decrease, so an unchanged label sum is a
+    fixpoint.  All exchanges carry (int64, int64) rows only.
 
     Returns Dataset[(id_col, cluster)] for every node that appears in
     ``pairs``; singleton documents (no pair) are their own cluster by
