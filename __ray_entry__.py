@@ -160,6 +160,16 @@ def _q_doc_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def _q_word_counts(sf_dir: str):
+    """Top-100 corpus word frequencies — the canonical combiner pattern:
+    per-batch partial counts (one row per distinct word per batch on the
+    wire) → groupby sum → per-block top-k → tiny driver merge.  Ties break
+    (count desc, word asc) in both engines.  [SQL-verified]"""
+    from lingua_ray.functions.textstats import word_counts_topk
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return word_counts_topk(ds, k=100)
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: kept doc_ids (min doc_id per distinct text).  The
     combiner hashes text → fingerprint64 and pre-aggregates per batch, so
@@ -469,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
+        "word_counts": _q_word_counts,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
         "dedup_minhash": _q_dedup_minhash,
@@ -568,6 +579,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "word_counts": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 100
+        """,
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "knn_bruteforce": """

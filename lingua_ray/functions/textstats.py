@@ -102,3 +102,42 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = set_column(batch,
         "fingerprint64", pa.array(f64.view(np.int64), type=pa.int64()))
     return batch
+
+
+def word_count_local(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Combiner for corpus word counts: per-batch (word, n) partial counts
+    via Arrow kernels (split → flatten → value_counts) — the shuffle then
+    carries one row per DISTINCT word per batch, never per token."""
+    col = pc.fill_null(batch.column(text_col), "")
+    words = pc.list_flatten(pc.split_pattern(col, " "))
+    if len(words) == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    vc = pc.value_counts(words)
+    return pa.table({"word": vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def _topk_block(batch: pa.Table, k: int) -> pa.Table:
+    """Block-local top-k by (n desc, word asc) — the global top-k is a
+    subset of the union of block top-ks, so the driver reduce is tiny."""
+    if batch.num_rows <= k:
+        return batch
+    return batch.sort_by([("n", "descending"),
+                          ("word", "ascending")]).slice(0, k)
+
+
+def word_counts_topk(ds, k: int = 100, text_col: str = "text") -> pa.Table:
+    """Top-k corpus word frequencies: map-side combiner → groupby sum →
+    per-block top-k → driver merge.  Deterministic tie-break (count desc,
+    word asc)."""
+    partial = ds.map_batches(word_count_local, batch_format="pyarrow",
+                             fn_kwargs={"text_col": text_col})
+    grouped = partial.groupby("word").sum("n").rename_columns(
+        {"sum(n)": "n"})
+    local = grouped.map_batches(_topk_block, batch_format="pyarrow",
+                                fn_kwargs={"k": k})
+    t = pa.Table.from_pylist(local.take_all(),
+                             schema=pa.schema([("word", pa.string()),
+                                               ("n", pa.int64())]))
+    return _topk_block(t, k)

@@ -115,3 +115,24 @@ def test_langid_confidences_empty_batch():
     out = scorer(pa.table({"text": pa.array([], type=pa.string())}))
     assert out.num_rows == 0
     assert "confidences" in out.column_names
+
+
+def test_word_counts_topk_cutoff_and_ties(ray_session):
+    import ray.data
+    from lingua_ray.functions.textstats import word_counts_topk
+    # 30 distinct words; w00 appears 31x, w01 30x, ...; ties at every
+    # count between zz-prefixed pairs to exercise the (n desc, word asc)
+    # tie-break across block boundaries
+    texts = []
+    for i in range(30):
+        texts.extend([f"w{i:02d}"] * (31 - i))
+    texts.extend(["zza zzb"] * 7)
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(6)
+    out = word_counts_topk(ds, k=5)
+    assert out.column("word").to_pylist() == \
+        ["w00", "w01", "w02", "w03", "w04"]
+    assert out.column("n").to_pylist() == [31, 30, 29, 28, 27]
+    # ties: zza/zzb both 7 — word asc order
+    full = word_counts_topk(ds, k=100)
+    words = full.column("word").to_pylist()
+    assert words.index("zza") + 1 == words.index("zzb")
