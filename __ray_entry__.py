@@ -160,6 +160,17 @@ def _q_doc_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def _q_doc_stopwords(sf_dir: str):
+    """English stopword counts per document (integer-exact; ratio =
+    n_stopwords / n_words_total downstream) — the Gopher-style
+    function-word quality signal.  [SQL-verified — the identical frozen
+    stopword list is inlined in the oracle]"""
+    from lingua_ray.stages.quality import stopword_ratio_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(stopword_ratio_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_stopwords", "n_words_total"])
+
+
 def _q_word_counts(sf_dir: str):
     """Top-100 corpus word frequencies — the canonical combiner pattern:
     per-batch partial counts (one row per distinct word per batch on the
@@ -479,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
@@ -510,6 +522,11 @@ _PHONE = ("\\+[0-9]{7,15}|\\([0-9]{3}\\) ?[0-9]{3}[- ][0-9]{4}"
           "|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b|\\b[0-9]{10,11}\\b")
 _TOX = "\\b(?:damn|hell|idiot|stupid|hate|kill)\\b"
 _TOKEN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def _sql_stopword_list() -> str:
+    from lingua_ray.stages.quality import STOPWORDS_EN
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -579,6 +596,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_stopwords": """
+            SELECT doc_id,
+              CAST(length(list_filter(string_split(lower(text), ' '),
+                w -> list_contains({stop}, w))) AS BIGINT) AS n_stopwords,
+              CAST(length(string_split(text, ' ')) AS BIGINT)
+                AS n_words_total
+            FROM documents
+        """.replace("{stop}", _sql_stopword_list()),
         "word_counts": """
             SELECT word, count(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -156,3 +156,36 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ):
         batch = set_column(batch, name, pa.array(arr, type=typ))
     return batch
+
+
+# Standard English stopword list (public domain; the 40 highest-frequency
+# English function words).  Kept short and frozen so the DuckDB oracle can
+# inline the identical list.
+STOPWORDS_EN = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
+    "for", "on", "are", "with", "as", "at", "be", "this", "have", "from",
+    "or", "by", "one", "had", "not", "but", "what", "all", "were", "when",
+    "we", "there", "can", "an", "your", "which", "their", "if", "do", "will",
+)
+
+
+def stopword_ratio_batch(batch: pa.Table, text_col: str = "text",
+                         stopwords: tuple = STOPWORDS_EN) -> pa.Table:
+    """Append ``n_stopwords`` / ``n_words_total`` (integer-exact, so the
+    DuckDB oracle reproduces them bit-for-bit; compute the float ratio
+    downstream).  A low stopword share on English text is a strong
+    machine-generated/keyword-stuffing signal (Gopher quality rules)."""
+    import pyarrow.compute as pc
+    col = pc.fill_null(batch.column(text_col), "")
+    words = pc.split_pattern(col, " ")
+    total = pc.cast(pc.list_value_length(words), pa.int64())
+    flat = pc.utf8_lower(pc.list_flatten(words))
+    hit = pc.is_in(flat, value_set=pa.array(stopwords, type=pa.string()))
+    n = batch.num_rows
+    lens = np.asarray(total.to_numpy(zero_copy_only=False))
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hits = np.asarray(hit.to_numpy(zero_copy_only=False))
+    n_stop = np.bincount(row_id[hits], minlength=n).astype(np.int64)
+    batch = set_column(batch, "n_stopwords", pa.array(n_stop))
+    batch = set_column(batch, "n_words_total", total)
+    return batch

@@ -136,3 +136,15 @@ def test_word_counts_topk_cutoff_and_ties(ray_session):
     full = word_counts_topk(ds, k=100)
     words = full.column("word").to_pylist()
     assert words.index("zza") + 1 == words.index("zzb")
+
+
+def test_stopword_ratio_batch():
+    from lingua_ray.stages.quality import stopword_ratio_batch
+    t = pa.table({"text": pa.array(
+        ["the cat is on the mat", "zxq qqq", "", None, "The THE the"],
+        type=pa.string())})
+    out = stopword_ratio_batch(t)
+    assert out.column("n_stopwords").to_pylist() == [4, 0, 0, 0, 3]
+    assert out.column("n_words_total").to_pylist() == [6, 2, 1, 1, 3]
+    empty = stopword_ratio_batch(t.slice(0, 0))
+    assert empty.num_rows == 0
