@@ -431,6 +431,112 @@ def _q_orders_join_customer(sf_dir: str):
     return j.select_columns(["o_orderkey", "c_mktsegment", "o_totalprice"])
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: predicate-pushdown read (only
+    row groups with l_shipdate <= cutoff leave storage), per-batch
+    partial aggregation into <=6 rows (the combiner-before-shuffle
+    pattern — the global exchange moves a handful of rows per block,
+    never the lineitem table), then a tiny multi-key groupby.  All
+    money math is integer (cents / 1e-4 / 1e-6 units) so the sums are
+    exact and hash-stable across engines.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        tax = np.rint(
+            batch.column("l_tax").to_numpy() * 100.0).astype(np.int64)
+        qty = np.rint(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        disc_e4 = cents * (100 - disc)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(qty),
+            "sum_base_cents": pa.array(cents),
+            "sum_disc_e4": pa.array(disc_e4),
+            "sum_charge_e6": pa.array(disc_e4 * (100 + tax)),
+            "n_lines": pa.array(np.ones(len(qty), dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("sum_disc_e4", "sum"), ("sum_charge_e6", "sum"),
+             ("n_lines", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+             "sum_disc_e4", "sum_charge_e6", "n_lines"])
+
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=pc.field("l_shipdate") <= cutoff)
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty"), Sum("sum_base_cents"), Sum("sum_disc_e4"),
+        Sum("sum_charge_e6"), Sum("n_lines"))
+    return out.rename_columns(
+        {"sum(sum_qty)": "sum_qty", "sum(sum_base_cents)": "sum_base_cents",
+         "sum(sum_disc_e4)": "sum_disc_e4",
+         "sum(sum_charge_e6)": "sum_charge_e6", "sum(n_lines)": "n_lines"})
+
+
+def _q_supplier_revenue(sf_dir: str):
+    """Revenue per supplier nation — a two-level broadcast map-side join
+    (lineitem >> supplier (100 rows) >> nation (25 rows)): both small
+    sides are composed into ONE suppkey->nation-name lookup on the
+    driver and applied inside map_batches, so the big table is never
+    shuffled for the join; the only exchange is the 25-key groupby of
+    per-batch partials.  Integer 1e-4-unit revenue keeps the comparison
+    hash-exact.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkeys = nat.column("n_nationkey").to_numpy()
+    order = np.argsort(nkeys)
+    nnames = np.asarray(nat.column("n_name").to_numpy(
+        zero_copy_only=False))[order]
+    nkeys = nkeys[order]
+    skeys = supp.column("s_suppkey").to_numpy()
+    sorder = np.argsort(skeys)
+    skeys = skeys[sorder]
+    snation = supp.column("s_nationkey").to_numpy()[sorder]
+    # compose: suppkey -> nation name (both sides broadcast-small)
+    sname = nnames[np.searchsorted(nkeys, snation)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy()
+        name = sname[np.searchsorted(skeys, sk)]
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        t = pa.table({
+            "n_name": pa.array(name.tolist(), type=pa.string()),
+            "revenue_e4": pa.array(cents * (100 - disc)),
+            "n_lines": pa.array(np.ones(len(sk), dtype=np.int64)),
+        })
+        return t.group_by("n_name").aggregate(
+            [("revenue_e4", "sum"), ("n_lines", "sum")]).rename_columns(
+            ["n_name", "revenue_e4", "n_lines"])
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("revenue_e4"), Sum("n_lines"))
+    return out.rename_columns({"sum(revenue_e4)": "revenue_e4",
+                               "sum(n_lines)": "n_lines"})
+
+
 def _q_events_stats(sf_dir: str):
     """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
     from ray.data.aggregate import Count, Max, Min
@@ -508,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "orders_by_segment": _q_orders_by_segment,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
     }
 
@@ -659,5 +767,33 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+              sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS sum_base_cents,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS sum_disc_e4,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS sum_charge_e6,
+              count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "supplier_revenue": """
+            SELECT n_name,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS revenue_e4,
+              count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
     }

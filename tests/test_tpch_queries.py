@@ -1,0 +1,34 @@
+"""The lineitem analytics queries (pricing summary, supplier revenue)
+against a DuckDB oracle at sf0.001 — exercises predicate-pushdown reads,
+per-batch partial aggregation, multi-key groupby, and the composed
+broadcast map-side join."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", ["lineitem_pricing", "supplier_revenue"])
+def test_query_matches_duckdb(ray_session, oracle_con, name):
+    import __ray_entry__ as E
+
+    got = _canon(E.queries()[name](SF).to_pandas())
+    want = _canon(oracle_con.execute(E.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
