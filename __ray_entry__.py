@@ -537,6 +537,37 @@ def _q_supplier_revenue(sf_dir: str):
                                "sum(n_lines)": "n_lines"})
 
 
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution via the generic as-of join operator
+    (stages/asof.py): every purchase event joined to the same user's most
+    recent click at-or-before it.  Both sides are predicate-pushdown
+    reads; the only exchange is ONE hash shuffle by user_id; the merge is
+    a vectorized searchsorted inside map_groups.  Verified against
+    DuckDB's native ASOF JOIN.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    import ray.data
+    from lingua_ray.stages.asof import asof_join
+
+    cols = ["user_id", "ts", "event_id"]
+
+    def side(event_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=cols + ["event_type"],
+            filter=pc.field("event_type") == event_type)
+
+    out = asof_join(side("purchase"), side("click"), by="user_id", on="ts",
+                    keep=["event_id"], right_suffix="_click")
+
+    def add_gap(batch: pa.Table) -> pa.Table:
+        gap = pc.cast(
+            pc.subtract(batch.column("ts"), batch.column("ts_click")),
+            pa.int64())
+        return batch.append_column("gap_us", gap)
+
+    return out.map_batches(add_gap, batch_format="pyarrow")
+
+
 def _q_events_stats(sf_dir: str):
     """Multi-aggregate groupby over the events stream table.  [SQL-verified]"""
     from ray.data.aggregate import Count, Max, Min
@@ -615,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_pricing": _q_lineitem_pricing,
+        "events_attribution": _q_events_attribution,
         "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
     }
@@ -767,6 +799,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "events_attribution": """
+            SELECT p.user_id, p.ts, p.event_id,
+                   c.ts AS ts_click, c.event_id AS event_id_click,
+                   date_diff('microsecond', c.ts, p.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
