@@ -537,6 +537,88 @@ def _q_supplier_revenue(sf_dir: str):
                                "sum(n_lines)": "n_lines"})
 
 
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles via a histogram combiner: each batch
+    emits (value, count) pairs for the bounded-cardinality n_chars column,
+    the groupby sums partials, and the driver reduces the TINY histogram
+    (one row per distinct length — KBs at any corpus size) with a cumsum.
+    Matches DuckDB's quantile_disc rank semantics ceil(q*n) exactly — no
+    approximation, no full sort, no large exchange.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy()
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("cnt")).to_pandas())
+    hist = hist.sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy()
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    n = int(cum[-1])
+    row = {"n_docs": n}
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        rank = int(np.ceil(q * n))
+        row[name] = int(vals[np.searchsorted(cum, rank)])
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in row.items()})
+
+
+def _q_top_orders_per_segment(sf_dir: str):
+    """Group-wise top-k (the window-function row_number<=k pattern):
+    broadcast map-side join attaches the segment, a per-batch combiner
+    keeps only each segment's local top-3 (so the shuffle moves <=
+    3×segments rows per block), and map_groups takes the global top-3.
+    Ties break on o_orderkey so the result is deterministic.
+    [SQL-verified]"""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.column("c_custkey").to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    segs = np.asarray(cust.column("c_mktsegment").to_numpy(
+        zero_copy_only=False))[order]
+    K = 3
+
+    def topk(seg, okey, price):
+        # descending price, ascending orderkey tiebreak; first K per seg
+        o = np.lexsort((okey, -price, seg))
+        seg, okey, price = seg[o], okey[o], price[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], seg[1:] != seg[:-1]]))
+        pos = np.arange(len(seg)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(seg)]])))
+        m = pos < K
+        return pa.table({
+            "c_mktsegment": pa.array(seg[m].tolist(), type=pa.string()),
+            "o_orderkey": pa.array(okey[m]),
+            "o_totalprice": pa.array(price[m]),
+        })
+
+    def local(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        seg = segs[idx]
+        return topk(seg, batch.column("o_orderkey").to_numpy(),
+                    batch.column("o_totalprice").to_numpy())
+
+    def final(group: pa.Table) -> pa.Table:
+        return topk(
+            np.asarray(group.column("c_mktsegment").to_numpy(
+                zero_copy_only=False)),
+            group.column("o_orderkey").to_numpy(),
+            group.column("o_totalprice").to_numpy())
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .map_groups(final, batch_format="pyarrow"))
+
+
 def _q_events_attribution(sf_dir: str):
     """Last-touch attribution via the generic as-of join operator
     (stages/asof.py): every purchase event joined to the same user's most
@@ -647,6 +729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_attribution": _q_events_attribution,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "top_orders_per_segment": _q_top_orders_per_segment,
         "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
     }
@@ -799,6 +883,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "doc_length_quantiles": """
+            SELECT count(*) AS n_docs,
+              CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+              CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+              CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rn <= 3
         """,
         "events_attribution": """
             SELECT p.user_id, p.ts, p.event_id,

@@ -18,13 +18,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("lineitem", "supplier", "nation"):
+    for t in ("lineitem", "supplier", "nation", "documents", "orders",
+              "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
 
 
-@pytest.mark.parametrize("name", ["lineitem_pricing", "supplier_revenue"])
+@pytest.mark.parametrize("name", ["lineitem_pricing", "supplier_revenue",
+                                  "doc_length_quantiles",
+                                  "top_orders_per_segment"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
