@@ -537,6 +537,46 @@ def _q_supplier_revenue(sf_dir: str):
                                "sum(n_lines)": "n_lines"})
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signal: the document's most frequent word
+    count vs total words (stages/quality.py::repetition_batch — Arrow
+    dictionary-encode + segmented reductions, no Python token loop).
+    [SQL-verified]"""
+    from lingua_ray.stages.quality import repetition_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        repetition_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "top_word_count", "n_words_rep"])
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window counts (1 h window, 15 min slide): each event maps
+    to its 4 covering windows INSIDE the per-batch combiner (unique+count
+    partials), so the exchange is per-window partial counts, never the
+    duplicated events.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    SLIDE_US = 15 * 60 * 1_000_000
+    WINDOWS = 4  # 1h window / 15min slide
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        bucket = ts // SLIDE_US
+        ws = np.concatenate([bucket - k for k in range(WINDOWS)])
+        vals, cnts = np.unique(ws, return_counts=True)
+        return pa.table({
+            "window_start": pa.array(
+                (vals * SLIDE_US).astype("datetime64[us]")),
+            "n": pa.array(cnts.astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "window_start").aggregate(Sum("n"))
+    return out.rename_columns({"sum(n)": "n"})
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact distributed quantiles via a histogram combiner: each batch
     emits (value, count) pairs for the bounded-cardinality n_chars column,
@@ -730,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "events_attribution": _q_events_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_repetition": _q_doc_repetition,
+        "events_sliding": _q_events_sliding,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
@@ -883,6 +925,24 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "doc_repetition": """
+            SELECT doc_id, max(c) AS top_word_count,
+                   sum(c) AS n_words_rep
+            FROM (
+              SELECT doc_id, w, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              GROUP BY doc_id, w)
+            GROUP BY doc_id
+        """,
+        "events_sliding": """
+            SELECT make_timestamp(
+                     (epoch_us(ts) // 900000000 - k) * 900000000)
+                     AS window_start,
+                   count(*) AS n
+            FROM events, (SELECT unnest(range(4)) AS k)
+            GROUP BY 1
         """,
         "doc_length_quantiles": """
             SELECT count(*) AS n_docs,

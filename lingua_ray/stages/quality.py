@@ -189,3 +189,40 @@ def stopword_ratio_batch(batch: pa.Table, text_col: str = "text",
     batch = set_column(batch, "n_stopwords", pa.array(n_stop))
     batch = set_column(batch, "n_words_total", total)
     return batch
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``top_word_count`` / ``n_words_rep``: occurrences of the
+    document's single most frequent word and the total word count
+    (Gopher-style repetition signal; a high ratio flags keyword-stuffed
+    or degenerate machine text).  Fully vectorized: Arrow split +
+    dictionary-encode gives integer word codes, then one lexsort and two
+    segmented reductions — no Python loop over rows or tokens."""
+    import pyarrow.compute as pc
+    col = pc.fill_null(batch.column(text_col), "")
+    words = pc.split_pattern(col, " ")
+    n = batch.num_rows
+    lens = np.asarray(
+        pc.list_value_length(words).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
+    flat = pc.list_flatten(words)
+    codes = np.asarray(
+        pc.dictionary_encode(flat).combine_chunks().indices.to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    top = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        order = np.lexsort((codes, row_id))
+        r, c = row_id[order], codes[order]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])]))
+        run_len = np.diff(np.concatenate([run_start, [len(r)]]))
+        run_row = r[run_start]
+        row_start = np.flatnonzero(
+            np.concatenate([[True], run_row[1:] != run_row[:-1]]))
+        top[run_row[row_start]] = np.maximum.reduceat(run_len, row_start)
+
+    batch = set_column(batch, "top_word_count", pa.array(top))
+    batch = set_column(batch, "n_words_rep", pa.array(lens))
+    return batch

@@ -19,7 +19,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def oracle_con():
     con = duckdb.connect()
     for t in ("lineitem", "supplier", "nation", "documents", "orders",
-              "customer"):
+              "customer", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -27,7 +27,8 @@ def oracle_con():
 
 @pytest.mark.parametrize("name", ["lineitem_pricing", "supplier_revenue",
                                   "doc_length_quantiles",
-                                  "top_orders_per_segment"])
+                                  "top_orders_per_segment",
+                                  "doc_repetition", "events_sliding"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
