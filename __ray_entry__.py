@@ -537,6 +537,49 @@ def _q_supplier_revenue(sf_dir: str):
                                "sum(n_lines)": "n_lines"})
 
 
+def _q_customers_no_big_orders(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS) via stages/sets.py: customers
+    with no order over $400k.  The right side is reduced to distinct
+    keys inside a per-batch combiner before the single hash shuffle, so
+    the exchange carries keys, never order rows.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    import ray.data
+    from lingua_ray.stages.sets import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        filter=pc.field("o_totalprice") > 400000.0)
+    return anti_join(cust, big, on="c_custkey", right_on="o_custkey")
+
+
+def _q_events_lag(sf_dir: str):
+    """Per-key LAG window function: microsecond gap between each event
+    and the same user's previous event (events with no predecessor are
+    dropped, matching the SQL's IS NOT NULL).  One hash shuffle by
+    user_id, vectorized sort+diff inside map_groups.  [SQL-verified]"""
+
+    def lag_group(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        uid = group.column("user_id").take(pa.array(order))
+        gap = np.diff(ts)
+        return pa.table({
+            "event_id": pa.array(eid[1:]),
+            "user_id": uid.slice(1),
+            "ts": pa.array(ts[1:].astype("datetime64[us]")),
+            "gap_us": pa.array(gap),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        lag_group, batch_format="pyarrow")
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signal: the document's most frequent word
     count vs total words (stages/quality.py::repetition_batch — Arrow
@@ -771,6 +814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_repetition": _q_doc_repetition,
+        "customers_no_big_orders": _q_customers_no_big_orders,
+        "events_lag": _q_events_lag,
         "events_sliding": _q_events_sliding,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "supplier_revenue": _q_supplier_revenue,
@@ -925,6 +970,22 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "customers_no_big_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+        """,
+        "events_lag": """
+            SELECT event_id, user_id, ts, gap_us FROM (
+              SELECT event_id, user_id, ts,
+                date_diff('microsecond',
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id), ts) AS gap_us
+              FROM events)
+            WHERE gap_us IS NOT NULL
         """,
         "doc_repetition": """
             SELECT doc_id, max(c) AS top_word_count,

@@ -28,7 +28,8 @@ def oracle_con():
 @pytest.mark.parametrize("name", ["lineitem_pricing", "supplier_revenue",
                                   "doc_length_quantiles",
                                   "top_orders_per_segment",
-                                  "doc_repetition", "events_sliding"])
+                                  "doc_repetition", "events_sliding",
+                                  "customers_no_big_orders", "events_lag"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
