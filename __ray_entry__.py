@@ -25,9 +25,23 @@ import pyarrow.parquet as pq
 # --------------------------------------------------------------------- utils
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    """Column-pruned parquet read: only the named columns leave storage."""
+    """Column-pruned parquet read: only the named columns leave storage.
+
+    Block count is sized to the DATA, not the cluster: Ray's default
+    parallelism would split a 5k-row file into 64 blocks of ~80 rows, and
+    every downstream sort/groupby then pays 64-partition shuffle overhead
+    for kilobytes of payload.  A block should hold ≥ ~25k rows (or the
+    whole file); at real scale (many multi-GB files) the clamp is a no-op
+    and Ray's own size-based splitting governs.
+    """
+    import ray
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    blocks = max(1, min(4 * cpus, n_rows // 25_000))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=blocks)
 
 
 def _transcripts_for_sf(sf_dir: str) -> Path:
