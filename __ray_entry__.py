@@ -195,6 +195,37 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_ngram_counts(sf_dir: str):
+    """Top-20 character trigrams per language — the distributed n-gram
+    counting shape behind model training: per-batch combiner (distinct
+    (lang, ngram) partial counts on the wire, never per-window rows) →
+    ONE lang-keyed groupby → per-language exact top-k with deterministic
+    (cnt desc, ngram asc) tie-break.  [SQL-verified]"""
+    from lingua_ray.functions.ngrams import char_ngram_topk
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return char_ngram_topk(ds, n=3, k=20)
+
+
+def _q_train_ngrams(sf_dir: str):
+    """Distributed model training (the reference's createLanguageModels
+    task as a Ray pipeline): Dataset[(lang, text)] → per-language sorted
+    (n, hash, conditional frequency) model rows.  Bit-identical to the
+    single-process trainer (pytest-gated).  [rows-only — hash-keyed, no
+    SQL analogue; cites GenerateLanguageModelsTask.kt:145-199]"""
+    from lingua_ray.functions.ngrams import train_distributed
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = train_distributed(ds)
+    # int64 view of the uint64 hash for a driver-stable output schema
+    def to_int64(batch: pa.Table) -> pa.Table:
+        if "hash" not in batch.column_names:  # Ray's schema-less empty blocks
+            return batch
+        h = np.asarray(batch.column("hash").to_numpy(zero_copy_only=False),
+                       dtype=np.uint64).view(np.int64)
+        return batch.set_column(batch.schema.get_field_index("hash"),
+                                "hash", pa.array(h, type=pa.int64()))
+    return out.map_batches(to_int64, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: kept doc_ids (min doc_id per distinct text).  The
     combiner hashes text → fingerprint64 and pre-aggregates per batch, so
@@ -808,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
+        "ngram_counts": _q_ngram_counts,
+        "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
         "dedup_minhash": _q_dedup_minhash,
@@ -936,6 +969,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "ngram_counts": """
+            WITH g AS (
+              SELECT lang, substring(text, gs, 3) AS ngram
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                     AS t(gs)
+            ),
+            c AS (SELECT lang, ngram, count(*) AS cnt
+                  FROM g GROUP BY lang, ngram)
+            SELECT lang, ngram, cnt FROM c
+            QUALIFY row_number() OVER
+              (PARTITION BY lang ORDER BY cnt DESC, ngram ASC) <= 20
         """,
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
