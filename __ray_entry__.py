@@ -226,6 +226,26 @@ def _q_train_ngrams(sf_dir: str):
     return out.map_batches(to_int64, batch_format="pyarrow")
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination check: every document tagged with its
+    distinct word-8-gram count and how many of those appear in the
+    benchmark set (docs with doc_id % 97 == 0 stand in for an eval set).
+    Broadcast-small-side plan: the benchmark hash array ships via
+    ``ray.put`` once, the corpus never shuffles.  [SQL-verified]"""
+    from lingua_ray.stages.contamination import contamination_check
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(pc.cast(batch.column("doc_id"), pa.int64())
+                        .to_numpy() % 97, 0)
+        return batch.filter(pa.array(keep))
+
+    bench = ds.map_batches(bench_filter, batch_format="pyarrow")
+    out = contamination_check(ds, bench, n=8)
+    return out.select_columns(["doc_id", "n_ngrams", "n_hits"])
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: kept doc_ids (min doc_id per distinct text).  The
     combiner hashes text → fingerprint64 and pre-aggregates per batch, so
@@ -840,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "ngram_counts": _q_ngram_counts,
+        "contamination": _q_contamination,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
@@ -969,6 +990,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "contamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(ws[gs:gs+7], ' ') AS g
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                     AS t(gs)
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            s AS (
+              SELECT dg.doc_id, count(*) AS n_ngrams,
+                CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hits
+              FROM dg LEFT JOIN bench ON dg.g = bench.g
+              GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id, coalesce(s.n_ngrams, 0) AS n_ngrams,
+                   coalesce(s.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "ngram_counts": """
             WITH g AS (
