@@ -226,6 +226,27 @@ def _q_train_ngrams(sf_dir: str):
     return out.map_batches(to_int64, batch_format="pyarrow")
 
 
+def _q_doc_tfidf(sf_dir: str):
+    """Per-document TF-IDF score: DF combiner → groupby sum → broadcast
+    vocabulary → shuffle-free scoring pass.  [SQL-verified — score
+    rounded to 6 decimals in both engines]"""
+    from lingua_ray.stages.tfidf import tfidf_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    out = tfidf_scores(ds, n_docs=n_docs)
+    return out.select_columns(["doc_id", "tfidf"])
+
+
+def _q_stratified_sample(sf_dir: str):
+    """20 documents per language by consistent md5-of-id rank —
+    reproducible stratified subsampling whose shuffle carries at most
+    k rows per (language, batch) regardless of corpus size.
+    [SQL-verified]"""
+    from lingua_ray.stages.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id"])
+    return stratified_sample(ds, key_col="lang", k=20, id_col="doc_id")
+
+
 def _q_contamination(sf_dir: str):
     """Benchmark-contamination check: every document tagged with its
     distinct word-8-gram count and how many of those appear in the
@@ -861,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "doc_tfidf": _q_doc_tfidf,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
@@ -990,6 +1013,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "doc_tfidf": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df
+                   FROM w GROUP BY word),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT w.doc_id, round(sum(ln(n.n / df.df)), 6) AS tfidf
+            FROM w CROSS JOIN n JOIN df ON w.word = df.word
+            GROUP BY w.doc_id
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id,
+              CAST(row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rn
+            FROM documents
+            QUALIFY rn <= 20
         """,
         "contamination": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -38,7 +38,9 @@ def _word_gram_hashes(batch: pa.Table, n: int, text_col: str
     empty strings between consecutive spaces count as words, matching the
     SQL oracle).  Returns ``(hashes uint64, row_offsets int64)``.
     """
-    col = pc.fill_null(batch.column(text_col), "")
+    # cast first: an all-null block types the column as null, and
+    # fill_null(null, "") has no kernel
+    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
     words = pc.split_pattern(col, " ")
     flat = pc.list_flatten(words)
     counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)

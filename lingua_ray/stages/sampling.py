@@ -1,0 +1,71 @@
+"""Stratified deterministic sampling over a keyed corpus.
+
+``stratified_sample(ds, key_col, k)`` keeps exactly ``k`` rows per stratum
+(language, source, domain ...), chosen by CONSISTENT hash rank — the same
+rows are selected regardless of partitioning, run order, cluster size, or
+resume, which is what a reproducible training-data subsample needs (a
+`random_sample` would differ run to run and can't be oracle-checked).
+
+Shape: per-batch combiner keeps the k hash-smallest rows per stratum seen
+in that batch (the global winners are necessarily among the per-batch
+winners), then ONE stratum-keyed ``groupby.map_groups`` picks the final k.
+The shuffle carries ≤ k rows per (stratum, batch) — independent of corpus
+size — so at 100 TB the exchange is bounded by k × strata × blocks, tiny.
+
+Rank function: ``md5(str(id))`` hex digest with id ascending as tie-break,
+byte-for-byte reproducible in DuckDB (``md5(CAST(id AS VARCHAR))``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _rank_key(batch: pa.Table, id_col: str) -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    return batch.append_column("_rk", pa.array(digests, type=pa.string()))
+
+
+def _topk_per_stratum(batch: pa.Table, key_col: str, id_col: str,
+                      k: int) -> pa.Table:
+    """Keep the k smallest (_rk, id) rows per stratum value in this table."""
+    out = []
+    sorted_t = batch.sort_by([(key_col, "ascending"), ("_rk", "ascending"),
+                              (id_col, "ascending")])
+    keys = sorted_t.column(key_col).to_pylist()
+    start = 0
+    for i in range(1, len(keys) + 1):
+        if i == len(keys) or keys[i] != keys[start]:
+            out.append(sorted_t.slice(start, min(k, i - start)))
+            start = i
+    if not out:
+        return sorted_t
+    return pa.concat_tables(out)
+
+
+def stratified_sample(ds, key_col: str, k: int, id_col: str = "doc_id",
+                      with_rank: bool = True):
+    """k rows per ``key_col`` stratum by consistent md5-of-id rank.
+
+    Returns columns ``(key_col, id_col[, rn])`` where ``rn`` is the 1-based
+    rank within the stratum.
+    """
+    def combiner(batch: pa.Table) -> pa.Table:
+        t = _rank_key(batch.select([key_col, id_col]), id_col)
+        return _topk_per_stratum(t, key_col, id_col, k)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t = _topk_per_stratum(group, key_col, id_col, k)
+        cols = [t.column(key_col), t.column(id_col)]
+        names = [key_col, id_col]
+        if with_rank:
+            cols.append(pa.array(range(1, t.num_rows + 1), type=pa.int64()))
+            names.append("rn")
+        return pa.table(dict(zip(names, cols)))
+
+    partial = ds.map_batches(combiner, batch_format="pyarrow")
+    return partial.groupby(key_col).map_groups(finalize,
+                                               batch_format="pyarrow")

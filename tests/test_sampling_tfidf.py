@@ -1,0 +1,80 @@
+"""Stratified sampling (stages/sampling.py) + TF-IDF (stages/tfidf.py)."""
+
+import hashlib
+import math
+from collections import Counter
+
+import pyarrow as pa
+
+
+def _docs():
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "lang": ["en", "de", "fr"][i % 3],
+                     "text": f"word{i % 7} word{i % 5} common tail"})
+    return rows
+
+
+def _naive_sample(rows, k):
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    out = {}
+    for lang, ids in by_lang.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), i))[:k]
+        out[lang] = ranked
+    return out
+
+
+def test_stratified_sample_consistent(ray_session):
+    import ray.data
+    from lingua_ray.stages.sampling import stratified_sample
+    rows = _docs()
+    expect = _naive_sample(rows, 5)
+    for parts in (1, 4):  # selection independent of partitioning
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = stratified_sample(ds, key_col="lang", k=5).take_all()
+        got = {}
+        for r in sorted(out, key=lambda r: (r["lang"], r["rn"])):
+            got.setdefault(r["lang"], []).append(r["doc_id"])
+        assert got == expect, f"parts={parts}"
+        assert all(r["rn"] >= 1 for r in out)
+
+
+def test_stratified_sample_small_stratum(ray_session):
+    import ray.data
+    from lingua_ray.stages.sampling import stratified_sample
+    rows = [{"doc_id": 1, "lang": "xx", "text": "t"}]
+    out = stratified_sample(ray.data.from_items(rows),
+                            key_col="lang", k=10).take_all()
+    assert len(out) == 1 and out[0]["rn"] == 1
+
+
+def test_tfidf_matches_naive(ray_session):
+    import ray.data
+    from lingua_ray.stages.tfidf import tfidf_scores
+    rows = _docs()
+    ds = ray.data.from_items(rows).repartition(3)
+    out = tfidf_scores(ds, concurrency=2).take_all()
+    n = len(rows)
+    df = Counter()
+    for r in rows:
+        for w in set(r["text"].split(" ")):
+            df[w] += 1
+    by_id = {r["doc_id"]: r["tfidf"] for r in out}
+    for r in rows:
+        expect = sum(math.log(n / df[w]) for w in r["text"].split(" "))
+        assert abs(by_id[r["doc_id"]] - round(expect, 6)) < 1e-9
+
+
+def test_tfidf_empty_and_null_text(ray_session):
+    import ray.data
+    from lingua_ray.stages.tfidf import tfidf_scores
+    rows = [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": None},
+            {"doc_id": 2, "text": "a a b"}]
+    out = tfidf_scores(ray.data.from_items(rows), concurrency=2).take_all()
+    by_id = {r["doc_id"]: r["tfidf"] for r in out}
+    # "" and None both tokenize to [""] (df=2 of 3 docs)
+    assert by_id[0] == by_id[1] == round(math.log(3 / 2), 6)
+    assert by_id[2] > 0
