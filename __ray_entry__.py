@@ -226,6 +226,29 @@ def _q_train_ngrams(sf_dir: str):
     return out.map_batches(to_int64, batch_format="pyarrow")
 
 
+def _q_corpus_mix(sf_dir: str):
+    """Weighted corpus mixing: three virtual sources (doc_id mod 3)
+    hash-sampled at rates 1.0 / 0.5 / 0.25 and unioned with a source
+    label — deterministic md5 thresholds, zero shuffle, Dataset.union.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.stages.sampling import mix_corpora
+
+    def src(mod: int):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+        def f(batch: pa.Table, _m=mod) -> pa.Table:
+            ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+            return batch.filter(pa.array(ids % 3 == _m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = mix_corpora([("s0", src(0), 1.0), ("s1", src(1), 0.5),
+                       ("s2", src(2), 0.25)])
+    return out.select_columns(["source", "doc_id"])
+
+
 def _q_doc_tfidf(sf_dir: str):
     """Per-document TF-IDF score: DF combiner → groupby sum → broadcast
     vocabulary → shuffle-free scoring pass.  [SQL-verified — score
@@ -884,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "doc_tfidf": _q_doc_tfidf,
+        "corpus_mix": _q_corpus_mix,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
@@ -912,6 +936,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
     }
+
+
+def _corpus_mix_sql() -> str:
+    """Same md5 thresholds as the Ray query, inlined as hex literals so
+    float rounding can't diverge between engines."""
+    from lingua_ray.stages.sampling import _md5_threshold
+    parts = []
+    for mod, name, rate in ((0, "s0", 1.0), (1, "s1", 0.5), (2, "s2", 0.25)):
+        pred = ("" if rate >= 1.0 else
+                f" AND md5(CAST(doc_id AS VARCHAR)) < '{_md5_threshold(rate)}'")
+        parts.append(f"SELECT '{name}' AS source, doc_id FROM documents "
+                     f"WHERE doc_id % 3 = {mod}{pred}")
+    return " UNION ALL ".join(parts)
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -1014,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, word ASC
             LIMIT 100
         """,
+        "corpus_mix": _corpus_mix_sql(),
         "doc_tfidf": """
             WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                        FROM documents),

@@ -69,3 +69,49 @@ def stratified_sample(ds, key_col: str, k: int, id_col: str = "doc_id",
     partial = ds.map_batches(combiner, batch_format="pyarrow")
     return partial.groupby(key_col).map_groups(finalize,
                                                batch_format="pyarrow")
+
+
+def _md5_threshold(rate: float) -> str:
+    """32-hex-char threshold t such that P[md5(id) < t] = rate under a
+    uniform digest.  String comparison on lowercase hex is byte-order =
+    value-order, identical in Python and DuckDB."""
+    if rate >= 1.0:
+        return "g" * 32  # > every hex digest
+    return format(int(rate * 16 ** 32), "032x")
+
+
+def hash_sample(ds, rate: float, id_col: str = "doc_id"):
+    """Keep a deterministic ``rate`` fraction of rows: md5(str(id)) below
+    the rate threshold.  Consistent across runs/partitions/cluster sizes
+    (unlike ``Dataset.random_sample``), embarrassingly parallel, zero
+    shuffle — the standard reproducible-subsample primitive."""
+    thresh = _md5_threshold(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([hashlib.md5(str(i).encode()).hexdigest() < thresh
+                         for i in ids], type=pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_corpora(sources: list[tuple], id_col: str = "doc_id",
+                label_col: str = "source"):
+    """Weighted corpus mixing: each ``(name, ds, rate)`` source is
+    hash-sampled at its rate, tagged with ``label_col`` = name, and the
+    streams are unioned — the data-mixing step of a training pipeline.
+    Union in Ray Data concatenates block streams without moving rows."""
+    tagged = []
+    for name, ds, rate in sources:
+        s = hash_sample(ds, rate, id_col=id_col)
+
+        def tag(batch: pa.Table, _name=name) -> pa.Table:
+            lbl = pa.array([_name] * batch.num_rows, type=pa.string())
+            return batch.append_column(label_col, lbl)
+
+        tagged.append(s.map_batches(tag, batch_format="pyarrow"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out

@@ -78,3 +78,37 @@ def test_tfidf_empty_and_null_text(ray_session):
     # "" and None both tokenize to [""] (df=2 of 3 docs)
     assert by_id[0] == by_id[1] == round(math.log(3 / 2), 6)
     assert by_id[2] > 0
+
+
+def test_hash_sample_deterministic_and_nested(ray_session):
+    import ray.data
+    from lingua_ray.stages.sampling import hash_sample
+    rows = [{"doc_id": i} for i in range(2000)]
+    ids = {}
+    for rate in (0.25, 0.5, 1.0):
+        for parts in (1, 5):
+            ds = ray.data.from_items(rows).repartition(parts)
+            got = sorted(r["doc_id"]
+                         for r in hash_sample(ds, rate).take_all())
+            ids.setdefault(rate, got)
+            assert got == ids[rate], f"rate={rate} parts={parts}"
+    assert ids[1.0] == [r["doc_id"] for r in rows]
+    # nested property: lower rates select subsets of higher rates
+    assert set(ids[0.25]) <= set(ids[0.5])
+    # rates roughly honored (md5 is uniform; 2000 trials, ±6%)
+    assert abs(len(ids[0.5]) / 2000 - 0.5) < 0.06
+    assert abs(len(ids[0.25]) / 2000 - 0.25) < 0.06
+
+
+def test_mix_corpora_labels_and_rates(ray_session):
+    import ray.data
+    from lingua_ray.stages.sampling import hash_sample, mix_corpora
+    a = ray.data.from_items([{"doc_id": i} for i in range(500)])
+    b = ray.data.from_items([{"doc_id": i} for i in range(500, 1000)])
+    out = mix_corpora([("a", a, 1.0), ("b", b, 0.5)]).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src["a"] == set(range(500))
+    expect_b = {r["doc_id"] for r in hash_sample(b, 0.5).take_all()}
+    assert by_src["b"] == expect_b
