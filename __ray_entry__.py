@@ -226,6 +226,20 @@ def _q_train_ngrams(sf_dir: str):
     return out.map_batches(to_int64, batch_format="pyarrow")
 
 
+def _q_seq_packing(sf_dir: str):
+    """Sequence packing: documents → ≤256-token training bins (next-fit,
+    block-local, zero shuffle; bin id = first doc id in the bin so ids
+    are globally unique with no coordination).  [rows-only — sequential
+    recurrence, not SQL-expressible; invariants pytest-gated]"""
+    from lingua_ray.functions.textstats import token_count_batch
+    from lingua_ray.stages.packing import pack_sequences
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    out = pack_sequences(ds, cap=256, tokens_col="n_ws_tokens")
+    return out.select_columns(["doc_id", "n_ws_tokens", "bin_id",
+                               "bin_fill"])
+
+
 def _q_corpus_mix(sf_dir: str):
     """Weighted corpus mixing: three virtual sources (doc_id mod 3)
     hash-sampled at rates 1.0 / 0.5 / 0.25 and unioned with a source
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_tfidf": _q_doc_tfidf,
         "corpus_mix": _q_corpus_mix,
+        "seq_packing": _q_seq_packing,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
