@@ -97,7 +97,10 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
     bench_queries = ["langid_documents", "doc_quality", "doc_scrub",
                      "doc_tokens", "dedup_exact", "dedup_minhash",
                      "dedup_clusters", "simhash", "knn_bruteforce", "knn_ivf", "lang_hist",
-                     "events_sessions", "orders_by_segment"]
+                     "events_sessions", "orders_by_segment",
+                     "ngram_counts", "train_ngrams", "contamination",
+                     "stratified_sample", "doc_tfidf", "corpus_mix",
+                     "seq_packing"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
