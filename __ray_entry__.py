@@ -174,6 +174,70 @@ def _q_doc_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+# Boilerplate paragraphs planted by the para_dedup query (the synthetic
+# documents have no newlines, so cross-document duplicate paragraphs are
+# planted deterministically — same prep inlined into the oracle SQL).
+_PD_B1 = "subscribe to our newsletter for daily updates"
+_PD_B2 = "copyright all rights reserved"
+
+
+def _pd_plant(batch):
+    """Append boilerplate para 1 to docs with doc_id%3==0 and boilerplate
+    para 2 to docs with doc_id%4==0 (some docs get both, order B1 then
+    B2)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    t = pc.fill_null(batch.column("text"), "")
+    nl = pa.scalar("\n")
+    t = pc.if_else(pa.array(did % 3 == 0),
+                   pc.binary_join_element_wise(t, pa.scalar(_PD_B1), nl), t)
+    t = pc.if_else(pa.array(did % 4 == 0),
+                   pc.binary_join_element_wise(t, pa.scalar(_PD_B2), nl), t)
+    i = batch.schema.get_field_index("text")
+    return batch.set_column(i, "text", t)
+
+
+def _q_para_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (RefinedWeb/C4 style): every repeated
+    paragraph keeps only its first occurrence by (doc_id, para_idx) and
+    documents are rewritten from the survivors — text crosses the wire
+    exactly once (see stages/paradedup.py).  [SQL-verified]"""
+    from lingua_ray.stages.paradedup import paragraph_dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_pd_plant, batch_format="pyarrow")
+    return paragraph_dedup(ds).select_columns(["doc_id", "text"])
+
+
+def _para_dedup_sql() -> str:
+    return f"""
+    WITH prepped AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_PD_B1}'
+             ELSE text END
+        || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_PD_B2}'
+                ELSE '' END AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM prepped),
+    paras AS (
+      SELECT doc_id,
+             CAST(unnest(range(length(parts))) AS BIGINT) AS para_idx,
+             unnest(parts) AS p
+      FROM split),
+    flagged AS (
+      SELECT doc_id, para_idx, p,
+        row_number() OVER (PARTITION BY p ORDER BY doc_id, para_idx) AS rn,
+        length(p) AS len
+      FROM paras)
+    SELECT doc_id,
+      coalesce(string_agg(p, chr(10) ORDER BY para_idx)
+               FILTER (WHERE rn = 1 OR len < 1), '') AS text
+    FROM flagged GROUP BY doc_id
+    """
+
+
 def _q_doc_stopwords(sf_dir: str):
     """English stopword counts per document (integer-exact; ratio =
     n_stopwords / n_words_total downstream) — the Gopher-style
@@ -915,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
+        "para_dedup": _q_para_dedup,
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "ngram_counts": _q_ngram_counts,
@@ -1048,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": tokens,
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "para_dedup": _para_dedup_sql(),
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_stopwords": """

@@ -54,16 +54,21 @@ def _fingerprint64(text: str) -> np.uint64:
     return _mix64(h)[0]
 
 
-def fingerprint64_array(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+def fingerprint64_array(col: pa.Array | pa.ChunkedArray,
+                        mult: np.uint64 | None = None) -> np.ndarray:
     """Vectorized 64-bit text fingerprint (uint64 per row).
 
-    Polynomial rolling hash over the UTF-8 bytes (Horner with
-    ``HASH_MULT``), finalized with a length xor + bit mix.  Computed with
-    one cumulative sum over the batch's concatenated value buffer — the
-    per-row hash is the wrapped difference of prefix sums, no Python loop.
-    Used as the shuffle key for exact dedup so the groupby exchange moves
-    8-byte hashes instead of document bodies.
+    Polynomial rolling hash over the UTF-8 bytes (Horner with ``mult``,
+    default ``HASH_MULT``), finalized with a length xor + bit mix.
+    Computed with one cumulative sum over the batch's concatenated value
+    buffer — the per-row hash is the wrapped difference of prefix sums, no
+    Python loop.  Used as the shuffle key for exact dedup so the groupby
+    exchange moves 8-byte hashes instead of document bodies.  Passing a
+    second odd ``mult`` yields an independent hash — two of them form the
+    128-bit key paragraph dedup shuffles on (collision-safe at 10^11+
+    paragraphs where a single 64-bit key is not).
     """
+    mult = HASH_MULT if mult is None else np.uint64(mult)
     col = pc.fill_null(col, "")
     arr = pc.cast(col, pa.large_binary())
     if isinstance(arr, pa.ChunkedArray):
@@ -80,18 +85,18 @@ def fingerprint64_array(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     else:
         data = np.frombuffer(bufs[2], dtype=np.uint8)
         idx = np.arange(off[0], off[-1], dtype=np.int64)
-        # exponent of HASH_MULT for byte j of a row ending at e: e - 1 - j
+        # exponent of mult for byte j of a row ending at e: e - 1 - j
         exp = np.repeat(off[1:], lengths) - 1 - idx
         pows = np.empty(int(lengths.max()), dtype=np.uint64)
         pows[0] = 1
         np.multiply.accumulate(
-            np.full(len(pows), HASH_MULT, dtype=np.uint64)[:-1],
+            np.full(len(pows), mult, dtype=np.uint64)[:-1],
             out=pows[1:])
         terms = data[idx].astype(np.uint64) * pows[exp]
         cs = np.zeros(total + 1, dtype=np.uint64)
         np.cumsum(terms, dtype=np.uint64, out=cs[1:])
         h = cs[off[1:] - off[0]] - cs[off[:-1] - off[0]]
-    return _mix64(h ^ (lengths.astype(np.uint64) * HASH_MULT))
+    return _mix64(h ^ (lengths.astype(np.uint64) * mult))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
