@@ -425,6 +425,24 @@ def _q_dedup_clusters(sf_dir: str):
     return connected_components(pairs, num_partitions=nparts)
 
 
+def _q_dedup_fuzzy_keep(sf_dir: str):
+    """The end-user fuzzy-dedup operation: documents SURVIVING near-dup
+    removal — one representative (min doc_id) per verified MinHash
+    cluster, all other cluster members dropped, singletons kept.
+    Composition of existing operators: dedup_clusters → losers
+    (cluster members that are not the representative) → anti_join
+    against the documents table.  [rows-only: MinHash is not
+    SQL-expressible; pytest gates the composition on planted dups]"""
+    from lingua_ray.stages.sets import anti_join
+    clusters = _q_dedup_clusters(sf_dir)
+    losers = (clusters
+              .filter(expr="doc_id != cluster")
+              .select_columns(["doc_id"])
+              .rename_columns({"doc_id": "loser_id"}))
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return anti_join(docs, losers, on="doc_id", right_on="loser_id")
+
+
 def _q_simhash(sf_dir: str):
     """64-bit SimHash signatures per document.  [rows-only]"""
     from lingua_ray.stages.dedup import simhash_batch
@@ -993,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": _q_lang_hist,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
         "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,

@@ -446,3 +446,25 @@ def test_connected_components_empty_pairs(ray_session):
     out = connected_components(empty)
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "cluster"}
+
+
+def test_fuzzy_keep_composition(ray_session):
+    """clusters → losers → anti_join: exactly one representative (min id)
+    survives per connected component; singletons survive untouched."""
+    import ray.data
+    from lingua_ray.stages.dedup import connected_components
+    from lingua_ray.stages.sets import anti_join
+
+    # components: {1,2,5}, {3,7}; singletons: 0, 4, 6
+    pairs = ray.data.from_items([
+        {"doc_id": 2, "dup_of": 1}, {"doc_id": 5, "dup_of": 2},
+        {"doc_id": 7, "dup_of": 3},
+    ])
+    docs = ray.data.from_items(
+        [{"doc_id": i, "n_chars": 10 * i} for i in range(8)])
+    clusters = connected_components(pairs, num_partitions=2)
+    losers = (clusters.filter(expr="doc_id != cluster")
+              .select_columns(["doc_id"])
+              .rename_columns({"doc_id": "loser_id"}))
+    out = anti_join(docs, losers, on="doc_id", right_on="loser_id")
+    assert sorted(r["doc_id"] for r in out.take_all()) == [0, 1, 3, 4, 6]
