@@ -425,6 +425,73 @@ def _q_dedup_clusters(sf_dir: str):
     return connected_components(pairs, num_partitions=nparts)
 
 
+# Shared texts planted by the dedup_incremental query (the synthetic
+# documents are all distinct, so base/new duplicate texts are planted
+# deterministically — same prep inlined into the oracle SQL).
+_DI_PREFIX = "shared boilerplate document "
+
+
+def _di_plant(batch):
+    """Docs with doc_id%5==2 get a shared text keyed by doc_id%3 — some
+    land in the base half (even ids), some in the new half (odd ids),
+    creating genuine cross-half duplicates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    key = pc.cast(pa.array(did % 3), pa.string())
+    planted = pc.binary_join_element_wise(pa.scalar(_DI_PREFIX), key, "")
+    t = pc.if_else(pa.array(did % 5 == 2), planted,
+                   pc.fill_null(batch.column("text"), ""))
+    i = batch.schema.get_field_index("text")
+    return batch.set_column(i, "text", t)
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental (new-crawl vs base-corpus) exact dedup: even doc_ids
+    are the already-ingested base, odd doc_ids the new batch; a new doc
+    is kept only if its text does not appear in the base.  Both sides
+    reduce to 64-bit fingerprints in map_batches, so the anti-join
+    exchange carries 8-byte keys — document text never shuffles.
+    [SQL-verified]"""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.sets import anti_join
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fp = fingerprint64_array(batch.column("text")).view(np.int64)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fp),
+                         "parity": pa.array((did % 2).astype("int32"))})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = (docs.map_batches(_di_plant, batch_format="pyarrow")
+           .map_batches(_fp, batch_format="pyarrow"))
+    base = (fps.filter(expr="parity == 0")
+            .select_columns(["fp"]).rename_columns({"fp": "base_fp"}))
+    new = fps.filter(expr="parity == 1")
+    return (anti_join(new, base, on="fp", right_on="base_fp")
+            .select_columns(["doc_id"]))
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+    WITH prepped AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 2
+             THEN '{_DI_PREFIX}' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents)
+    SELECT d.doc_id FROM prepped d
+    WHERE d.doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM prepped b
+                      WHERE b.doc_id % 2 = 0 AND b.text = d.text)
+    """
+
+
 def _q_dedup_fuzzy_keep(sf_dir: str):
     """The end-user fuzzy-dedup operation: documents SURVIVING near-dup
     removal — one representative (min doc_id) per verified MinHash
@@ -1012,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
+        "dedup_incremental": _q_dedup_incremental,
         "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
@@ -1133,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "para_dedup": _para_dedup_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_stopwords": """

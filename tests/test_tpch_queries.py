@@ -29,7 +29,8 @@ def oracle_con():
                                   "doc_length_quantiles",
                                   "top_orders_per_segment",
                                   "doc_repetition", "events_sliding",
-                                  "customers_no_big_orders", "events_lag"])
+                                  "customers_no_big_orders", "events_lag",
+                                  "para_dedup", "dedup_incremental"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
