@@ -100,7 +100,7 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "events_sessions", "orders_by_segment",
                      "ngram_counts", "train_ngrams", "contamination",
                      "stratified_sample", "doc_tfidf", "corpus_mix",
-                     "seq_packing"]
+                     "seq_packing", "para_dedup", "dedup_incremental"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
