@@ -922,6 +922,47 @@ def _q_doc_length_quantiles(sf_dir: str):
                      for k, v in row.items()})
 
 
+def _q_distinct_words_hll(sf_dir: str):
+    """Approximate distinct-word count via a HyperLogLog sketch (p=14,
+    ~0.8% std error): one 16 KiB register row per block leaves the
+    workers regardless of corpus cardinality, vs a corpus-wide shuffle
+    of every distinct word for the exact count.  [rows-only: the
+    estimate is approximate by design; pytest gates <5% error vs the
+    exact DuckDB count at sf0.001]"""
+    from lingua_ray.functions.sketches import distinct_count_hll
+    ds = _read(sf_dir, "documents", columns=["text"])
+    est = distinct_count_hll(ds)
+    return pa.table({"n_distinct_words_est":
+                     pa.array([int(round(est))], pa.int64())})
+
+
+def _q_doc_length_topp(sf_dir: str):
+    """Top-decile documents by length — the global-threshold selection
+    pattern: exact P90 from the tiny (value, count) histogram (combiner →
+    groupby-sum → driver cumsum over KBs), then the threshold is a plain
+    scalar in a shuffle-free filter over the corpus.  Matches DuckDB
+    ``quantile_disc(0.9)`` rank semantics (ceil(q*n)) exactly.
+    [SQL-verified]"""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy()
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("cnt")).to_pandas())
+    hist = hist.sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy()
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    rank = int(np.ceil(0.9 * int(cum[-1])))
+    p90 = int(vals[np.searchsorted(cum, rank)])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return docs.filter(expr=f"n_chars >= {p90}")
+
+
 def _q_top_orders_per_segment(sf_dir: str):
     """Group-wise top-k (the window-function row_number<=k pattern):
     broadcast map-side join attaches the segment, a per-batch combiner
@@ -1095,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "events_attribution": _q_events_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_length_topp": _q_doc_length_topp,
+        "distinct_words_hll": _q_distinct_words_hll,
         "doc_repetition": _q_doc_repetition,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "events_lag": _q_events_lag,
@@ -1362,6 +1405,11 @@ def oracle_sql() -> dict[str, str]:
               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
             FROM documents
+        """,
+        "doc_length_topp": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9)
+                              FROM documents)
         """,
         "top_orders_per_segment": """
             SELECT c_mktsegment, o_orderkey, o_totalprice FROM (

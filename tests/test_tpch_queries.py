@@ -30,7 +30,8 @@ def oracle_con():
                                   "top_orders_per_segment",
                                   "doc_repetition", "events_sliding",
                                   "customers_no_big_orders", "events_lag",
-                                  "para_dedup", "dedup_incremental"])
+                                  "para_dedup", "dedup_incremental",
+                                  "doc_length_topp"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
