@@ -388,6 +388,26 @@ def _q_lang_hist(sf_dir: str):
     return ds.groupby("lang").count().rename_columns({"count()": "n"})
 
 
+def _q_source_stats(sf_dir: str):
+    """Per-(source, lang) corpus profile: doc count, total/max chars —
+    partial aggregation inside map_batches (≤ |source|×|lang| rows leave
+    each block), then a tiny multi-key groupby.  [SQL-verified]"""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.TableGroupBy(batch, ["source", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"), ("n_chars", "max")]
+        ).rename_columns(["source", "lang", "n", "chars", "mx"])
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    out = (part.groupby(["source", "lang"])
+           .aggregate(Sum("n"), Sum("chars"), Max("mx")))
+    return out.rename_columns({"sum(n)": "n_docs", "sum(chars)": "n_chars",
+                               "max(mx)": "max_chars"})
+
+
 def _q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs, VERIFIED by estimated Jaccard ≥ 0.5
     (the LSH threshold for 16 bands × 4 rows): (doc_id, dup_of,
@@ -490,6 +510,42 @@ def _dedup_incremental_sql() -> str:
       AND NOT EXISTS (SELECT 1 FROM prepped b
                       WHERE b.doc_id % 2 = 0 AND b.text = d.text)
     """
+
+
+def _q_dedup_incremental_bloom(sf_dir: str):
+    """The broadcast-sketch variant of incremental dedup: the base half's
+    text fingerprints become a bloom filter (per-block bitmaps OR-merged,
+    ~10 bits/doc), broadcast once with ray.put, and the new half is
+    filtered SHUFFLE-FREE in an actor pool — the right tool when the base
+    index fits a node's heap (1.25 GB per 10^9 base docs) and the new
+    batch is huge.  No false negatives: every true duplicate is dropped;
+    ~0.8% of unique new docs are over-dropped as bloom false positives.
+    [rows-only: FP-approximate by design; pytest gates the containment
+    relation vs the exact anti-join]"""
+    import ray
+
+    from lingua_ray.functions.sketches import (BloomMembershipTagger,
+                                               bloom_from_text)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    planted = docs.map_batches(_di_plant, batch_format="pyarrow")
+
+    def _parity(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "parity", pa.array((did % 2).astype("int32")))
+
+    both = planted.map_batches(_parity, batch_format="pyarrow")
+    base = both.filter(expr="parity == 0")
+    new = both.filter(expr="parity == 1")
+    bitmap, k = bloom_from_text(base)
+    ref = ray.put(bitmap)
+    tagged = new.map_batches(
+        BloomMembershipTagger, batch_format="pyarrow",
+        fn_constructor_kwargs={"bitmap_ref": ref, "k": k},
+        concurrency=2)
+    return (tagged.filter(expr="in_base == False")
+            .select_columns(["doc_id"]))
 
 
 def _q_dedup_fuzzy_keep(sf_dir: str):
@@ -1117,10 +1173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "lang_hist": _q_lang_hist,
+        "source_stats": _q_source_stats,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
@@ -1319,6 +1377,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "source_stats": """
+            SELECT source, lang, count(*) AS n_docs,
+              sum(n_chars) AS n_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY source, lang
+        """,
         "knn_bruteforce": """
             SELECT vec_id FROM embeddings
             ORDER BY list_cosine_similarity(

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import fingerprint64_array
+from .textstats import _mix64, fingerprint64_array
 
 HLL_P = 14
 HLL_M = 1 << HLL_P
@@ -78,3 +78,84 @@ def distinct_count_hll(ds, text_col: str = "text",
                                fn_kwargs={"text_col": text_col, "p": p})
     blobs = [r["registers"] for r in per_block.take_all()]
     return hll_estimate(hll_merge(blobs, p=p))
+
+
+# ---------------------------------------------------------------- Bloom
+
+def bloom_params(n_items: int, bits_per_item: int = 10):
+    """(m_bits, k) for ~0.8% false-positive rate at 10 bits/item, k=7.
+    m_bits is rounded up to a byte multiple."""
+    m_bits = max(64, ((n_items * bits_per_item + 7) // 8) * 8)
+    return m_bits, 7
+
+
+def _bloom_positions(fps: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per fingerprint via double hashing
+    (h1 + i*h2) mod m — shape (k, len(fps))."""
+    h1 = fps.astype(np.uint64)
+    h2 = _mix64(h1 ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(
+        np.int64)
+
+
+def bloom_block(fps: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Bitmap (uint8[m_bits/8]) with the block's fingerprints set."""
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(fps):
+        pos = _bloom_positions(fps, m_bits, k).ravel()
+        np.bitwise_or.at(bitmap, pos >> 3,
+                         np.left_shift(np.uint8(1), pos & 7).astype(np.uint8))
+    return bitmap
+
+
+def bloom_contains(fps: np.ndarray, bitmap: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask: possibly-present (no false negatives, FP ~0.8% at
+    the bloom_params sizing).  Vectorized: gather k bytes per key, AND."""
+    if len(fps) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(fps, len(bitmap) * 8, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=0)
+
+
+def bloom_from_text(ds, text_col: str = "text",
+                    n_items_hint: int | None = None):
+    """Build a corpus bloom filter over text fingerprints: per-block
+    bitmaps OR-merged on the driver (blocks × m/8 bytes move, never
+    rows).  Returns (bitmap, k).  ``n_items_hint`` sizes the filter;
+    default = dataset count (one cheap metadata pass)."""
+    n = n_items_hint if n_items_hint is not None else max(ds.count(), 1)
+    m_bits, k = bloom_params(n)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        fps = fingerprint64_array(batch.column(text_col))
+        return pa.table({"bitmap":
+                         pa.array([bloom_block(fps, m_bits, k).tobytes()],
+                                  pa.binary())})
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in ds.map_batches(per_block,
+                              batch_format="pyarrow").take_all():
+        np.bitwise_or(bitmap, np.frombuffer(row["bitmap"], dtype=np.uint8),
+                      out=bitmap)
+    return bitmap, k
+
+
+class BloomMembershipTagger:
+    """Actor-pool stage: tag rows whose ``text`` fingerprint is possibly
+    in a broadcast bloom filter (``in_base`` column; no false negatives).
+    ``bitmap_ref`` is a ``ray.put`` ObjectRef — one object-store copy per
+    node, fetched once per actor, never re-shipped per batch."""
+
+    def __init__(self, bitmap_ref, k: int, text_col: str = "text"):
+        import ray
+        self.bitmap = ray.get(bitmap_ref)
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.util import set_column
+        fps = fingerprint64_array(batch.column(self.text_col))
+        mask = bloom_contains(fps, self.bitmap, self.k)
+        return set_column(batch, "in_base", pa.array(mask))

@@ -56,3 +56,40 @@ def test_distinct_count_hll_ray(ray_session):
         f" ' ')) AS w FROM read_parquet('{sf}/documents.parquet'))"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+    from lingua_ray.functions.sketches import (bloom_block, bloom_contains,
+                                               bloom_params)
+    rng = np.random.default_rng(0)
+    members = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+    m, k = bloom_params(len(members))
+    bm = bloom_block(members, m, k)
+    assert bloom_contains(members, bm, k).all()          # zero false negatives
+    probes = rng.integers(0, 2**63, 50000, dtype=np.int64).astype(np.uint64)
+    fresh = probes[~np.isin(probes, members)]
+    assert bloom_contains(fresh, bm, k).mean() < 0.02    # FP ~0.8% design
+
+
+def test_bloom_block_merge_commutes():
+    import numpy as np
+    from lingua_ray.functions.sketches import bloom_block, bloom_params
+    a = np.arange(100, dtype=np.uint64)
+    b = np.arange(100, 200, dtype=np.uint64)
+    m, k = bloom_params(200)
+    whole = bloom_block(np.concatenate([a, b]), m, k)
+    merged = bloom_block(a, m, k) | bloom_block(b, m, k)
+    assert (whole == merged).all()
+
+
+def test_incremental_bloom_contains_exact_result(ray_session):
+    """Bloom variant drops a SUPERSET of what the exact anti-join drops
+    (no false negatives), and over-drops at most ~2% (false positives)."""
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"] for r in E.queries()["dedup_incremental"](sf).take_all()}
+    bloom = {r["doc_id"] for r in
+             E.queries()["dedup_incremental_bloom"](sf).take_all()}
+    assert bloom <= exact                     # survivors only shrink via FPs
+    assert len(exact - bloom) <= max(2, int(0.02 * len(exact)))
