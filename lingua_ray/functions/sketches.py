@@ -68,14 +68,36 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(e)
 
 
-def distinct_count_hll(ds, text_col: str = "text",
-                       p: int = HLL_P) -> float:
+def merge_registers_batch(batch: pa.Table, p: int = HLL_P) -> pa.Table:
+    """Collapse a batch of register rows into one merged row.  Register
+    max-merge is associative and commutative, so any fold tree yields the
+    identical final array."""
+    blobs = batch.column("registers").to_pylist()
+    return pa.table({"registers":
+                     pa.array([hll_merge(blobs, p=p).tobytes()],
+                              pa.binary())})
+
+
+def distinct_count_hll(ds, text_col: str = "text", p: int = HLL_P,
+                       tree_fanin: int | None = None) -> float:
     """Approximate number of distinct whitespace words in ``text_col``
     across the Dataset.  One 2^p-byte row per block leaves the workers;
-    the driver folds them with an elementwise max."""
+    the driver folds them with an elementwise max.
+
+    ``tree_fanin``: at 100 TB / 128 MiB blocks the driver-side fold would
+    pull ~800k × 16 KiB ≈ 13 GB of register rows — insert one distributed
+    merge level first (``repartition(tree_fanin)`` + whole-block
+    ``merge_registers_batch``), leaving ``tree_fanin`` rows for the
+    driver.  Exact: the fold is associative, so tree and flat modes give
+    byte-identical merged registers (asserted in tests).  Leave ``None``
+    at sf scale where the extra exchange costs more than it saves."""
     per_block = ds.map_batches(hll_registers_for_words,
                                batch_format="pyarrow",
                                fn_kwargs={"text_col": text_col, "p": p})
+    if tree_fanin is not None:
+        per_block = per_block.repartition(tree_fanin).map_batches(
+            merge_registers_batch, batch_format="pyarrow",
+            batch_size=None, fn_kwargs={"p": p})
     blobs = [r["registers"] for r in per_block.take_all()]
     return hll_estimate(hll_merge(blobs, p=p))
 

@@ -58,6 +58,20 @@ def test_distinct_count_hll_ray(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_distinct_count_hll_tree_fold_matches_flat(ray_session):
+    """The distributed merge level (tree_fanin) is an exact rearrangement
+    of the associative register max-fold: same estimate as the flat
+    driver-side fold on any partitioning."""
+    import ray.data
+    from lingua_ray.functions.sketches import distinct_count_hll
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["text"]).repartition(8)
+    flat = distinct_count_hll(ds)
+    tree = distinct_count_hll(ds, tree_fanin=3)
+    assert tree == flat
+
+
 def test_bloom_no_false_negatives_and_low_fp():
     import numpy as np
     from lingua_ray.functions.sketches import (bloom_block, bloom_contains,
