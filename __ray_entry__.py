@@ -1147,6 +1147,209 @@ def _q_accuracy_report(sf_dir: str):
     return accuracy_summary(conf)
 
 
+def _q_distinct_words_exact(sf_dir: str):
+    """EXACT distinct-word count — the exact counterpart of the
+    ``distinct_words_hll`` sketch.  Per-batch vocabulary combiner (the
+    block's DISTINCT words, not its tokens, go on the wire) → one
+    word-keyed groupby → the group count.  The exchange carries the
+    corpus vocabulary once; nothing but a scalar reaches the driver.
+    Use the sketch when ±1% suffices; this when the number must be
+    exact.  [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def vocab(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column("text"), "")
+        words = pc.unique(pc.list_flatten(pc.split_pattern(col, " ")))
+        return pa.table({"word": words})
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n = (ds.map_batches(vocab, batch_format="pyarrow")
+         .groupby("word").count().count())
+    return pa.table({"n_distinct_words": pa.array([n], pa.int64())})
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier volume: revenue per ASIA nation from
+    1996 orders whose customer and supplier share the nation.  The dim
+    chain (region → nation → customer / supplier) composes into broadcast
+    lookup arrays on the driver; the ONE big-big exchange is the
+    lineitem ⨝ filtered-orders hash join on the order key
+    (``Dataset.join``), after which revenue partials reduce over ≤5
+    nation keys.  Integer 1e-4-unit money keeps the compare hash-exact.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = reg.filter(pc.equal(reg.column("r_name"), "ASIA")).column(
+        "r_regionkey").to_numpy()
+    nkeys = nat.column("n_nationkey").to_numpy()
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = np.asarray(nat.column("n_name").to_numpy(
+        zero_copy_only=False))[order]
+    in_asia = np.isin(nat.column("n_regionkey").to_numpy()[order], asia)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ckeys = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ckeys)
+    ckeys = ckeys[co]
+    cnation = cust.column("c_nationkey").to_numpy()[co]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp.column("s_suppkey").to_numpy()
+    so = np.argsort(skeys)
+    skeys = skeys[so]
+    snation = supp.column("s_nationkey").to_numpy()[so]
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi))
+
+    def attach_cust_nation(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        cn = cnation[np.searchsorted(ckeys, ck)]
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "cust_nk": pa.array(cn)})
+
+    orders_nk = orders.map_batches(attach_cust_nation,
+                                   batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    j = line.join(orders_nk, "inner", nparts,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy()
+        si = np.searchsorted(skeys, sk)
+        sn = snation[si]
+        ni = np.searchsorted(nkeys, sn)
+        m = (sn == batch.column("cust_nk").to_numpy()) & in_asia[ni]
+        cents = np.rint(batch.column("l_extendedprice").to_numpy()[m]
+                        * 100.0).astype(np.int64)
+        disc = np.rint(batch.column("l_discount").to_numpy()[m]
+                       * 100.0).astype(np.int64)
+        t = pa.table({
+            "n_name": pa.array(nnames[ni[m]].tolist(), type=pa.string()),
+            "revenue_e4": pa.array(cents * (100 - disc)),
+        })
+        return t.group_by("n_name").aggregate(
+            [("revenue_e4", "sum")]).rename_columns(
+            ["n_name", "revenue_e4"])
+
+    out = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("revenue_e4"))
+    return out.rename_columns({"sum(revenue_e4)": "revenue_e4"})
+
+
+def _q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: top-10 highest-revenue orders
+    from BUILDING customers, placed before the cutoff with lines still
+    unshipped after it.  Exercises the global ``Dataset.sort`` + ``limit``
+    path on a small post-aggregation table: predicate-pushdown reads,
+    broadcast customer-segment filter, per-batch revenue partials, one
+    orderkey groupby, one orderkey hash join, then sort-desc/limit.  The
+    (revenue desc, date, orderkey) key is a total order, so the limit-10
+    set is deterministic in both engines.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    bkeys = np.sort(cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")).column(
+        "c_custkey").to_numpy())
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff)
+
+    def building_only(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy()
+        i = np.searchsorted(bkeys, ck)
+        hit = (i < len(bkeys)) & (bkeys[np.minimum(i, len(bkeys) - 1)] == ck)
+        return batch.filter(pa.array(hit)).drop_columns(["o_custkey"])
+
+    orders_b = orders.map_batches(building_only, batch_format="pyarrow")
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        disc = np.rint(batch.column("l_discount").to_numpy()
+                       * 100.0).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "revenue_e4": pa.array(cents * (100 - disc))})
+        return t.group_by("l_orderkey").aggregate(
+            [("revenue_e4", "sum")]).rename_columns(
+            ["l_orderkey", "revenue_e4"])
+
+    rev = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("revenue_e4"))
+           .rename_columns({"sum(revenue_e4)": "revenue_e4"}))
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    j = rev.join(orders_b, "inner", nparts,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    out = j.sort(["revenue_e4", "o_orderdate", "l_orderkey"],
+                 descending=[True, False, False]).limit(10)
+    return out.select_columns(["l_orderkey", "revenue_e4", "o_orderdate",
+                               "o_orderpriority"])
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot via conditional aggregation: hourly event counts spread into
+    one column per event type.  The per-batch combiner emits at most one
+    row per distinct hour per block (unique + bincount, no Python loop),
+    so the exchange is the tiny pivoted partial table, never events.
+    [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[h]")
+        et = np.asarray(batch.column("event_type").to_numpy(
+            zero_copy_only=False))
+        hours, inv = np.unique(ts, return_inverse=True)
+        cols: dict[str, pa.Array] = {
+            "hour": pa.array(hours.astype("datetime64[us]"))}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(np.bincount(
+                inv[et == t], minlength=len(hours)).astype(np.int64))
+        cols["n_total"] = pa.array(
+            np.bincount(inv, minlength=len(hours)).astype(np.int64))
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    aggs = [Sum(f"n_{t}") for t in _EVENT_TYPES] + [Sum("n_total")]
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "hour").aggregate(*aggs)
+    renames = {f"sum(n_{t})": f"n_{t}" for t in _EVENT_TYPES}
+    renames["sum(n_total)"] = "n_total"
+    return out.rename_columns(renames)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -1203,6 +1406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _q_top_orders_per_segment,
         "supplier_revenue": _q_supplier_revenue,
         "orders_join_customer": _q_orders_join_customer,
+        "distinct_words_exact": _q_distinct_words_exact,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "top_unshipped_orders": _q_top_unshipped_orders,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -1517,5 +1724,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "distinct_words_exact": """
+            SELECT count(DISTINCT word) AS n_distinct_words
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS revenue_e4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey, revenue_e4, o_orderdate, o_orderpriority
+            FROM (
+              SELECT l_orderkey,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS revenue_e4,
+                o_orderdate, o_orderpriority
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-06-01'
+                AND l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+            ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "events_pivot": """
+            SELECT date_trunc('hour', ts) AS hour,
+              count(*) FILTER (WHERE event_type = 'click') AS n_click,
+              count(*) FILTER (WHERE event_type = 'error') AS n_error,
+              count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+              count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+              count(*) FILTER (WHERE event_type = 'view') AS n_view,
+              count(*) AS n_total
+            FROM events GROUP BY 1
         """,
     }

@@ -18,8 +18,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("lineitem", "supplier", "nation", "documents", "orders",
-              "customer", "events"):
+    for t in ("lineitem", "supplier", "nation", "region", "documents",
+              "orders", "customer", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -31,7 +31,10 @@ def oracle_con():
                                   "doc_repetition", "events_sliding",
                                   "customers_no_big_orders", "events_lag",
                                   "para_dedup", "dedup_incremental",
-                                  "doc_length_topp"])
+                                  "doc_length_topp",
+                                  "distinct_words_exact",
+                                  "local_supplier_volume",
+                                  "top_unshipped_orders", "events_pivot"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
