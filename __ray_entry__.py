@@ -1319,6 +1319,48 @@ def _q_top_unshipped_orders(sf_dir: str):
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+_PRICE_BANDS = pa.table({
+    "lo": pa.array([0.0, 50_000.0, 150_000.0, 600_000.0], pa.float64()),
+    "hi": pa.array([100_000.0, 200_000.0, 600_000.0, 600_000.0],
+                   pa.float64()),
+    "band": pa.array(["low", "mid", "high", "empty"]),
+})
+
+
+def _q_orders_price_bands(sf_dir: str):
+    """Range join: each order matches EVERY (overlapping) price band
+    containing its total price — broadcast variant, the interval table
+    ships once via ray.put and the orders side never shuffles.
+    [SQL-verified]"""
+    from lingua_ray.stages.rangejoin import broadcast_range_join
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = broadcast_range_join(ds, _PRICE_BANDS, "o_totalprice")
+    return out.select_columns(["o_orderkey", "band"])
+
+
+def _q_orders_price_bands_bucketed(sf_dir: str):
+    """Same range join via the both-sides-large path: left rows hash to
+    one value bucket, intervals replicate to every bucket they overlap,
+    one bucket-keyed shuffle co-locates them.  Verified against the same
+    SQL as the broadcast variant.  [SQL-verified]"""
+    from lingua_ray.stages.rangejoin import bucketed_range_join
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = bucketed_range_join(ds, _PRICE_BANDS, "o_totalprice",
+                              boundaries=[75_000.0, 150_000.0, 300_000.0])
+    return out.select_columns(["o_orderkey", "band"])
+
+
+_PRICE_BANDS_SQL = """
+    SELECT o_orderkey, band
+    FROM orders
+    JOIN (VALUES (0.0, 100000.0, 'low'),
+                 (50000.0, 200000.0, 'mid'),
+                 (150000.0, 600000.0, 'high'),
+                 (600000.0, 600000.0, 'empty')) AS b(lo, hi, band)
+      ON o_totalprice >= lo AND o_totalprice < hi
+"""
+
+
 def _q_events_pivot(sf_dir: str):
     """Pivot via conditional aggregation: hourly event counts spread into
     one column per event type.  The per-batch combiner emits at most one
@@ -1410,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "events_pivot": _q_events_pivot,
+        "orders_price_bands": _q_orders_price_bands,
+        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
     }
 
 
@@ -1509,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "para_dedup": _para_dedup_sql(),
+        "orders_price_bands": _PRICE_BANDS_SQL,
+        "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
