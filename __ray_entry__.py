@@ -259,6 +259,18 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_word_heavy_hitters(sf_dir: str):
+    """EXACT top-50 corpus words via a Misra-Gries sketch pipeline: per-
+    block k-counter summaries (≤ k+1 rows leave each block, independent
+    of vocabulary) certify a candidate set, which a broadcast recount
+    pass counts exactly — the full-vocabulary shuffle of word_counts is
+    replaced by a sketch exchange + a tiny certified recount.
+    [SQL-verified]"""
+    from lingua_ray.functions.sketches import heavy_hitters
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(ds, m=50, k=4096)
+
+
 def _q_ngram_counts(sf_dir: str):
     """Top-20 character trigrams per language — the distributed n-gram
     counting shape behind model training: per-batch combiner (distinct
@@ -1409,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": _q_para_dedup,
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
+        "word_heavy_hitters": _q_word_heavy_hitters,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1573,6 +1586,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "word_heavy_hitters": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 50
         """,
         "corpus_mix": _corpus_mix_sql(),
         "doc_tfidf": """

@@ -164,6 +164,164 @@ def bloom_from_text(ds, text_col: str = "text",
     return bitmap, k
 
 
+# ------------------------------------------------ Misra-Gries heavy hitters
+
+def mg_truncate(words: pa.Array, counts: np.ndarray, k: int):
+    """Truncate exact (word, count) pairs to a k-counter Misra-Gries
+    summary: subtract the (k+1)-th largest count from every counter, drop
+    the non-positive ones.  For any word x this keeps
+    ``kept(x) >= exact(x) - total/(k+1)`` (Misra & Gries 1982; the merge
+    rule of Agarwal et al., "Mergeable Summaries", PODS 2012)."""
+    if len(counts) <= k:
+        return words, counts
+    cstar = np.partition(counts, -(k + 1))[-(k + 1)]
+    kept = counts - cstar
+    mask = kept > 0
+    return words.filter(pa.array(mask)), kept[mask]
+
+
+# tokens come from split(' ') so they can never contain a space — a
+# spaced string is a collision-free sentinel key (Ray's sort-based
+# groupby rejects NULL keys)
+MG_TOTAL_KEY = " total "
+
+
+def mg_summary_batch(batch: pa.Table, text_col: str = "text",
+                     k: int = 4096) -> pa.Table:
+    """Per-block MG summary of whitespace-word counts (≤ k+1 rows leave
+    the block regardless of its vocabulary), plus one sentinel row
+    (word=MG_TOTAL_KEY, n=block token total) so the reducer can recover
+    the exact corpus token count N without a second pass."""
+    col = pc.fill_null(batch.column(text_col), "")
+    words = pc.list_flatten(pc.split_pattern(col, " "))
+    total = len(words)
+    if total == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    vc = pc.value_counts(words)
+    w, c = mg_truncate(vc.field("values"),
+                       vc.field("counts").to_numpy().astype(np.int64), k)
+    w = pa.concat_arrays([w.combine_chunks() if isinstance(w, pa.ChunkedArray)
+                          else w, pa.array([MG_TOTAL_KEY], pa.string())])
+    c = np.concatenate([c, [total]])
+    return pa.table({"word": w, "n": pa.array(c, pa.int64())})
+
+
+class _CandidateCounter:
+    """Actor-pool recount stage: exact per-batch counts restricted to a
+    broadcast candidate word list (fetched once per actor via its
+    ObjectRef, matched by string with ``pc.index_in`` — no hash-collision
+    risk)."""
+
+    def __init__(self, candidates_ref, text_col: str):
+        import ray
+        self.candidates: pa.Array = ray.get(candidates_ref)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(self.text_col), "")
+        words = pc.list_flatten(pc.split_pattern(col, " "))
+        idx = pc.index_in(words, value_set=self.candidates)
+        idx = idx.drop_null().to_numpy().astype(np.int64)
+        n = np.bincount(idx, minlength=len(self.candidates)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"word": self.candidates.take(pa.array(nz)),
+                         "n": pa.array(n[nz], pa.int64())})
+
+
+def heavy_hitters(ds, m: int = 50, k: int = 4096,
+                  text_col: str = "text") -> pa.Table:
+    """EXACT top-m most frequent words via a two-pass sketch pipeline.
+
+    Pass 1: per-block Misra-Gries summaries (≤ k+1 rows per block on the
+    wire, independent of vocabulary) → hash groupby sum.  Counter sums
+    satisfy ``sum_mg(x) >= exact(x) - N/(k+1)``, so every true top-m word
+    has ``sum_mg >= S_m - N/(k+1)`` where ``S_m`` is the m-th largest
+    counter sum (``sum_mg <= exact`` gives ``S_m <= T_m``).  That
+    inequality defines a provably sufficient candidate set.
+
+    Pass 2: exact recount restricted to the candidates (broadcast once
+    via ``ray.put``; shuffle carries ≤ |C| rows per block) → top-m with
+    deterministic (n desc, word asc) tie-break.
+
+    Raises if ``k`` is too small for the data's skew to certify exactness
+    (threshold below zero, i.e. candidate set unbounded).  Candidate-set
+    size is ~a few × m for zipfian text at sane k; it is gathered to the
+    driver, which is the documented smallness assumption."""
+    import ray
+
+    summaries = ds.map_batches(
+        mg_summary_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "k": k})
+    # vocabulary-sized, consumed twice (S_m probe + candidate filter) —
+    # materialize so the groupby runs once; it lives in the object store,
+    # never on the driver
+    grouped = summaries.groupby("word").sum("n").rename_columns(
+        {"sum(n)": "n"}).materialize()
+
+    def block_probe(batch: pa.Table, m: int) -> pa.Table:
+        """Block-local top-m counters + the total sentinel row; the
+        global top-m is a subset of the union of block top-ms, so the
+        driver reduce is (m+1) × blocks rows, never the vocabulary."""
+        is_sent = pc.equal(batch.column("word"), MG_TOTAL_KEY)
+        sent = batch.filter(is_sent)
+        body = batch.filter(pc.invert(is_sent))
+        top = body.sort_by([("n", "descending"),
+                            ("word", "ascending")]).slice(0, m)
+        return pa.concat_tables([sent, top])
+
+    probe = pa.Table.from_pylist(
+        grouped.map_batches(block_probe, batch_format="pyarrow",
+                            fn_kwargs={"m": m}).take_all(),
+        schema=pa.schema([("word", pa.string()), ("n", pa.int64())]))
+    sent_mask = pc.equal(probe.column("word"), MG_TOTAL_KEY)
+    total = int(pc.sum(probe.filter(sent_mask).column("n")).as_py() or 0)
+    if total == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    mg_top = probe.filter(pc.invert(sent_mask)).sort_by(
+        [("n", "descending"), ("word", "ascending")])
+    slack = total // (k + 1) + 1
+    if mg_top.num_rows == 0:
+        raise ValueError(
+            f"k={k} too small to certify exact top-{m}: every counter "
+            f"was truncated away (no word clears the N/(k+1) slack "
+            f"{slack}); increase k")
+    s_m = int(mg_top.column("n")[min(m, mg_top.num_rows) - 1].as_py())
+    threshold = s_m - slack
+    if threshold <= 0:
+        raise ValueError(
+            f"k={k} too small to certify exact top-{m}: m-th counter sum "
+            f"{s_m} <= N/(k+1) slack {slack}; increase k")
+
+    def cand_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.invert(pc.equal(batch.column("word"), MG_TOTAL_KEY)),
+            pc.greater_equal(batch.column("n"), threshold))
+        return batch.filter(mask)
+
+    cand_rows = grouped.map_batches(cand_filter,
+                                    batch_format="pyarrow").take_all()
+    cands = pa.array([r["word"] for r in cand_rows], pa.string())
+
+    ref = ray.put(cands)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    exact = ds.map_batches(
+        _CandidateCounter, batch_format="pyarrow",
+        concurrency=(1, max(2, cpus // 2)),
+        fn_constructor_kwargs={"candidates_ref": ref, "text_col": text_col}
+    ).groupby("word").sum("n").rename_columns({"sum(n)": "n"})
+    t = pa.Table.from_pylist(
+        exact.take_all(), schema=pa.schema([("word", pa.string()),
+                                            ("n", pa.int64())]))
+    t = t.sort_by([("n", "descending"), ("word", "ascending")]).slice(0, m)
+    if t.num_rows == m and int(t.column("n")[m - 1].as_py()) <= slack:
+        raise ValueError(
+            f"k={k} cannot certify rank {m}: exact m-th count "
+            f"{t.column('n')[m - 1]} <= slack {slack}; increase k")
+    return t
+
+
 class BloomMembershipTagger:
     """Actor-pool stage: tag rows whose ``text`` fingerprint is possibly
     in a broadcast bloom filter (``in_base`` column; no false negatives).
