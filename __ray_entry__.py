@@ -990,6 +990,17 @@ def _q_doc_length_quantiles(sf_dir: str):
                      for k, v in row.items()})
 
 
+def _q_doc_length_quantiles_by_lang(sf_dir: str):
+    """Per-language exact length quantiles — the grouped form of the
+    histogram-quantile pattern: (lang, n_chars, cnt) partials, ONE hash
+    shuffle, per-group cumsum over a KB-sized histogram.  Same
+    ceil(q*n) rank semantics as DuckDB quantile_disc.  [SQL-verified]"""
+    from lingua_ray.functions.quantiles import grouped_quantiles
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars",
+                             {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
 def _q_distinct_words_hll(sf_dir: str):
     """Approximate distinct-word count via a HyperLogLog sketch (p=14,
     ~0.8% std error): one 16 KiB register row per block leaves the
@@ -1452,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "events_attribution": _q_events_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
         "doc_length_topp": _q_doc_length_topp,
         "distinct_words_hll": _q_distinct_words_hll,
         "doc_repetition": _q_doc_repetition,
@@ -1742,6 +1754,13 @@ def oracle_sql() -> dict[str, str]:
               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
             FROM documents
+        """,
+        "doc_length_quantiles_by_lang": """
+            SELECT lang, count(*) AS n,
+              CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+              CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+              CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY lang
         """,
         "doc_length_topp": """
             SELECT doc_id, n_chars FROM documents

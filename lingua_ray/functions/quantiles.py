@@ -1,0 +1,75 @@
+"""Exact distributed quantiles, global and per-group.
+
+The pattern (shared with the ``doc_length_quantiles`` query): quantiles
+of a bounded-cardinality numeric column need no sort and no large
+exchange — each block emits (key, value, count) partial histograms, ONE
+hash shuffle groups them by key, and a vectorized per-group reduce does
+cumsum + rank lookup over a histogram that is KBs regardless of row
+count.  Rank semantics are DuckDB ``quantile_disc``: the value at
+1-indexed rank ``ceil(q * n)`` of the sorted column.
+
+Partitioning assumption: one key's distinct-value histogram fits in one
+task (distinct values per key, not rows per key — a billion-row group
+with 10k distinct lengths is a 10k-row histogram).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def quantile_hist_batch(batch: pa.Table, key_col: str,
+                        value_col: str) -> pa.Table:
+    """Combiner: one (key, value, cnt) row per distinct pair per block."""
+    keys = batch.column(key_col)
+    vals = batch.column(value_col).to_numpy().astype(np.int64)
+    enc = keys.combine_chunks().dictionary_encode() \
+        if isinstance(keys, pa.ChunkedArray) else keys.dictionary_encode()
+    if len(vals) == 0:
+        return pa.table({key_col: enc.dictionary.slice(0, 0),
+                         value_col: pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    kidx = enc.indices.to_numpy().astype(np.int64)
+    # composite (key, value) id for one-pass unique: shift values to be
+    # non-negative first so the encoding is collision-free
+    vmin = np.int64(vals.min())
+    shifted = vals - vmin
+    base = np.int64(shifted.max()) + 1
+    upair, cnts = np.unique(kidx * base + shifted, return_counts=True)
+    uk = (upair // base).astype(np.int64)
+    uv = (upair % base).astype(np.int64) + vmin
+    return pa.table({key_col: enc.dictionary.take(pa.array(uk)),
+                     value_col: pa.array(uv),
+                     "cnt": pa.array(cnts.astype(np.int64))})
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str,
+                      qs: dict[str, float]):
+    """Per-key exact quantiles of an integer column.
+
+    Returns a Dataset with one row per key: ``key_col``, ``n`` (row
+    count), and one int64 column per entry of ``qs`` (name -> q).
+    """
+    hist = ds.map_batches(quantile_hist_batch, batch_format="pyarrow",
+                          fn_kwargs={"key_col": key_col,
+                                     "value_col": value_col})
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        # the group holds per-block partials for ONE key: merge + cumsum
+        v = group.column(value_col).to_numpy()
+        c = group.column("cnt").to_numpy()
+        uv, inv = np.unique(v, return_inverse=True)
+        uc = np.bincount(inv, weights=c).astype(np.int64)
+        cum = np.cumsum(uc)
+        n = int(cum[-1])
+        out = {key_col: group.column(key_col).slice(0, 1),
+               "n": pa.array([n], pa.int64())}
+        for name, q in qs.items():
+            rank = max(1, int(np.ceil(q * n)))
+            out[name] = pa.array(
+                [int(uv[np.searchsorted(cum, rank)])], pa.int64())
+        return pa.table(out)
+
+    return hist.groupby(key_col).map_groups(reduce_group,
+                                            batch_format="pyarrow")
