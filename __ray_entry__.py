@@ -259,6 +259,15 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping fixed-size chunking (500 chars / 400 stride) —
+    shuffle-free flat-map, kernel vectorized per chunk level.
+    [SQL-verified]"""
+    from lingua_ray.stages.chunking import chunk_documents
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_chars=500, stride=400)
+
+
 def _q_word_heavy_hitters(sf_dir: str):
     """EXACT top-50 corpus words via a Misra-Gries sketch pipeline: per-
     block k-counter summaries (≤ k+1 rows leave each block, independent
@@ -1433,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
+        "doc_chunks": _q_doc_chunks,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1598,6 +1608,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "doc_chunks": """
+            SELECT doc_id, gs - 1 AS chunk_idx,
+              substring(text, (gs - 1) * 400 + 1, 500) AS chunk_text
+            FROM documents,
+              unnest(generate_series(1,
+                1 + CAST(ceil(greatest(length(text) - 500, 0) / 400.0)
+                         AS BIGINT))) AS t(gs)
         """,
         "word_heavy_hitters": """
             SELECT word, count(*) AS n
