@@ -259,6 +259,15 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Bigram PMI collocations (count ≥ 5): bigram/unigram combiners →
+    two vocabulary-bounded groupbys → broadcast unigram table →
+    shuffle-free scoring actors.  [SQL-verified]"""
+    from lingua_ray.functions.collocations import pmi_bigrams
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return pmi_bigrams(ds, min_count=5)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Overlapping fixed-size chunking (500 chars / 400 stride) —
     shuffle-free flat-map, kernel vectorized per chunk level.
@@ -1443,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
         "doc_chunks": _q_doc_chunks,
+        "bigram_pmi": _q_bigram_pmi,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1608,6 +1618,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "bigram_pmi": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            pairs AS (
+              SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                     AS t(i)
+            ),
+            bg AS (SELECT w1, w2, count(*) AS n2 FROM pairs
+                   GROUP BY w1, w2),
+            uni AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+            uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+            tot AS (SELECT (SELECT count(*) FROM uni) AS n1,
+                           (SELECT sum(n2) FROM bg) AS n2t)
+            SELECT b.w1, b.w2, b.n2,
+              round(ln((CAST(b.n2 AS DOUBLE) / t.n2t) /
+                ((CAST(u1.c AS DOUBLE) / t.n1) *
+                 (CAST(u2.c AS DOUBLE) / t.n1))), 6) AS pmi
+            FROM bg b
+            JOIN uc u1 ON b.w1 = u1.word
+            JOIN uc u2 ON b.w2 = u2.word
+            CROSS JOIN tot t
+            WHERE b.n2 >= 5
         """,
         "doc_chunks": """
             SELECT doc_id, gs - 1 AS chunk_idx,
