@@ -259,6 +259,60 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_doc_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data sharding: bucket =
+    md5 first byte (ONE 256-way hash shuffle), within-bucket (digest,
+    id) order; bucket-major + pos-minor IS the md5 permutation.
+    [SQL-verified]"""
+    from lingua_ray.stages.shuffle import deterministic_shuffle
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(ds)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, hour): corpus aggregated once by the
+    finest combiner+groupby; coarser levels re-aggregate the tiny
+    previous level.  [SQL-verified]"""
+    from lingua_ray.functions.rollup import rollup_counts
+
+    def hour_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"event_type": batch.column("event_type"),
+                         "hour": pc.floor_temporal(batch.column("ts"),
+                                                   unit="hour")})
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    out = rollup_counts(ds.map_batches(hour_cols, batch_format="pyarrow"),
+                        ["event_type", "hour"])
+
+    def desentinel(batch: pa.Table) -> pa.Table:
+        """Subtotal NULLs → sentinels: NaT/None don't hash-compare
+        stably across engines (numpy NaT != NaT), so the query surface
+        uses '(all)' / epoch; the operator itself keeps SQL NULL
+        semantics."""
+        import datetime
+        import pyarrow.compute as pc
+        epoch = pa.scalar(datetime.datetime(1970, 1, 1),
+                          type=pa.timestamp("us"))
+        return pa.table({
+            "event_type": pc.fill_null(batch.column("event_type"),
+                                       "(all)"),
+            "hour": pc.fill_null(batch.column("hour"), epoch),
+            "n": batch.column("n"),
+        })
+
+    return out.map_batches(desentinel, batch_format="pyarrow")
+
+
+def _q_doc_length_pctrank(sf_dir: str):
+    """percent_rank() over document lengths without a sort: broadcast
+    cumulative histogram + shuffle-free searchsorted lookup.
+    [SQL-verified]"""
+    from lingua_ray.functions.quantiles import percent_rank_column
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return percent_rank_column(ds, "n_chars")
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Bigram PMI collocations (count ≥ 5): bigram/unigram combiners →
     two vocabulary-bounded groupbys → broadcast unigram table →
@@ -1453,6 +1507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_heavy_hitters": _q_word_heavy_hitters,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
+        "doc_shuffle": _q_doc_shuffle,
+        "events_rollup": _q_events_rollup,
+        "doc_length_pctrank": _q_doc_length_pctrank,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1618,6 +1675,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "doc_shuffle": """
+            SELECT doc_id,
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+              CAST(row_number() OVER (
+                PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos
+            FROM documents
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(hour, TIMESTAMP '1970-01-01') AS hour, n
+            FROM (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*) AS n
+              FROM events
+              GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+            )
+        """,
+        "doc_length_pctrank": """
+            SELECT doc_id, n_chars,
+              round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct
+            FROM documents
         """,
         "bigram_pmi": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

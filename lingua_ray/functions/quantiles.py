@@ -73,3 +73,40 @@ def grouped_quantiles(ds, key_col: str, value_col: str,
 
     return hist.groupby(key_col).map_groups(reduce_group,
                                             batch_format="pyarrow")
+
+
+def percent_rank_column(ds, value_col: str, out_col: str = "pct"):
+    """Attach SQL ``percent_rank() OVER (ORDER BY value_col)`` =
+    (count of strictly smaller values) / (n - 1), rounded to 6 decimals.
+
+    No sort: the global (value, count) histogram (combiner → groupby →
+    driver cumsum, KBs for a bounded-cardinality column) is broadcast
+    as plain scalars into a shuffle-free ``map_batches`` that looks up
+    each row's below-count with one ``searchsorted``."""
+    import ray
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy().astype(np.int64)
+        uv, uc = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "cnt": pa.array(uc.astype(np.int64))})
+
+    rows = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("v").sum("cnt").take_all()
+    if not rows:
+        return ds.limit(0)
+    rows.sort(key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n = int(cnts.sum())
+    denom = max(n - 1, 1)
+    ref = ray.put((vals, below))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        v_arr, b_arr = ray.get(ref)
+        x = batch.column(value_col).to_numpy().astype(np.int64)
+        pct = np.round(b_arr[np.searchsorted(v_arr, x)] / denom, 6)
+        return batch.append_column(out_col, pa.array(pct))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
