@@ -259,6 +259,35 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_events_last_per_user(sf_dir: str):
+    """Arg-max per key: each user's latest event row.  The per-batch
+    combiner reduces every block to ≤ one row per user BEFORE the single
+    hash shuffle.  [SQL-verified]"""
+    from lingua_ray.functions.argmax import last_per_key
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return last_per_key(ds, "user_id", ["ts", "event_id"])
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT the four lineitem measures to long format — block-local
+    flat-map, no shuffle.  [SQL-verified]"""
+    from lingua_ray.functions.reshape import melt
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"] + cols)
+    return melt(ds, ["l_orderkey", "l_linenumber"], cols)
+
+
+def _q_orders_price_zscore(sf_dir: str):
+    """Z-score normalization via the distributed-moments pattern: each
+    block ships (n, sum, sumsq), normalization is a shuffle-free map
+    with broadcast scalars.  [SQL-verified]"""
+    from lingua_ray.functions.reshape import zscore_column
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return zscore_column(ds, "o_totalprice")
+
+
 def _q_doc_shuffle(sf_dir: str):
     """Deterministic global shuffle for training-data sharding: bucket =
     md5 first byte (ONE 256-way hash shuffle), within-bucket (digest,
@@ -1508,6 +1537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
         "doc_shuffle": _q_doc_shuffle,
+        "events_last_per_user": _q_events_last_per_user,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "orders_price_zscore": _q_orders_price_zscore,
         "events_rollup": _q_events_rollup,
         "doc_length_pctrank": _q_doc_length_pctrank,
         "ngram_counts": _q_ngram_counts,
@@ -1675,6 +1707,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "events_last_per_user": """
+            SELECT event_id, ts, user_id, event_type FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem
+        """,
+        "orders_price_zscore": """
+            SELECT o_orderkey, o_totalprice,
+              round((o_totalprice -
+                     (SELECT sum(o_totalprice) / count(*) FROM orders)) /
+                    (SELECT sqrt(greatest(
+                        sum(o_totalprice * o_totalprice) / count(*) -
+                        (sum(o_totalprice) / count(*)) *
+                        (sum(o_totalprice) / count(*)), 0)) FROM orders),
+                    6) AS z
+            FROM orders
         """,
         "doc_shuffle": """
             SELECT doc_id,
