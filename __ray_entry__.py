@@ -259,6 +259,34 @@ def _q_word_counts(sf_dir: str):
     return word_counts_topk(ds, k=100)
 
 
+def _q_events_value_salted(sf_dir: str):
+    """Skew-proof sum of event value by type: event_type has ~5 hot
+    keys, so the salted two-stage groupby keeps reduce parallelism at
+    keys × 16 instead of 5 tasks doing all the work.  Fixed-point cents
+    make the sum associativity-independent.  [SQL-verified]"""
+    from lingua_ray.functions.salted import salted_sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table({"event_type": batch.column("event_type"),
+                         "cents": pa.array(
+                             np.round(v * 100).astype(np.int64))})
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return salted_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                      "event_type", "cents", salt=16)
+
+
+def _q_orders_price_quantiles_approx(sf_dir: str):
+    """Error-bounded quantiles of a CONTINUOUS column (binned histogram,
+    two passes, no sampling): |est - exact| ≤ range/65536.  [rows-only:
+    approximate by design; pytest asserts the bound vs exact]"""
+    from lingua_ray.functions.quantiles import binned_quantiles
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return binned_quantiles(ds, "o_totalprice",
+                            {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
 def _q_events_last_per_user(sf_dir: str):
     """Arg-max per key: each user's latest event row.  The per-batch
     combiner reduces every block to ≤ one row per user BEFORE the single
@@ -1538,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "doc_shuffle": _q_doc_shuffle,
         "events_last_per_user": _q_events_last_per_user,
+        "events_value_salted": _q_events_value_salted,
+        "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
         "lineitem_unpivot": _q_lineitem_unpivot,
         "orders_price_zscore": _q_orders_price_zscore,
         "events_rollup": _q_events_rollup,
@@ -1707,6 +1737,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word ASC
             LIMIT 100
+        """,
+        "events_value_salted": """
+            SELECT event_type,
+              sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY event_type
         """,
         "events_last_per_user": """
             SELECT event_id, ts, user_id, event_type FROM events

@@ -25,19 +25,29 @@ import numpy as np
 import pyarrow as pa
 
 
-def shuffle_key_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Attach (bucket, digest): bucket = first 2 hex chars of md5."""
+def shuffle_key_batch(batch: pa.Table, id_col: str = "doc_id",
+                      bucket_chars: int = 2) -> pa.Table:
+    """Attach (bucket, digest): bucket = md5 hex prefix."""
     ids = batch.column(id_col).to_pylist()
     digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
     return pa.table({id_col: batch.column(id_col),
-                     "bucket": pa.array([d[:2] for d in digests]),
+                     "bucket": pa.array([d[:bucket_chars]
+                                         for d in digests]),
                      "digest": pa.array(digests)})
 
 
-def deterministic_shuffle(ds, id_col: str = "doc_id"):
+def deterministic_shuffle(ds, id_col: str = "doc_id",
+                          bucket_chars: int = 2):
     """(id, bucket, pos) — ``pos`` is the 1-based rank within the
     bucket under (digest, id) order.  Bucket-major, pos-minor order is
-    the deterministic global permutation."""
+    the deterministic global permutation.
+
+    ``bucket_chars`` sizes the shuffle fan-out at 16^k buckets: one
+    bucket is ~16^-k of the corpus and is sorted in ONE ``map_groups``
+    task, so pick k with buckets ≈ corpus / target-task-size — 2 (256
+    buckets) suits test scale; at 100 TB use 4 (65 536 buckets ≈ 1.5 GB
+    each).  The permutation ORDER is k-independent (it's the digest
+    order); only the shard boundaries move."""
 
     def order_group(group: pa.Table) -> pa.Table:
         d = np.asarray(group.column("digest").to_pylist())
@@ -51,6 +61,7 @@ def deterministic_shuffle(ds, id_col: str = "doc_id"):
         })
 
     keyed = ds.map_batches(shuffle_key_batch, batch_format="pyarrow",
-                           fn_kwargs={"id_col": id_col})
+                           fn_kwargs={"id_col": id_col,
+                                      "bucket_chars": bucket_chars})
     return keyed.groupby("bucket").map_groups(order_group,
                                               batch_format="pyarrow")

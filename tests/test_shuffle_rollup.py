@@ -29,6 +29,19 @@ def test_deterministic_shuffle_is_md5_permutation(ray_session):
         sorted(map(tuple, (r.values() for r in out2)))
 
 
+def test_shuffle_bucket_width_preserves_global_order(ray_session):
+    import ray.data
+    ids = np.arange(200, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    a = deterministic_shuffle(ds, bucket_chars=2).take_all()
+    b = deterministic_shuffle(ds, bucket_chars=3).take_all()
+    order_a = [r["doc_id"] for r in
+               sorted(a, key=lambda r: (r["bucket"], r["pos"]))]
+    order_b = [r["doc_id"] for r in
+               sorted(b, key=lambda r: (r["bucket"], r["pos"]))]
+    assert order_a == order_b  # shard boundaries move, the order doesn't
+
+
 def test_rollup_counts_matches_bruteforce(ray_session):
     import ray.data
     rng = np.random.default_rng(6)
