@@ -400,6 +400,80 @@ def _q_word_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, m=50, k=4096)
 
 
+def _q_word_counts_by_lang(sf_dir: str):
+    """Per-language top-10 words: (lang, word) count combiner → ONE
+    multi-key groupby → per-lang top-k in map_groups (group = one
+    language's vocabulary, bounded).  [SQL-verified]"""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = pc.fill_null(batch.column("text"), "")
+        words = pc.split_pattern(col, " ").combine_chunks()
+        n_per = np.diff(words.offsets.to_numpy().astype(np.int64))
+        flat = pc.list_flatten(words)
+        langs = batch.column("lang").take(
+            pa.array(np.repeat(np.arange(batch.num_rows), n_per)))
+        t = pa.table({"lang": langs, "word": flat})
+        g = pa.TableGroupBy(t, ["lang", "word"]).aggregate([([],
+                                                            "count_all")])
+        return g.rename_columns(["lang", "word", "n"])
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "word"]).sum("n").rename_columns({"sum(n)": "n"})
+
+    def topk(group: pa.Table) -> pa.Table:
+        return group.sort_by([("n", "descending"),
+                              ("word", "ascending")]).slice(0, 10)
+
+    return grouped.groupby("lang").map_groups(topk,
+                                              batch_format="pyarrow")
+
+
+def _q_doc_validation(sf_dir: str):
+    """Data-quality audit: per-source violation counters (empty text,
+    null lang, length mismatch vs n_chars, out-of-range n_chars) — one
+    combiner pass, tiny groupby.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        text = batch.column("text")
+        nc = batch.column("n_chars").to_numpy().astype(np.int64)
+        real_len = pc.utf8_length(pc.fill_null(text, "")).to_numpy() \
+            .astype(np.int64)
+        empty = (pc.is_null(text).to_numpy(zero_copy_only=False)
+                 | (real_len == 0))
+        null_lang = pc.is_null(batch.column("lang")).to_numpy(
+            zero_copy_only=False)
+        len_mismatch = real_len != nc
+        out_of_range = (nc < 0) | (nc > 1_000_000)
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_rows": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_empty": pa.array(empty.astype(np.int64)),
+            "n_null_lang": pa.array(null_lang.astype(np.int64)),
+            "n_len_mismatch": pa.array(len_mismatch.astype(np.int64)),
+            "n_out_of_range": pa.array(out_of_range.astype(np.int64)),
+        })
+        g = pa.TableGroupBy(t, ["source"]).aggregate(
+            [(c, "sum") for c in ("n_rows", "n_empty", "n_null_lang",
+                                  "n_len_mismatch", "n_out_of_range")])
+        return g.rename_columns(["source", "n_rows", "n_empty",
+                                 "n_null_lang", "n_len_mismatch",
+                                 "n_out_of_range"])
+
+    ds = _read(sf_dir, "documents",
+               columns=["source", "text", "lang", "n_chars"])
+    aggs = [Sum(c) for c in ("n_rows", "n_empty", "n_null_lang",
+                             "n_len_mismatch", "n_out_of_range")]
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(*aggs)
+    return out.rename_columns(
+        {f"sum({c})": c for c in ("n_rows", "n_empty", "n_null_lang",
+                                  "n_len_mismatch", "n_out_of_range")})
+
+
 def _q_ngram_counts(sf_dir: str):
     """Top-20 character trigrams per language — the distributed n-gram
     counting shape behind model training: per-batch combiner (distinct
@@ -1562,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
+        "word_counts_by_lang": _q_word_counts_by_lang,
+        "doc_validation": _q_doc_validation,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
         "doc_shuffle": _q_doc_shuffle,
@@ -1820,6 +1896,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON b.w2 = u2.word
             CROSS JOIN tot t
             WHERE b.n2 >= 5
+        """,
+        "word_counts_by_lang": """
+            WITH c AS (
+              SELECT lang, word, count(*) AS n
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              GROUP BY lang, word
+            )
+            SELECT lang, word, n FROM c
+            QUALIFY row_number() OVER
+              (PARTITION BY lang ORDER BY n DESC, word ASC) <= 10
+        """,
+        "doc_validation": """
+            SELECT source,
+              count(*) AS n_rows,
+              sum(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END) AS n_empty,
+              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                AS n_null_lang,
+              sum(CASE WHEN length(coalesce(text, '')) != n_chars
+                       THEN 1 ELSE 0 END) AS n_len_mismatch,
+              sum(CASE WHEN n_chars < 0 OR n_chars > 1000000
+                       THEN 1 ELSE 0 END) AS n_out_of_range
+            FROM documents GROUP BY source
         """,
         "doc_chunks": """
             SELECT doc_id, gs - 1 AS chunk_idx,
