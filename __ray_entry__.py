@@ -400,6 +400,34 @@ def _q_word_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, m=50, k=4096)
 
 
+def _q_clean_corpus_stats(sf_dir: str):
+    """End-to-end composition: quality filter (flags == 0) → exact
+    dedup on the text fingerprint (first occurrence wins) → per-language
+    survivor counts.  Text never shuffles — the dedup key is the 8-byte
+    fingerprint; the argmin combiner ships ≤ one row per fingerprint per
+    block.  [SQL-verified]"""
+    from lingua_ray.functions.argmax import first_per_key
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.quality import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    clean = ds.map_batches(quality_batch, batch_format="pyarrow") \
+        .filter(expr="quality_flags == 0")
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = fingerprint64_array(batch.column("text"))
+        return pa.table({
+            "fp": pa.array(fps.view(np.int64)),
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+        })
+
+    keep = first_per_key(clean.map_batches(fp, batch_format="pyarrow"),
+                         "fp", ["doc_id"])
+    return keep.groupby("lang").count().rename_columns(
+        {"count()": "n_docs"})
+
+
 def _q_word_counts_by_lang(sf_dir: str):
     """Per-language top-10 words: (lang, word) count combiner → ONE
     multi-key groupby → per-lang top-k in map_groups (group = one
@@ -1637,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
         "word_counts_by_lang": _q_word_counts_by_lang,
+        "clean_corpus_stats": _q_clean_corpus_stats,
         "doc_validation": _q_doc_validation,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
@@ -1786,8 +1815,19 @@ def oracle_sql() -> dict[str, str]:
       CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens
     FROM documents
     """
+    clean_corpus = f"""
+    WITH qq AS ({quality})
+    SELECT d.lang, count(*) AS n_docs FROM (
+      SELECT min(qq.doc_id) AS doc_id
+      FROM qq JOIN documents dd ON qq.doc_id = dd.doc_id
+      WHERE qq.quality_flags = 0
+      GROUP BY dd.text
+    ) k JOIN documents d ON k.doc_id = d.doc_id
+    GROUP BY d.lang
+    """
     return {
         "doc_quality": quality,
+        "clean_corpus_stats": clean_corpus,
         "doc_scrub": scrub,
         "doc_tokens": tokens,
         "doc_fingerprint":

@@ -29,28 +29,40 @@ def _sort_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
     return np.lexsort(keys)
 
 
-def argmax_local(batch: pa.Table, key_col: str,
-                 order_cols: list[str]) -> pa.Table:
-    """≤ one row per distinct key: the block-local winner."""
+def argmax_local(batch: pa.Table, key_col: str, order_cols: list[str],
+                 keep: str = "max") -> pa.Table:
+    """≤ one row per distinct key: the block-local winner (``keep`` =
+    "max" for the last row under the order, "min" for the first)."""
     if batch.num_rows == 0:
         return batch
     order = _sort_cols(batch, [key_col] + order_cols)
     s = batch.take(pa.array(order))
     k = s.column(key_col).to_numpy(zero_copy_only=False)
-    # last row of each equal-key run is that key's maximum
-    last = np.flatnonzero(
-        np.concatenate([k[1:] != k[:-1], [True]]))
-    return s.take(pa.array(last))
+    run_end = np.concatenate([k[1:] != k[:-1], [True]])
+    if keep == "max":
+        idx = np.flatnonzero(run_end)
+    else:
+        idx = np.flatnonzero(np.concatenate([[True], run_end[:-1]]))
+    return s.take(pa.array(idx))
+
+
+def _per_key(ds, key_col: str, order_cols: list[str], keep: str):
+    def finalize(group: pa.Table) -> pa.Table:
+        return argmax_local(group, key_col, order_cols, keep=keep)
+
+    combined = ds.map_batches(argmax_local, batch_format="pyarrow",
+                              fn_kwargs={"key_col": key_col,
+                                         "order_cols": order_cols,
+                                         "keep": keep})
+    return combined.groupby(key_col).map_groups(finalize,
+                                                batch_format="pyarrow")
 
 
 def last_per_key(ds, key_col: str, order_cols: list[str]):
     """One row per key — the arg-max under ``order_cols``."""
+    return _per_key(ds, key_col, order_cols, "max")
 
-    def finalize(group: pa.Table) -> pa.Table:
-        return argmax_local(group, key_col, order_cols)
 
-    combined = ds.map_batches(argmax_local, batch_format="pyarrow",
-                              fn_kwargs={"key_col": key_col,
-                                         "order_cols": order_cols})
-    return combined.groupby(key_col).map_groups(finalize,
-                                                batch_format="pyarrow")
+def first_per_key(ds, key_col: str, order_cols: list[str]):
+    """One row per key — the arg-min under ``order_cols``."""
+    return _per_key(ds, key_col, order_cols, "min")

@@ -43,6 +43,22 @@ def test_last_per_key_matches_pandas(ray_session):
         got[["user_id", "event_id"]], want[["user_id", "event_id"]])
 
 
+def test_first_per_key_matches_pandas(ray_session):
+    import ray.data
+    from lingua_ray.functions.argmax import first_per_key
+    t = _events(seed=14)
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = pd.DataFrame(
+        first_per_key(ds, "user_id", ["ts", "event_id"]).take_all())
+    df = t.to_pandas()
+    want = (df.sort_values(["ts", "event_id"])
+            .groupby("user_id").head(1))
+    got = got.sort_values("user_id", ignore_index=True)
+    want = want.sort_values("user_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id"]], want[["user_id", "event_id"]])
+
+
 def test_melt_batch_roundtrip():
     t = pa.table({"id": pa.array([1, 2], pa.int64()),
                   "a": pa.array([1.5, 2.5]),
