@@ -400,6 +400,24 @@ def _q_word_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, m=50, k=4096)
 
 
+def _q_doc_budget_selection(sf_dir: str):
+    """Greedy data selection under a global cost budget (half the corpus
+    chars, longest-first): the boundary score comes from a tiny
+    histogram cumsum — no global sort; only the single boundary bucket
+    is id-tie-broken.  [SQL-verified]"""
+    from lingua_ray.functions.budget import select_under_budget
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    total = int(ds.sum("n_chars") or 0)
+
+    def cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score": batch.column("n_chars"),
+                         "cost": batch.column("n_chars")})
+
+    prepared = ds.map_batches(cols, batch_format="pyarrow")
+    return select_under_budget(prepared, "score", "cost", total // 2)
+
+
 def _q_clean_corpus_stats(sf_dir: str):
     """End-to-end composition: quality filter (flags == 0) → exact
     dedup on the text fingerprint (first occurrence wins) → per-language
@@ -1666,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_heavy_hitters": _q_word_heavy_hitters,
         "word_counts_by_lang": _q_word_counts_by_lang,
         "clean_corpus_stats": _q_clean_corpus_stats,
+        "doc_budget_selection": _q_doc_budget_selection,
         "doc_validation": _q_doc_validation,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
@@ -1936,6 +1955,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON b.w2 = u2.word
             CROSS JOIN tot t
             WHERE b.n2 >= 5
+        """,
+        "doc_budget_selection": """
+            SELECT doc_id, score, cost FROM (
+              SELECT doc_id, n_chars AS score, n_chars AS cost,
+                sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            WHERE cum <= (SELECT sum(n_chars) // 2 FROM documents)
         """,
         "word_counts_by_lang": """
             WITH c AS (
