@@ -400,6 +400,15 @@ def _q_word_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, m=50, k=4096)
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source KL(source ‖ pooled corpus) over word distributions —
+    corpus drift diagnostic; everything after the combiner is
+    vocabulary-bounded.  [SQL-verified]"""
+    from lingua_ray.functions.divergence import source_kl
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_kl(ds)
+
+
 def _q_doc_budget_selection(sf_dir: str):
     """Greedy data selection under a global cost budget (half the corpus
     chars, longest-first): the boundary score comes from a tiny
@@ -1685,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts_by_lang": _q_word_counts_by_lang,
         "clean_corpus_stats": _q_clean_corpus_stats,
         "doc_budget_selection": _q_doc_budget_selection,
+        "source_kl": _q_source_kl,
         "doc_validation": _q_doc_validation,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
@@ -1955,6 +1965,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON b.w2 = u2.word
             CROSS JOIN tot t
             WHERE b.n2 >= 5
+        """,
+        "source_kl": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            sc AS (SELECT source, word, count(*) AS n FROM w
+                   GROUP BY source, word),
+            st AS (SELECT source, sum(n) AS tot FROM sc GROUP BY source),
+            g AS (SELECT word, sum(n) AS gn FROM sc GROUP BY word),
+            gt AS (SELECT sum(n) AS gtot FROM sc)
+            SELECT sc.source,
+              round(sum((CAST(sc.n AS DOUBLE) / st.tot) *
+                        ln((CAST(sc.n AS DOUBLE) / st.tot) /
+                           (CAST(g.gn AS DOUBLE) / gt.gtot))), 6) AS kl
+            FROM sc
+            JOIN st ON sc.source = st.source
+            JOIN g ON sc.word = g.word
+            CROSS JOIN gt
+            GROUP BY sc.source
         """,
         "doc_budget_selection": """
             SELECT doc_id, score, cost FROM (
