@@ -927,6 +927,27 @@ def _q_knn_ivf(sf_dir: str):
     return ivf_knn(ds, q, k=10, n_list=16, n_probe=6).select(["vec_id"])
 
 
+def _q_embedding_kmeans_sizes(sf_dir: str):
+    """IVF coarse-quantizer cluster profile: deterministic spherical
+    k-means on a bounded sample, whole-corpus centroid assignment inside
+    map_batches, per-list counts.  The persisted form of this assignment
+    (list_id partition column) is what makes IVF probe a partition-
+    pruned read.  [rows-only: k-means is not SQL-expressible; the
+    quantizer is pytest-verified in test_dedup_ann.py]"""
+    import ray
+    from lingua_ray.stages.ann import (IvfAssigner, _embedding_matrix,
+                                       spherical_kmeans)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = _embedding_matrix(
+        ds.limit(4096).take_batch(4096, batch_format="pyarrow"))
+    c = spherical_kmeans(sample, n_list=16)
+    assigned = ds.map_batches(
+        IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids": ray.put(c)})
+    return assigned.groupby("list_id").count().rename_columns(
+        {"count()": "n_vectors"})
+
+
 def _q_langid_documents_lowacc(sf_dir: str):
     """Language-ID in low-accuracy (trigram-only) mode.  [rows-only]"""
     from lingua_ray.models import ensure_models
@@ -1725,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
         "embedding_neardup": _q_embedding_neardup,
         "accuracy_report": _q_accuracy_report,
         "langid_documents_lowacc": _q_langid_documents_lowacc,

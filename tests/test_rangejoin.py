@@ -96,6 +96,29 @@ def test_bucketed_equals_broadcast(ray_session, boundaries):
                                   check_dtype=False)
 
 
+def test_bucketed_fuzzed_boundaries(ray_session):
+    """Random interval tables and random boundary grids must always
+    reproduce the brute-force join — boundary placement is correctness-
+    irrelevant by construction."""
+    import ray.data
+    rng = np.random.default_rng(23)
+    left = _left_table(n=120, seed=3)
+    for trial in range(5):
+        n_ivl = int(rng.integers(1, 8))
+        lo = rng.uniform(-20, 100, n_ivl)
+        hi = lo + rng.uniform(0, 60, n_ivl)
+        ivl = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                        "band": pa.array([f"b{i}" for i in range(n_ivl)])})
+        cuts = np.sort(rng.uniform(-30, 130, int(rng.integers(1, 6))))
+        cuts = np.unique(cuts)
+        got = bucketed_range_join(
+            ray.data.from_arrow(left).repartition(3), ivl, "v",
+            list(cuts)).to_pandas()
+        want = _brute(left, ivl, "inner")
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False)
+
+
 def test_bucketed_rejects_bad_boundaries(ray_session):
     import ray.data
     left = ray.data.from_arrow(_left_table())
