@@ -361,6 +361,15 @@ def _q_events_rollup(sf_dir: str):
     return out.map_batches(desentinel, batch_format="pyarrow")
 
 
+def _q_doc_length_rank(sf_dir: str):
+    """Global row_number + decile (ntile 10) under (n_chars, doc_id)
+    order — rank decomposed into broadcast histogram base + within-value
+    tie rank, one 16-byte-pair shuffle, no global sort.  [SQL-verified]"""
+    from lingua_ray.functions.rank import global_row_number
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_row_number(ds, "n_chars", "doc_id", ntile=10)
+
+
 def _q_doc_length_pctrank(sf_dir: str):
     """percent_rank() over document lengths without a sort: broadcast
     cumulative histogram + shuffle-free searchsorted lookup.
@@ -1727,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_zscore": _q_orders_price_zscore,
         "events_rollup": _q_events_rollup,
         "doc_length_pctrank": _q_doc_length_pctrank,
+        "doc_length_rank": _q_doc_length_rank,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
@@ -1957,6 +1967,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
             )
+        """,
+        "doc_length_rank": """
+            SELECT doc_id, n_chars,
+              CAST(row_number() OVER w AS BIGINT) AS rn,
+              CAST(ntile(10) OVER w AS BIGINT) AS tile
+            FROM documents
+            WINDOW w AS (ORDER BY n_chars, doc_id)
         """,
         "doc_length_pctrank": """
             SELECT doc_id, n_chars,
