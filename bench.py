@@ -28,6 +28,32 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 _TURNS_MULTIPLIER = 1
 
 
+def _cpu_steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat; (0, 0) if absent."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0, 0
+
+
+class _StealMeter:
+    """Measures hypervisor CPU steal across a timed region so BENCH
+    numbers self-document host health (this sandbox shows 0-36% steal
+    bursts; see BASELINE.md 'Sandbox variance')."""
+
+    def __enter__(self):
+        self.s0, self.t0 = _cpu_steal_snapshot()
+        return self
+
+    def __exit__(self, *exc):
+        s1, t1 = _cpu_steal_snapshot()
+        dt = t1 - self.t0
+        self.steal_pct = round(100.0 * (s1 - self.s0) / dt, 2) if dt else 0.0
+        return False
+
+
 def _n_turns_for_sf(sf_dir: str) -> int:
     # 120 turns per documents row: sf0.01 -> 60k turns, sf0.1 -> 600k turns.
     import pyarrow.parquet as pq
@@ -118,14 +144,15 @@ def main_bench() -> None:
     import ray
     repeat = int(os.environ.get("RAY_GRAFT_BENCH_REPEAT", "2"))
     headline = None
-    for _ in range(max(1, repeat)):  # best-of: see run_queries docstring
-        r = run_headline(NUM_CPUS, SF_DIR)  # owns its own Ray session
-        if headline is None or r["sec"] < headline["sec"]:
-            headline = r
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True)
-    timings = run_queries(SF_DIR, repeat=repeat)
-    ray.shutdown()
+    with _StealMeter() as meter:
+        for _ in range(max(1, repeat)):  # best-of: see run_queries docstring
+            r = run_headline(NUM_CPUS, SF_DIR)  # owns its own Ray session
+            if headline is None or r["sec"] < headline["sec"]:
+                headline = r
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True)
+        timings = run_queries(SF_DIR, repeat=repeat)
+        ray.shutdown()
     print(json.dumps({
         "metric": "quality_filter_e2e_sec",
         "value": round(headline["sec"], 3),
@@ -135,6 +162,9 @@ def main_bench() -> None:
         "num_cpus": NUM_CPUS,
         "turns": headline["turns"],
         "turns_per_sec": round(headline["turns_per_sec"], 1),
+        # host-health context: hypervisor steal during the whole bench —
+        # >5% means these numbers carry throttling noise (BASELINE.md)
+        "host_cpu_steal_pct": meter.steal_pct,
     }))
 
 
@@ -151,6 +181,7 @@ def main_scaling() -> None:
     better estimator of the machine-independent scaling capability.
     """
     repeat = int(os.environ.get("RAY_GRAFT_SCALING_REPEAT", "2"))
+    meter = _StealMeter().__enter__()
     results = {}
     for cpus in (8, 32):
         for mode in ("e2e", "stages"):
@@ -181,6 +212,7 @@ def main_scaling() -> None:
 
     eff_e2e = (tps(32, "e2e") / tps(8, "e2e")) / 4
     eff_stages = (tps(32, "stages") / tps(8, "stages")) / 4
+    meter.__exit__()
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff_stages, 3),
@@ -194,6 +226,9 @@ def main_scaling() -> None:
         },
         "sf": SF_DIR,
         "num_cpus": 32,
+        # >5% steal, or an efficiency ratio > 1, means a throttled leg —
+        # read against BASELINE.md "Sandbox variance"
+        "host_cpu_steal_pct": meter.steal_pct,
     }))
 
 
