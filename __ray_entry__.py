@@ -494,6 +494,32 @@ def _q_word_counts_by_lang(sf_dir: str):
                                               batch_format="pyarrow")
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """Sink/source fidelity: documents → streaming JSONL shards under
+    /tmp → read back with column pruning.  Values must hash-match the
+    parquet originals (the oracle reads parquet directly).
+    [SQL-verified]"""
+    from lingua_ray.sources.interchange import read_jsonl, write_jsonl
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lingua_ray/jsonl-{tag}"
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+    write_jsonl(ds, out)
+    return read_jsonl(out, columns=["doc_id", "lang", "source", "n_chars"])
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """Same fidelity check through the CSV sink/source.  [SQL-verified]"""
+    from lingua_ray.sources.interchange import read_csv, write_csv
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lingua_ray/csv-{tag}"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    write_csv(ds, out)
+    return read_csv(out, columns=["doc_id", "lang", "n_chars"])
+
+
 def _q_doc_validation(sf_dir: str):
     """Data-quality audit: per-source violation counters (empty text,
     null lang, length mismatch vs n_chars, out-of-range n_chars) — one
@@ -1726,6 +1752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_budget_selection": _q_doc_budget_selection,
         "source_kl": _q_source_kl,
         "doc_validation": _q_doc_validation,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
         "doc_shuffle": _q_doc_shuffle,
@@ -2043,6 +2071,10 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER
               (PARTITION BY lang ORDER BY n DESC, word ASC) <= 10
         """,
+        "jsonl_roundtrip":
+            "SELECT doc_id, lang, source, n_chars FROM documents",
+        "csv_roundtrip":
+            "SELECT doc_id, lang, n_chars FROM documents",
         "doc_validation": """
             SELECT source,
               count(*) AS n_rows,
