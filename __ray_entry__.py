@@ -687,6 +687,30 @@ def _q_dedup_exact(sf_dir: str):
         {"min(doc_id)": "doc_id"}).select_columns(["doc_id"])
 
 
+def _q_dedup_normalized(sf_dir: str):
+    """Near-exact dedup after normalization (lowercase + whitespace-run
+    collapse + trim): normalization and fingerprinting happen in the
+    combiner, so the shuffle again moves 16-byte rows, never text.  Both
+    engines run RE2-family regexes, so the normal forms agree
+    byte-for-byte.  [SQL-verified]"""
+    from lingua_ray.functions.argmax import first_per_key
+    from lingua_ray.functions.textstats import fingerprint64_array
+    import pyarrow.compute as pc
+
+    def norm_fp(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        fps = fingerprint64_array(t)
+        return pa.table({"fp": pa.array(fps.view(np.int64)),
+                         "doc_id": batch.column("doc_id")})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    keep = first_per_key(ds.map_batches(norm_fp, batch_format="pyarrow"),
+                         "fp", ["doc_id"])
+    return keep.select_columns(["doc_id"])
+
+
 def _q_lang_hist(sf_dir: str):
     """Language histogram (groupby-count).  [SQL-verified]"""
     ds = _read(sf_dir, "documents", columns=["lang"])
@@ -1773,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": _q_seq_packing,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
         "lang_hist": _q_lang_hist,
         "source_stats": _q_source_stats,
         "dedup_minhash": _q_dedup_minhash,
@@ -1927,6 +1952,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_normalized": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY trim(regexp_replace(lower(coalesce(text, '')),
+                                         '\\s+', ' ', 'g'))
+        """,
         "doc_stopwords": """
             SELECT doc_id,
               CAST(length(list_filter(string_split(lower(text), ' '),

@@ -31,6 +31,29 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     assert got == want
 
 
+def test_dedup_normalized_collapses_variants(ray_session):
+    """Case/whitespace variants of the same text keep only the min id
+    (exercises the query kernel; the sf corpus has no natural variants)."""
+    import importlib.util
+    import ray.data
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_test", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    import pyarrow.parquet as pq
+    import tempfile, os
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["Hello  World", "hello world", " HELLO WORLD ",
+                          "different", None]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = sorted(r["doc_id"] for r in
+                     m.queries()["dedup_normalized"](d).take_all())
+    assert got == [1, 4, 5]
+
+
 def test_csv_roundtrip(ray_session, tmp_path):
     import ray.data
     t = _table()
