@@ -986,6 +986,23 @@ def _q_knn_ivf(sf_dir: str):
     return ivf_knn(ds, q, k=10, n_list=16, n_probe=6).select(["vec_id"])
 
 
+def _q_knn_ivf_persisted(sf_dir: str):
+    """Persisted IVF: index built once as list_id-partitioned parquet,
+    probe = partition-pruned read of n_probe/n_list of the index + exact
+    scoring.  Same id-set contract as knn_bruteforce at this clustered-
+    free scale when n_probe covers the mass.  [rows-only: filesystem
+    index not SQL-expressible; recall gated in test_ivf_persisted.py]"""
+    import hashlib
+    from lingua_ray.stages.ann import ivf_build_index, ivf_query_index
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/lingua_ray/ivf-{tag}"
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ivf_build_index(ds, idx, n_list=8)
+    q = _query_vector(sf_dir)
+    out = ivf_query_index(idx, q, k=10, n_probe=4)
+    return out.select(["vec_id", "cos"])
+
+
 def _q_embedding_kmeans_sizes(sf_dir: str):
     """IVF coarse-quantizer cluster profile: deterministic spherical
     k-means on a bounded sample, whole-corpus centroid assignment inside
@@ -1810,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
+        "knn_ivf_persisted": _q_knn_ivf_persisted,
         "embedding_neardup": _q_embedding_neardup,
         "accuracy_report": _q_accuracy_report,
         "langid_documents_lowacc": _q_langid_documents_lowacc,

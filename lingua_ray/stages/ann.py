@@ -80,10 +80,11 @@ class BruteForceTopK:
 
 
 def knn_bruteforce(ds, query: np.ndarray, k: int = 10,
-                   id_col: str = "vec_id") -> pa.Table:
+                   id_col: str = "vec_id",
+                   col: str = "embedding") -> pa.Table:
     """Global top-k: streaming local top-k, then a tiny driver-side reduce."""
     partial = ds.map_batches(
-        BruteForceTopK(query, k, id_col), batch_format="pyarrow")
+        BruteForceTopK(query, k, id_col, col), batch_format="pyarrow")
     rows = partial.take_all()
     if not rows:
         return pa.table({id_col: [], "query_id": [], "cos": []})
@@ -325,3 +326,60 @@ def ivf_knn(ds, query: np.ndarray, k: int = 10, n_list: int = 16,
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     return knn_bruteforce(pruned, query, k, id_col)
+
+
+def ivf_build_index(ds, out_dir: str, n_list: int = 16,
+                    col: str = "embedding", train_sample: int = 4096):
+    """Persist the IVF layout: vectors written as parquet PARTITIONED BY
+    ``list_id`` (one directory per inverted list), centroids saved next
+    to them.  Build cost is one quantizer training on a bounded sample +
+    one streaming assignment pass + the partitioned write; at 100 TB
+    each list directory is written by many tasks in parallel and is
+    independently resumable.
+
+    Returns the centroid matrix.
+    """
+    import shutil
+    from pathlib import Path
+
+    import ray
+
+    out = Path(out_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    sample_tab = ds.limit(train_sample).take_batch(
+        train_sample, batch_format="pyarrow")
+    c = spherical_kmeans(_embedding_matrix(sample_tab, col), n_list)
+    np.save(str(out / "centroids.npy"), c)
+    assigned = ds.map_batches(
+        IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids": ray.put(c), "col": col})
+    assigned.write_parquet(str(out / "lists"),
+                           partition_cols=["list_id"])
+    return c
+
+
+def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
+                    n_probe: int = 4, id_col: str = "vec_id",
+                    col: str = "embedding") -> pa.Table:
+    """Probe a persisted IVF index: only the ``n_probe`` list
+    PARTITIONS nearest the query are read from storage (directory
+    pruning — the scan I/O is ~n_probe/n_list of the index, the other
+    lists never leave disk), then exact-scored.
+    """
+    from pathlib import Path
+
+    import ray.data
+
+    out = Path(index_dir)
+    c = np.load(str(out / "centroids.npy"))
+    qn = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]
+    probe = np.argsort(-(c @ qn))[:n_probe]
+    paths = [str(f) for p in probe
+             for f in sorted((out / "lists"
+                              / f"list_id={int(p)}").glob("*.parquet"))]
+    if not paths:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    ds = ray.data.read_parquet(paths)
+    return knn_bruteforce(ds, query, k, id_col, col=col)
