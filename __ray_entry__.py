@@ -1356,6 +1356,60 @@ def _q_doc_length_quantiles_by_lang(sf_dir: str):
                              {"p50": 0.5, "p90": 0.9, "p99": 0.99})
 
 
+def _q_distinct_words_by_lang(sf_dir: str):
+    """Exact per-language distinct-word counts: the per-batch combiner
+    emits DISTINCT (lang, word) pairs (vocabulary-bounded), one groupby
+    dedups corpus-wide, a per-lang count finishes.  [SQL-verified]"""
+    from lingua_ray.functions.divergence import source_word_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    pairs = ds.map_batches(
+        source_word_counts, batch_format="pyarrow",
+        fn_kwargs={"key_col": "lang"}).groupby(["lang", "word"]).count()
+    return pairs.groupby("lang").count().rename_columns(
+        {"count()": "n_distinct_words"})
+
+
+def _q_distinct_words_by_lang_hll(sf_dir: str):
+    """Sketch variant of the same statistic: one HLL register row per
+    (block, lang) — the exchange is languages × blocks × 16 KiB however
+    large each language's vocabulary is; per-lang max-merge + estimate
+    in map_groups.  [rows-only: approximate by design; pytest gates the
+    error vs the exact query]"""
+    import pyarrow.compute as pc
+    from lingua_ray.functions.sketches import (hll_estimate, hll_merge,
+                                               hll_registers_for_words)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang")
+        enc = (langs.combine_chunks()
+               if isinstance(langs, pa.ChunkedArray)
+               else langs).dictionary_encode()
+        out_lang, out_reg = [], []
+        for i, lang in enumerate(enc.dictionary.to_pylist()):
+            mask = pc.equal(enc.indices, i)
+            sub = batch.filter(mask)
+            reg = hll_registers_for_words(sub)
+            out_lang.append(lang)
+            out_reg.append(reg.column("registers")[0].as_py())
+        return pa.table({"lang": pa.array(out_lang, pa.string()),
+                         "registers": pa.array(out_reg, pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        blobs = group.column("registers").to_pylist()
+        est = hll_estimate(hll_merge(blobs))
+        return pa.table({
+            "lang": group.column("lang").slice(0, 1),
+            "n_distinct_words_est": pa.array([int(round(est))],
+                                             pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    per = ds.map_batches(per_block, batch_format="pyarrow")
+    return per.groupby("lang").map_groups(merge_group,
+                                          batch_format="pyarrow")
+
+
 def _q_distinct_words_hll(sf_dir: str):
     """Approximate distinct-word count via a HyperLogLog sketch (p=14,
     ~0.8% std error): one 16 KiB register row per block leaves the
@@ -1842,6 +1896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
         "doc_length_topp": _q_doc_length_topp,
         "distinct_words_hll": _q_distinct_words_hll,
+        "distinct_words_by_lang": _q_distinct_words_by_lang,
+        "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
         "doc_repetition": _q_doc_repetition,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "events_lag": _q_events_lag,
@@ -2208,6 +2264,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "distinct_words_by_lang": """
+            SELECT lang, count(DISTINCT word) AS n_distinct_words
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY lang
+        """,
         "source_stats": """
             SELECT source, lang, count(*) AS n_docs,
               sum(n_chars) AS n_chars, max(n_chars) AS max_chars
