@@ -1275,6 +1275,16 @@ def _q_events_lag(sf_dir: str):
         lag_group, batch_format="pyarrow")
 
 
+def _q_doc_entropy(sf_dir: str):
+    """Per-document word-distribution entropy + hapax count — quality
+    signals for degenerate/templated text; shuffle-free vectorized
+    kernel.  [SQL-verified]"""
+    from lingua_ray.stages.quality import entropy_batch
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(entropy_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "entropy", "n_hapax"])
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signal: the document's most frequent word
     count vs total words (stages/quality.py::repetition_batch — Arrow
@@ -1899,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_by_lang": _q_distinct_words_by_lang,
         "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
         "doc_repetition": _q_doc_repetition,
+        "doc_entropy": _q_doc_entropy,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "events_lag": _q_events_lag,
         "events_sliding": _q_events_sliding,
@@ -2264,6 +2275,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_hist":
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "doc_entropy": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS n FROM w
+                  GROUP BY doc_id, word),
+            t AS (SELECT doc_id, sum(n) AS tot FROM c GROUP BY doc_id)
+            SELECT c.doc_id,
+              round(-sum((CAST(n AS DOUBLE) / tot) *
+                         ln(CAST(n AS DOUBLE) / tot)), 6) AS entropy,
+              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax
+            FROM c JOIN t ON c.doc_id = t.doc_id
+            GROUP BY c.doc_id
+        """,
         "distinct_words_by_lang": """
             SELECT lang, count(DISTINCT word) AS n_distinct_words
             FROM (SELECT lang, unnest(string_split(text, ' ')) AS word

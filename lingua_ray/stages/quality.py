@@ -226,3 +226,43 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = set_column(batch, "top_word_count", pa.array(top))
     batch = set_column(batch, "n_words_rep", pa.array(lens))
     return batch
+
+
+def entropy_batch(batch: pa.Table, text_col: str = "text",
+                  ndigits: int = 6) -> pa.Table:
+    """Append ``entropy`` (Shannon entropy of the document's word
+    distribution, nats) and ``n_hapax`` (words occurring exactly once in
+    the document) — degenerate/templated text scores low entropy, rich
+    prose high.  Shuffle-free and fully vectorized: the same
+    lexsort + run-length machinery as ``repetition_batch``, with the
+    per-(doc, word) run lengths folded into per-doc sums by
+    ``np.add.at``."""
+    import pyarrow.compute as pc
+    col = pc.fill_null(batch.column(text_col), "")
+    words = pc.split_pattern(col, " ")
+    n = batch.num_rows
+    lens = np.asarray(
+        pc.list_value_length(words).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
+    flat = pc.list_flatten(words)
+    codes = np.asarray(
+        pc.dictionary_encode(flat).combine_chunks().indices.to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    entropy = np.zeros(n, dtype=np.float64)
+    hapax = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        order = np.lexsort((codes, row_id))
+        r, c = row_id[order], codes[order]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])]))
+        run_len = np.diff(np.concatenate([run_start, [len(r)]]))
+        run_row = r[run_start]
+        p = run_len / lens[run_row]
+        np.add.at(entropy, run_row, -p * np.log(p))
+        np.add.at(hapax, run_row, (run_len == 1).astype(np.int64))
+    batch = set_column(batch, "entropy",
+                       pa.array(np.round(entropy, ndigits)))
+    batch = set_column(batch, "n_hapax", pa.array(hapax))
+    return batch
