@@ -72,6 +72,18 @@ def _q_quality_filter_transcripts(sf_dir: str):
                                "keep"])
 
 
+def _q_conversations_assembled(sf_dir: str):
+    """Context assembly: transcript turns → one document per
+    conversation in turn order (ONE conv-keyed shuffle, vectorized
+    join kernel).  [rows-only: transcripts are a generated table, not a
+    registered SQL view; pandas-oracle-tested in test_assemble.py]"""
+    import ray.data
+    from lingua_ray.stages.assemble import assemble_conversations
+    ds = ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)),
+                               columns=["conv_id", "turn_idx", "text"])
+    return assemble_conversations(ds)
+
+
 def _langid_concurrency(n_rows: int | None = None,
                         batch_size: int = 2048) -> int:
     """Scale the scorer actor pool with the session's CPUs (~7/8, the
@@ -1842,6 +1854,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "quality_filter_transcripts": _q_quality_filter_transcripts,
+        "conversations_assembled": _q_conversations_assembled,
         "langid_documents": _q_langid_documents,
         "langid_confidences": _q_langid_confidences,
         "doc_quality": _q_doc_quality,
