@@ -126,7 +126,11 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "events_sessions", "orders_by_segment",
                      "ngram_counts", "train_ngrams", "contamination",
                      "stratified_sample", "doc_tfidf", "corpus_mix",
-                     "seq_packing", "para_dedup", "dedup_incremental"]
+                     "seq_packing", "para_dedup", "dedup_incremental",
+                     # round-2 second-wave operators
+                     "word_heavy_hitters", "orders_price_bands",
+                     "doc_length_rank", "events_rollup", "bigram_pmi",
+                     "doc_budget_selection", "doc_entropy", "doc_chunks"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
