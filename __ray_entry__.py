@@ -665,6 +665,15 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(ds, key_col="lang", k=20, id_col="doc_id")
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by md5 threshold
+    bands — shuffle-free, stable across partitionings; thresholds
+    inlined identically into the oracle.  [SQL-verified]"""
+    from lingua_ray.stages.sampling import split_assign
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return split_assign(ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_contamination(sf_dir: str):
     """Benchmark-contamination check: every document tagged with its
     distinct word-8-gram count and how many of those appear in the
@@ -1886,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "doc_split": _q_doc_split,
         "doc_tfidf": _q_doc_tfidf,
         "corpus_mix": _q_corpus_mix,
         "seq_packing": _q_seq_packing,
@@ -1961,6 +1971,20 @@ _PHONE = ("\\+[0-9]{7,15}|\\([0-9]{3}\\) ?[0-9]{3}[- ][0-9]{4}"
           "|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b|\\b[0-9]{10,11}\\b")
 _TOX = "\\b(?:damn|hell|idiot|stupid|hate|kill)\\b"
 _TOKEN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def _doc_split_sql() -> str:
+    """Identical hex thresholds as the Ray split_assign bands."""
+    from lingua_ray.stages.sampling import _md5_threshold
+    t_train = _md5_threshold(0.8)
+    t_val = _md5_threshold(0.9)
+    return f"""
+        SELECT doc_id,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_train}' THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents
+    """
 
 
 def _sql_stopword_list() -> str:
@@ -2243,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w CROSS JOIN n JOIN df ON w.word = df.word
             GROUP BY w.doc_id
         """,
+        "doc_split": _doc_split_sql(),
         "stratified_sample": """
             SELECT lang, doc_id,
               CAST(row_number() OVER (

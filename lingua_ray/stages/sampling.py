@@ -115,3 +115,33 @@ def mix_corpora(sources: list[tuple], id_col: str = "doc_id",
     for t in tagged[1:]:
         out = out.union(t)
     return out
+
+
+def split_assign(ds, fractions: dict[str, float], id_col: str = "doc_id",
+                 out_col: str = "split"):
+    """Deterministic train/val/test assignment: md5(str(id)) hex falls
+    into consecutive threshold bands sized by ``fractions`` (must sum to
+    ~1; the last band absorbs rounding).  Embarrassingly parallel, zero
+    coordination, stable across runs/partitionings/cluster sizes — and
+    byte-for-byte reproducible in SQL with the same inlined hex
+    thresholds (``_md5_threshold``)."""
+    names = list(fractions)
+    cum, bands = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bands.append((_md5_threshold(cum), name))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        labels = []
+        for d in digests:
+            for thresh, name in bands:
+                if d < thresh:
+                    labels.append(name)
+                    break
+            else:
+                labels.append(names[-1])
+        return batch.append_column(out_col, pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -112,3 +112,24 @@ def test_mix_corpora_labels_and_rates(ray_session):
     assert by_src["a"] == set(range(500))
     expect_b = {r["doc_id"] for r in hash_sample(b, 0.5).take_all()}
     assert by_src["b"] == expect_b
+
+
+def test_split_assign_deterministic_and_sized(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.stages.sampling import split_assign
+    t = pa.table({"doc_id": pa.array(np.arange(5000, dtype=np.int64))})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in
+         split_assign(ray.data.from_arrow(t).repartition(3),
+                      fr).take_all()}
+    b = {r["doc_id"]: r["split"] for r in
+         split_assign(ray.data.from_arrow(t).repartition(11),
+                      fr).take_all()}
+    assert a == b  # partitioning-independent
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
