@@ -476,6 +476,39 @@ def _q_clean_corpus_stats(sf_dir: str):
         {"count()": "n_docs"})
 
 
+def _q_inverted_index(sf_dir: str):
+    """Search-index build: distinct (word, doc_id) pairs in the combiner
+    → ONE word-keyed shuffle → per-word sorted posting list (emitted as
+    a comma-joined string so both engines hash it identically) + df.
+    At corpus scale a stopword's posting list is the skew risk — shard
+    hot words by doc-range and concatenate shards at read time.
+    [SQL-verified]"""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = pc.fill_null(batch.column("text"), "")
+        words = pc.split_pattern(col, " ").combine_chunks()
+        n_per = np.diff(words.offsets.to_numpy().astype(np.int64))
+        flat = pc.list_flatten(words)
+        ids = batch.column("doc_id").take(
+            pa.array(np.repeat(np.arange(batch.num_rows), n_per)))
+        t = pa.table({"word": flat, "doc_id": ids})
+        g = pa.TableGroupBy(t, ["word", "doc_id"]).aggregate([])
+        return g
+
+    def postings(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy())
+        return pa.table({
+            "word": group.column("word").slice(0, 1),
+            "df": pa.array([len(ids)], pa.int64()),
+            "postings": pa.array([",".join(map(str, ids))], pa.string()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("word").map_groups(postings, batch_format="pyarrow")
+
+
 def _q_word_counts_by_lang(sf_dir: str):
     """Per-language top-10 words: (lang, word) count combiner → ONE
     multi-key groupby → per-lang top-k in map_groups (group = one
@@ -1875,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
         "word_counts_by_lang": _q_word_counts_by_lang,
+        "inverted_index": _q_inverted_index,
         "clean_corpus_stats": _q_clean_corpus_stats,
         "doc_budget_selection": _q_doc_budget_selection,
         "source_kl": _q_source_kl,
@@ -2211,6 +2245,15 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= (SELECT sum(n_chars) // 2 FROM documents)
+        """,
+        "inverted_index": """
+            WITH p AS (SELECT DISTINCT word, doc_id FROM (
+              SELECT unnest(string_split(text, ' ')) AS word, doc_id
+              FROM documents))
+            SELECT word, count(*) AS df,
+              array_to_string(list(doc_id ORDER BY doc_id), ',')
+                AS postings
+            FROM p GROUP BY word
         """,
         "word_counts_by_lang": """
             WITH c AS (
