@@ -1286,6 +1286,41 @@ def _q_supplier_revenue(sf_dir: str):
                                "sum(n_lines)": "n_lines"})
 
 
+def _q_orders_building_revenue(sf_dir: str):
+    """Bloom-prefiltered join: the selective right side (BUILDING
+    customers) becomes a broadcast bloom filter that drops non-matching
+    orders BEFORE any exchange; an exact semi-join removes the ~0.8%
+    false positives; a per-batch combiner then aggregates.
+    [SQL-verified]"""
+    from ray.data.aggregate import Sum
+    from lingua_ray.stages.sets import bloom_semi_filter, semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"]).materialize()
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    pre = bloom_semi_filter(orders, building, on="o_custkey",
+                            right_on="c_custkey")
+    exact = semi_join(pre, building, on="o_custkey",
+                      right_on="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "cents": pa.array(cents)})
+        g = pa.TableGroupBy(t, ["o_orderpriority"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["o_orderpriority", "n", "cents"])
+
+    out = exact.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Sum("n"), Sum("cents"))
+    return out.rename_columns({"sum(n)": "n_orders",
+                               "sum(cents)": "revenue_cents"})
+
+
 def _q_customers_no_big_orders(sf_dir: str):
     """Distributed anti-join (NOT EXISTS) via stages/sets.py: customers
     with no order over $400k.  The right side is reduced to distinct
@@ -1968,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_entropy": _q_doc_entropy,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "orders_building_revenue": _q_orders_building_revenue,
         "events_lag": _q_events_lag,
         "events_sliding": _q_events_sliding,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -2427,6 +2463,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customer": """
             SELECT o_orderkey, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "orders_building_revenue": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderpriority
         """,
         "customers_no_big_orders": """
             SELECT c_custkey, c_name FROM customer c

@@ -77,3 +77,56 @@ def anti_join(left, right, on: str, right_on: str | None = None):
     """Left rows whose key does NOT appear in ``right`` (NOT EXISTS)."""
     return _filter_join(left, right, on, right_on,
                         keep_if_right_present=False)
+
+
+def bloom_semi_filter(left, right, on: str, right_on: str | None = None,
+                      bits_per_item: int = 10):
+    """Join pre-filter (semi-join reduction): a bloom filter over the
+    RIGHT side's join keys is built block-wise (bitmaps OR-merged, never
+    rows) and broadcast once via ``ray.put``; LEFT rows whose key cannot
+    match are dropped BEFORE any shuffle or join.  No false negatives —
+    the surviving superset feeds the real join, which then only moves
+    plausibly-matching rows (~0.8% false-positive overhead at 10
+    bits/key).  The classic distributed-join optimization when the right
+    side is selective but too large to broadcast as an exact set."""
+    import numpy as np
+
+    import ray
+
+    from ..functions.sketches import (bloom_block, bloom_contains,
+                                      bloom_params)
+    from ..functions.textstats import _mix64
+
+    right_on = right_on or on
+
+    def key_fps(batch: pa.Table, col: str) -> np.ndarray:
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        return _mix64(np.asarray(k, dtype=np.uint64))
+
+    n = max(int(right.count()), 1)
+    m_bits, k_hashes = bloom_params(n, bits_per_item)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        fps = key_fps(batch, right_on)
+        return pa.table({"bitmap": pa.array(
+            [bloom_block(fps, m_bits, k_hashes).tobytes()], pa.binary())})
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in right.map_batches(per_block,
+                                 batch_format="pyarrow").take_all():
+        np.bitwise_or(bitmap, np.frombuffer(row["bitmap"], dtype=np.uint8),
+                      out=bitmap)
+    ref = ray.put(bitmap)
+
+    class Prefilter:
+        def __init__(self):
+            self.bitmap = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = bloom_contains(key_fps(batch, on), self.bitmap,
+                                  k_hashes)
+            return batch.filter(pa.array(mask))
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return left.map_batches(Prefilter, batch_format="pyarrow",
+                            concurrency=(1, max(2, cpus // 2)))

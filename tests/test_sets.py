@@ -39,3 +39,27 @@ def test_anti_join_empty_right(ray_session):
     empty = right.filter(lambda r: False)
     out = anti_join(left, empty, on="k", right_on="rk").take_all()
     assert sorted(r["k"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_bloom_semi_filter_superset_and_prunes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.stages.sets import bloom_semi_filter
+
+    rng = np.random.default_rng(77)
+    left = pa.table({"k": pa.array(rng.integers(0, 10_000, 5000)
+                                   .astype(np.int64)),
+                     "v": pa.array(np.arange(5000, dtype=np.int64))})
+    right_keys = np.arange(0, 500, dtype=np.int64)  # 5% selectivity
+    right = pa.table({"rk": pa.array(right_keys)})
+    out = bloom_semi_filter(ray.data.from_arrow(left).repartition(4),
+                            ray.data.from_arrow(right).repartition(2),
+                            on="k", right_on="rk").take_all()
+    kept = {r["v"] for r in out}
+    match = set(np.flatnonzero(
+        np.isin(left.column("k").to_numpy(), right_keys)).tolist())
+    # no false negatives: every true match survives
+    assert match <= kept
+    # real pruning: FP rate keeps the survivor set near the true matches
+    assert len(kept) < len(match) + 0.05 * 5000
