@@ -654,6 +654,19 @@ def _q_seq_packing(sf_dir: str):
                                "bin_fill"])
 
 
+def _q_seq_packing_by_lang(sf_dir: str):
+    """Language-homogeneous sequence packing: bins never mix languages
+    (ONE lang-keyed shuffle, then the block-local next-fit kernel).
+    [rows-only: bin assignment is an algorithmic layout, not SQL;
+    invariants hypothesis-tested in test_packing.py]"""
+    from lingua_ray.functions.textstats import token_count_batch
+    from lingua_ray.stages.packing import pack_sequences_grouped
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "lang", "n_tokens"])
+    return pack_sequences_grouped(ds, cap=2048, group_col="lang")
+
+
 def _q_corpus_mix(sf_dir: str):
     """Weighted corpus mixing: three virtual sources (doc_id mod 3)
     hash-sampled at rates 1.0 / 0.5 / 0.25 and unioned with a source
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": _q_doc_tfidf,
         "corpus_mix": _q_corpus_mix,
         "seq_packing": _q_seq_packing,
+        "seq_packing_by_lang": _q_seq_packing_by_lang,
         "train_ngrams": _q_train_ngrams,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,

@@ -70,3 +70,21 @@ def pack_sequences(ds, cap: int, tokens_col: str = "n_tokens",
     return ds.map_batches(pack_batch, batch_format="pyarrow",
                           fn_kwargs={"cap": cap, "tokens_col": tokens_col,
                                      "id_col": id_col, "presort": presort})
+
+
+def pack_sequences_grouped(ds, cap: int, group_col: str,
+                           tokens_col: str = "n_tokens",
+                           id_col: str = "doc_id",
+                           presort: bool = False):
+    """Group-homogeneous packing: bins never mix groups (e.g. pack per
+    language so each training batch is monolingual).  ONE hash shuffle
+    co-locates each group; the pack kernel itself is unchanged.
+    Partitioning assumption: one group's rows fit in one task — if a
+    group is corpus-sized, pre-split it (e.g. by id-hash) and pack the
+    shards independently: next-fit bins never span the split anyway."""
+    def pack_group(group: pa.Table) -> pa.Table:
+        return pack_batch(group, cap=cap, tokens_col=tokens_col,
+                          id_col=id_col, presort=presort)
+
+    return ds.groupby(group_col).map_groups(pack_group,
+                                            batch_format="pyarrow")

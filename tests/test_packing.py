@@ -71,3 +71,30 @@ def test_pack_empty_batch():
     out = pack_batch(t, cap=10)
     assert out.num_rows == 0
     assert "bin_id" in out.column_names
+
+
+def test_grouped_packing_never_mixes_groups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.stages.packing import pack_sequences_grouped
+
+    rng = np.random.default_rng(91)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(3000, dtype=np.int64)),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], 3000)),
+        "n_tokens": pa.array(rng.integers(1, 900, 3000).astype(np.int64)),
+    })
+    out = pack_sequences_grouped(
+        ray.data.from_arrow(t).repartition(6), cap=2048,
+        group_col="lang").take_all()
+    assert len(out) == 3000
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["lang"], r["bin_id"]), []).append(r)
+    for (lang, _bin), rows in by_bin.items():
+        assert all(r["lang"] == lang for r in rows)
+        fill = rows[0]["bin_fill"]
+        assert all(r["bin_fill"] == fill for r in rows)
+        assert fill == sum(r["n_tokens"] for r in rows)
+        assert fill <= 2048 or len(rows) == 1
