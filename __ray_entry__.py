@@ -1457,6 +1457,30 @@ def _q_doc_length_quantiles(sf_dir: str):
                      for k, v in row.items()})
 
 
+def _q_doc_length_minmax_by_lang(sf_dir: str):
+    """Per-language min-max normalization: one tiny grouped min/max
+    aggregate, broadcast as plain dicts, shuffle-free attach.  Exact
+    (integer extrema, one double division, round 6).  [SQL-verified]"""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ext = {r["lang"]: (r["min(n_chars)"], r["max(n_chars)"])
+           for r in ds.groupby("lang").aggregate(
+               Min("n_chars"), Max("n_chars")).take_all()}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        v = batch.column("n_chars").to_numpy().astype(np.float64)
+        lo = np.array([ext[l][0] for l in langs], np.float64)
+        hi = np.array([ext[l][1] for l in langs], np.float64)
+        rng = hi - lo
+        norm = np.where(rng > 0, (v - lo) / np.where(rng > 0, rng, 1.0),
+                        0.0)
+        return batch.append_column("norm", pa.array(np.round(norm, 6)))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def _q_doc_length_quantiles_by_lang(sf_dir: str):
     """Per-language exact length quantiles — the grouped form of the
     histogram-quantile pattern: (lang, n_chars, cnt) partials, ONE hash
@@ -2010,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
+        "doc_length_minmax_by_lang": _q_doc_length_minmax_by_lang,
         "doc_length_topp": _q_doc_length_topp,
         "distinct_words_hll": _q_distinct_words_hll,
         "distinct_words_by_lang": _q_distinct_words_by_lang,
@@ -2526,6 +2551,16 @@ def oracle_sql() -> dict[str, str]:
               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
             FROM documents
+        """,
+        "doc_length_minmax_by_lang": """
+            SELECT doc_id, lang, n_chars,
+              round(CASE WHEN max(n_chars) OVER w > min(n_chars) OVER w
+                    THEN (n_chars - min(n_chars) OVER w) /
+                         CAST(max(n_chars) OVER w - min(n_chars) OVER w
+                              AS DOUBLE)
+                    ELSE 0.0 END, 6) AS norm
+            FROM documents
+            WINDOW w AS (PARTITION BY lang)
         """,
         "doc_length_quantiles_by_lang": """
             SELECT lang, count(*) AS n,
