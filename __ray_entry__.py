@@ -839,15 +839,28 @@ def _q_source_stats(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs, VERIFIED by estimated Jaccard ≥ 0.5
     (the LSH threshold for 16 bands × 4 rows): (doc_id, dup_of,
-    jaccard_est).  Signatures are materialized once (id + 512-byte sig,
-    text dropped first) and reused by both the banding pass and the
-    verification joins.  [rows-only]"""
+    jaccard_est).  Signatures are computed once (id + 512-byte sig, text
+    dropped first) and SPILLED TO PARQUET, then re-read by the banding
+    pass and both verification joins — at 10^10 docs the signature table
+    is TBs, so pinning it in the object store (round-2 `.materialize()`)
+    would evict everything else; a storage round-trip costs one
+    sequential write + reads and keeps the store free.  [rows-only]"""
+    import os
+    import tempfile
+
+    import ray.data
+
     from lingua_ray.stages.dedup import (bucket_pairs_group, lsh_band_batch,
                                          minhash_signature_batch,
                                          verify_minhash_candidates)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     sig = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
-    sig = sig.select_columns(["doc_id", "minhash"]).materialize()
+    # In a production run this prefix lives under the job's output root so
+    # a resume can reuse it; here a unique /tmp dir per invocation.
+    os.makedirs("/tmp/lingua_ray", exist_ok=True)
+    sig_path = tempfile.mkdtemp(prefix="minhash-sig-", dir="/tmp/lingua_ray")
+    sig.select_columns(["doc_id", "minhash"]).write_parquet(sig_path)
+    sig = ray.data.read_parquet(sig_path)
     bands = sig.map_batches(lsh_band_batch, batch_format="pyarrow")
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs_group, batch_format="pyarrow")
