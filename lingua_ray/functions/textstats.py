@@ -132,17 +132,35 @@ def _topk_block(batch: pa.Table, k: int) -> pa.Table:
                           ("word", "ascending")]).slice(0, k)
 
 
-def word_counts_topk(ds, k: int = 100, text_col: str = "text") -> pa.Table:
+def word_counts_topk(ds, k: int = 100, text_col: str = "text",
+                     n_reduce: int = 16) -> pa.Table:
     """Top-k corpus word frequencies: map-side combiner → groupby sum →
-    per-block top-k → driver merge.  Deterministic tie-break (count desc,
-    word asc)."""
+    per-block top-k → ONE distributed tree-reduce level → driver merge.
+    Deterministic tie-break (count desc, word asc).
+
+    The tree level is sound for any row partitioning: a row dropped from
+    a partition's top-k is beaten by ≥ k rows there, so it cannot be in
+    the global top-k.  Post-groupby each word is one row, so the driver
+    sees ≤ n_reduce × k rows no matter how many blocks the corpus has."""
     partial = ds.map_batches(word_count_local, batch_format="pyarrow",
                              fn_kwargs={"text_col": text_col})
     grouped = partial.groupby("word").sum("n").rename_columns(
         {"sum(n)": "n"})
     local = grouped.map_batches(_topk_block, batch_format="pyarrow",
                                 fn_kwargs={"k": k})
-    t = pa.Table.from_pylist(local.take_all(),
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        salt = (fingerprint64_array(batch.column("word"))
+                % np.uint64(n_reduce)).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt))
+
+    def _topk_group(group: pa.Table) -> pa.Table:
+        return _topk_block(group.drop_columns(["salt"]), k)
+
+    reduced = (local.map_batches(_salt, batch_format="pyarrow")
+               .groupby("salt").map_groups(_topk_group,
+                                           batch_format="pyarrow"))
+    t = pa.Table.from_pylist(reduced.take_all(),
                              schema=pa.schema([("word", pa.string()),
                                                ("n", pa.int64())]))
     return _topk_block(t, k)

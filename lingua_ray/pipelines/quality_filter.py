@@ -47,7 +47,10 @@ class PipelineOptions:
     ppl_threshold: float = DEFAULT_PPL_THRESHOLD
     batch_size: int = 2048
     langid_concurrency: int | tuple[int, int] = 4
-    num_output_partitions: int = 16
+    # None (default) derives the hash-partition count from the input size
+    # (see derive_num_partitions); set explicitly to pin it — it is part of
+    # the checkpoint fingerprint, so a resume must reuse the same value.
+    num_output_partitions: int | None = None
     restore_order: bool = True
     keep_only: bool = False
     # Column pruning at the read: when set, only these columns leave
@@ -58,6 +61,64 @@ class PipelineOptions:
     # User stage plug-ins (SURVEY.md §2.9): callables Table -> Table appended
     # after the built-in stages, each run as a stateless map_batches.
     extra_stages: list = field(default_factory=list)
+
+
+# Sized so a partition's finalize sort stays comfortably in one task's
+# memory (4× under FINALIZE_INMEM_ROWS) while partitions stay big enough
+# that per-partition overhead (file open, task dispatch) is noise.
+TARGET_PARTITION_ROWS = 2_000_000
+
+
+def derive_num_partitions(n_rows: int | None, cpus: int,
+                          target_rows: int = TARGET_PARTITION_ROWS) -> int:
+    """Output-partition count from input size: ceil(rows / target), but at
+    least the cluster's CPUs (so finalize parallelizes) and never so many
+    that a partition holds < ~1k rows (tiny inputs).  Unknown row count →
+    max(16, cpus), the round-2 constant made CPU-aware.  At 10^12 rows
+    this derives ~500k partitions of ~2M rows — each an independently
+    finalizable, resumable unit — where the old constant 16 would have
+    meant 6×10^10-row partitions."""
+    if n_rows is None:
+        return max(16, cpus)
+    by_size = -(-n_rows // target_rows)
+    floor_rows = max(1, n_rows // 1_000)
+    return int(max(1, min(max(by_size, cpus), floor_rows)))
+
+
+def _input_rows(ds) -> int | None:
+    """Row count WITHOUT executing the pipeline: dataset metadata when the
+    plan is a bare read, else parquet footers of the input files (valid for
+    the 1:1 scoring stages).  None when neither is available — callers fall
+    back to a CPU-based default.  At extreme file counts footer reads are
+    driver-side metadata I/O; pin opts.num_output_partitions instead."""
+    try:
+        mc = ds._meta_count()
+        if mc is not None:
+            return int(mc)
+    except Exception:
+        pass
+    # Staged (map_batches-wrapped) dataset: the 1:1 scoring stages keep the
+    # row count, so the upstream Read operator's parquet metadata is the
+    # right estimate (an upstream filter would only OVERestimate, which
+    # merely makes partitions smaller — safe).
+    try:
+        op = ds._logical_plan.dag
+        while op.input_dependencies:
+            op = op.input_dependencies[0]
+        md = op.infer_metadata()
+        if md.num_rows is not None:
+            return int(md.num_rows)
+    except Exception:
+        pass
+    return None
+
+
+def _resolve_partitions(ds, opts: "PipelineOptions") -> int:
+    if opts.num_output_partitions is not None:
+        return opts.num_output_partitions
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return derive_num_partitions(_input_rows(ds), cpus)
 
 
 def conv_partition_ids(conv_ids: list[str], num_partitions: int) -> np.ndarray:
@@ -126,9 +187,10 @@ def run_quality_filter(ds: "ray.data.Dataset",
                        opts: PipelineOptions | None = None
                        ) -> "ray.data.Dataset":
     opts = opts or PipelineOptions()
+    nparts = _resolve_partitions(ds, opts)
     ds = apply_stages(ds, opts)
     if opts.restore_order:
-        ds = restore_order(ds, opts.num_output_partitions)
+        ds = restore_order(ds, nparts)
     return ds
 
 
@@ -275,7 +337,8 @@ def write_ordered(ds: "ray.data.Dataset", out_dir: str,
     unsorted = out / "_unsorted"
     shutil.rmtree(out, ignore_errors=True)
     ds = ds.map_batches(_add_part_id, batch_format="pyarrow",
-                        fn_kwargs={"num_partitions": opts.num_output_partitions})
+                        fn_kwargs={"num_partitions":
+                                   _resolve_partitions(ds, opts)})
     ds.write_parquet(str(unsorted), partition_cols=["part_id"])
 
     jobs = []

@@ -82,26 +82,37 @@ class BruteForceTopK:
 def knn_bruteforce(ds, query: np.ndarray, k: int = 10,
                    id_col: str = "vec_id",
                    col: str = "embedding") -> pa.Table:
-    """Global top-k: streaming local top-k, then a tiny driver-side reduce."""
+    """Global top-k: streaming local top-k per block, ONE distributed
+    per-query reduce (groupby query_id → map_groups top-k), so the driver
+    receives O(k) rows per query regardless of block count — at 10^6
+    blocks the old flat take_all() held k × n_blocks × n_queries rows."""
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        cos = group.column("cos").to_numpy()
+        qid = group.column("query_id").to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "query_id": pa.array(qid[order]),
+            "cos": pa.array(cos[order], type=pa.float64()),
+        })
+
     partial = ds.map_batches(
         BruteForceTopK(query, k, id_col, col), batch_format="pyarrow")
-    rows = partial.take_all()
+    reduced = partial.groupby("query_id").map_groups(
+        topk_group, batch_format="pyarrow")
+    rows = reduced.take_all()
     if not rows:
         return pa.table({id_col: [], "query_id": [], "cos": []})
     ids = np.array([r[id_col] for r in rows])
     qid = np.array([r["query_id"] for r in rows])
     cos = np.array([r["cos"] for r in rows])
-    out_i, out_q, out_c = [], [], []
-    for qi in np.unique(qid):
-        sel = qid == qi
-        order = np.lexsort((ids[sel], -cos[sel]))[:k]
-        out_i.append(ids[sel][order])
-        out_q.append(np.full(len(order), qi, dtype=np.int32))
-        out_c.append(cos[sel][order])
+    order = np.lexsort((ids, -cos, qid))
     return pa.table({
-        id_col: pa.array(np.concatenate(out_i)),
-        "query_id": pa.array(np.concatenate(out_q)),
-        "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+        id_col: pa.array(ids[order]),
+        "query_id": pa.array(qid[order].astype(np.int32)),
+        "cos": pa.array(cos[order], type=pa.float64()),
     })
 
 

@@ -116,3 +116,42 @@ def test_write_ordered_empty_input(ray_session, tmp_path):
     rows = write_ordered(ray.data.from_arrow(t), str(tmp_path / "out"),
                          PipelineOptions(num_output_partitions=4))
     assert rows == 0
+
+
+def test_derive_num_partitions():
+    """Partition-count derivation: size-driven at scale, CPU-floored in the
+    middle, row-capped for tiny inputs, constant fallback when unknown."""
+    from lingua_ray.pipelines.quality_filter import derive_num_partitions
+
+    # unknown row count -> CPU-aware round-2 constant
+    assert derive_num_partitions(None, cpus=8) == 16
+    assert derive_num_partitions(None, cpus=64) == 64
+    # tiny input: capped so a partition holds >= ~1k rows
+    assert derive_num_partitions(3_000, cpus=32) == 3
+    assert derive_num_partitions(500, cpus=32) == 1
+    # mid-size: CPU floor wins so finalize parallelizes
+    assert derive_num_partitions(600_000, cpus=32) == 32
+    # at scale: size-driven, NOT the old constant 16
+    assert derive_num_partitions(10**12, cpus=32) == 500_000
+
+
+def test_write_ordered_derives_partitions(ray_session, tmp_path):
+    """num_output_partitions=None derives from input size and still yields
+    a correct, fully-ordered output."""
+    import pyarrow.parquet as pq
+
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     apply_stages,
+                                                     write_ordered)
+    ray = ray_session
+    turns = ensure_transcripts(tmp_path / "turns2", n_turns=3000, seed=7,
+                               n_shards=4)
+    opts = PipelineOptions(langid_concurrency=2)  # derive (None default)
+    ds = ray.data.read_parquet(str(turns))
+    out_dir = tmp_path / "out2"
+    rows = write_ordered(apply_stages(ds, opts), str(out_dir), opts)
+    assert rows == 3000
+    files = sorted(out_dir.glob("part-*.parquet"))
+    # 3000 rows -> derivation caps at 3 partitions regardless of CPUs
+    assert 1 <= len(files) <= 3
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 3000
