@@ -799,7 +799,11 @@ def _q_dedup_normalized(sf_dir: str):
     def norm_fp(batch: pa.Table) -> pa.Table:
         t = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-        t = pc.utf8_trim_whitespace(t)
+        # trim exactly the SPACE character, matching the oracle's
+        # trim(x, ' '): utf8_trim_whitespace also strips non-ASCII
+        # whitespace (NBSP etc.) that DuckDB trim() would keep, so the
+        # two normal forms would silently diverge on non-ASCII edges
+        t = pc.utf8_trim(t, characters=" ")
         fps = fingerprint64_array(t)
         return pa.table({"fp": pa.array(fps.view(np.int64)),
                          "doc_id": batch.column("doc_id")})

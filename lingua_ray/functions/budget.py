@@ -32,9 +32,13 @@ def select_under_budget(ds, score_col: str, cost_col: str, budget: int,
         s = batch.column(score_col).to_numpy().astype(np.int64)
         c = batch.column(cost_col).to_numpy().astype(np.int64)
         uv, inv = np.unique(s, return_inverse=True)
+        # integer accumulation: float-weighted bincount would lose
+        # exactness once a bucket's total cost crosses 2^53
+        bucket_cost = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(bucket_cost, inv, c)
         return pa.table({
             "score": pa.array(uv),
-            "cost": pa.array(np.bincount(inv, weights=c).astype(np.int64)),
+            "cost": pa.array(bucket_cost),
         })
 
     rows = ds.map_batches(hist, batch_format="pyarrow") \
@@ -83,8 +87,10 @@ def select_under_budget(ds, score_col: str, cost_col: str, budget: int,
     if not admit:
         return kept
     import ray.data
+    # schema from the SOURCE dataset, not a hardcoded int64 triple — the
+    # id column may be a string (or any type); a mismatched schema would
+    # crash from_pylist or poison the union
+    base = ds.schema().base_schema
     btbl = pa.Table.from_pylist(
-        admit, schema=pa.schema([(id_col, pa.int64()),
-                                 (score_col, pa.int64()),
-                                 (cost_col, pa.int64())]))
+        admit, schema=pa.schema([base.field(c) for c in cols]))
     return kept.union(ray.data.from_arrow(btbl))

@@ -36,7 +36,12 @@ def salted_sum(ds, key_col: str, value_col: str, salt: int = 16):
         comp = kidx * salt + s
         sums = np.zeros(len(enc.dictionary) * salt, dtype=np.int64)
         np.add.at(sums, comp, vals)
-        nz = np.flatnonzero(sums)
+        # emit cells that were TOUCHED, not cells that are nonzero — a key
+        # whose block-local partial sums to 0 (all-zero values, or +x/-x in
+        # one cell) must still reach stage 2, exactly like SQL SUM
+        counts = np.zeros(len(enc.dictionary) * salt, dtype=np.int64)
+        np.add.at(counts, comp, 1)
+        nz = np.flatnonzero(counts)
         return pa.table({
             key_col: enc.dictionary.take(pa.array(nz // salt)),
             "__salt": pa.array(nz % salt),

@@ -22,6 +22,19 @@ import pyarrow.compute as pc
 from .textstats import _mix64, fingerprint64_array
 
 HLL_P = 14
+
+
+def _floor_log2_u64(w: np.ndarray) -> np.ndarray:
+    """Exact floor(log2) for uint64 > 0 via binary-search shifts — no
+    float conversion anywhere, so no rounding at any magnitude."""
+    r = np.zeros(len(w), dtype=np.uint64)
+    v = w.astype(np.uint64, copy=True)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        m = v >= (np.uint64(1) << s)
+        r[m] += s
+        v[m] >>= s
+    return r
 HLL_M = 1 << HLL_P
 
 
@@ -39,11 +52,13 @@ def hll_registers_for_words(batch: pa.Table, text_col: str = "text",
         bucket = (h >> np.uint64(64 - p)).astype(np.int64)
         w = h & np.uint64((1 << (64 - p)) - 1)
         # rho = leading zeros of the (64-p)-bit remainder + 1
-        #     = (64-p) - floor(log2(w)) for w > 0, else (64-p) + 1
+        #     = (64-p) - floor(log2(w)) for w > 0, else (64-p) + 1.
+        # floor(log2) must be integer-exact: float64 log2 rounds UP for w
+        # within ~2 ULP below a power of two (e.g. 2^50-1), off-by-one-ing
+        # rho to 0.
         rho = np.full(len(w), 64 - p + 1, dtype=np.uint8)
         nz = w != 0
-        rho[nz] = (64 - p) - np.log2(w[nz].astype(np.float64)).astype(
-            np.int64)
+        rho[nz] = ((64 - p) - _floor_log2_u64(w[nz])).astype(np.uint8)
         np.maximum.at(regs, bucket, rho)
     return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
 

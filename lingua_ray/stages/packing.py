@@ -14,9 +14,10 @@ coordination: a bin is identified by the first document id it contains
 (each document lives in exactly one bin, so first-ids never collide).
 
 Algorithm: next-fit in arrival order — the streaming-friendly packer
-(one open bin, O(1) state); first-fit-decreasing would pack ~10% tighter
-but needs the whole block sorted and is just as easy to swap in via
-``presort=True``.
+(one open bin, O(1) state).  ``presort=True`` sorts the block by
+descending size first, giving NEXT-fit-DECREASING (the same single-open-
+bin scan over the sorted order) — tighter than plain next-fit, but not
+true first-fit-decreasing, which would revisit earlier open bins.
 """
 
 from __future__ import annotations

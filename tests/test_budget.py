@@ -56,3 +56,20 @@ def test_partitioning_independent(ray_session):
     budget = int(costs.sum()) // 2
     assert _run(ids, scores, costs, budget, parts=1) == \
         _run(ids, scores, costs, budget, parts=13)
+
+
+def test_budget_string_ids(ray_session):
+    """Non-int64 id columns must survive the boundary-bucket rebuild."""
+    import pyarrow as pa
+    import ray.data
+
+    from lingua_ray.functions.budget import select_under_budget
+
+    t = pa.table({"doc_id": ["d0", "d1", "d2", "d3"],
+                  "score": [3, 3, 2, 2],
+                  "cost": [4, 4, 4, 4]})
+    out = select_under_budget(ray.data.from_arrow(t), "score", "cost",
+                              budget=12, id_col="doc_id")
+    got = sorted(r["doc_id"] for r in out.take_all())
+    # full buckets: score 3 (cost 8); boundary score 2 admits d2 only
+    assert got == ["d0", "d1", "d2"]

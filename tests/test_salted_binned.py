@@ -61,3 +61,19 @@ def test_binned_quantiles_constant_column(ray_session):
     out = binned_quantiles(ray.data.from_arrow(t), "v",
                            {"p50": 0.5}).to_pylist()[0]
     assert out["p50"] == 42.0
+
+
+def test_salted_sum_keeps_zero_sum_keys(ray_session):
+    """A key whose every partial sums to 0 must still appear (SQL SUM
+    semantics), both for all-zero values and +x/-x cancellation."""
+    import pyarrow as pa
+    import ray.data
+
+    from lingua_ray.functions.salted import salted_sum
+
+    t = pa.table({"k": ["a", "a", "b", "c", "c"],
+                  "v": [5, -5, 0, 7, 0]})
+    out = {r["k"]: r["sum_v"]
+           for r in salted_sum(ray.data.from_arrow(t), "k", "v",
+                               salt=1).take_all()}
+    assert out == {"a": 0, "b": 0, "c": 7}

@@ -107,3 +107,17 @@ def test_incremental_bloom_contains_exact_result(ray_session):
              E.queries()["dedup_incremental_bloom"](sf).take_all()}
     assert bloom <= exact                     # survivors only shrink via FPs
     assert len(exact - bloom) <= max(2, int(0.02 * len(exact)))
+
+
+def test_floor_log2_exact_near_powers_of_two():
+    """float64 log2 rounds 2^k - 1 up for large k; the integer path must
+    not (rho would collapse to 0 and the register write would vanish)."""
+    import numpy as np
+
+    from lingua_ray.functions.sketches import _floor_log2_u64
+
+    w = np.array([1, 2, 3, 2**49, 2**50 - 1, 2**50, 2**62 - 1,
+                  2**63 - 1, 2**63, 2**64 - 1], dtype=np.uint64)
+    got = _floor_log2_u64(w).tolist()
+    want = [int(x).bit_length() - 1 for x in w.tolist()]
+    assert got == want
