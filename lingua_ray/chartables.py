@@ -101,6 +101,21 @@ def _build() -> dict[str, np.ndarray]:
             assert ord(ch) < MASK_TABLE_SIZE
             uniq[ord(ch), i >> 6] |= np.uint64(1 << (i & 63))
 
+    # Python-exact lowercase: 1:1 mapping table plus a "special" mask for
+    # the handful of codepoints str.lower() expands to >1 char (e.g. İ) or
+    # maps context-dependently (Σ → ς when final).  Rows containing a
+    # special cp fall back to str.lower(); everything else is one gather.
+    lower_1to1 = np.arange(_MAX_CP, dtype=np.int32)
+    lower_special = np.zeros(_MAX_CP, dtype=bool)
+    for start, chunk in _all_codepoint_chunks():
+        for i, ch in enumerate(chunk):
+            low = ch.lower()
+            if len(low) == 1:
+                lower_1to1[start + i] = ord(low)
+            else:
+                lower_special[start + i] = True
+    lower_special[0x3A3] = True  # capital sigma: final-form is contextual
+
     return {
         "script_id": script_id,
         "is_letter": is_letter,
@@ -110,13 +125,22 @@ def _build() -> dict[str, np.ndarray]:
         "is_logogram": is_logogram,
         "charlang": charlang,
         "uniq": uniq,
+        "lower_1to1": lower_1to1,
+        "lower_special": lower_special,
     }
+
+
+_REQUIRED_KEYS = ("script_id", "is_letter", "is_num_punct",
+                  "is_java_regex_space", "is_java_whitespace", "is_logogram",
+                  "charlang", "uniq", "lower_1to1", "lower_special")
 
 
 def _load() -> dict[str, np.ndarray]:
     if _CACHE.exists():
         with np.load(_CACHE) as z:
-            return {k: z[k] for k in z.files}
+            if all(k in z.files for k in _REQUIRED_KEYS):
+                return {k: z[k] for k in z.files}
+            # stale cache from an older build (missing tables): rebuild
     tables = _build()
     _DATA_DIR.mkdir(parents=True, exist_ok=True)
     tmp = _DATA_DIR / f"chartables.tmp.{os.getpid()}.npz"
@@ -135,6 +159,67 @@ IS_JAVA_WHITESPACE: np.ndarray = _T["is_java_whitespace"]
 IS_LOGOGRAM: np.ndarray = _T["is_logogram"]
 CHARLANG_MASK: np.ndarray = _T["charlang"]      # (0x2000, 2) uint64
 UNIQUE_CHAR_MASK: np.ndarray = _T["uniq"]       # (0x2000, 2) uint64
+
+
+LOWER_1TO1: np.ndarray = _T["lower_1to1"]
+LOWER_SPECIAL: np.ndarray = _T["lower_special"]
+
+
+def encode_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (int32 codepoints, int64 offsets) WITHOUT
+    per-row Python str objects: the UTF-8 data buffer is decoded with
+    NumPy byte arithmetic (one ``bitwise_or.reduceat`` combines each
+    multi-byte sequence), with a zero-arithmetic fast path for all-ASCII
+    buffers.  Nulls count as empty strings.  Same contract as
+    :func:`encode_batch`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int32), np.zeros(1, np.int64)
+    if pa.types.is_large_string(col.type):
+        odtype = np.int64
+    elif pa.types.is_string(col.type):
+        odtype = np.int32
+    else:
+        col = pc.cast(col, pa.large_string())
+        odtype = np.int64
+    bufs = col.buffers()
+    isz = np.dtype(odtype).itemsize
+    off = np.frombuffer(bufs[1], dtype=odtype, count=n + 1,
+                        offset=col.offset * isz).astype(np.int64)
+    off0 = off - off[0]
+    if bufs[2] is None or off0[-1] == 0:
+        return np.zeros(0, np.int32), off0
+    b = np.frombuffer(bufs[2], dtype=np.uint8,
+                      count=int(off[-1] - off[0]), offset=int(off[0]))
+    if int(b.max()) < 0x80:
+        return b.astype(np.int32), off0
+
+    is_start = (b & 0xC0) != 0x80
+    starts_cum = np.cumsum(is_start)
+    # row i's codepoint offset = number of start bytes before byte off0[i]
+    sc0 = np.concatenate([np.zeros(1, np.int64), starts_cum])
+    new_offs = sc0[off0]
+    payload = np.where(
+        is_start,
+        np.select([b < 0x80, b < 0xE0, b < 0xF0],
+                  [b, b & 0x1F, b & 0x0F], default=b & 0x07),
+        b & 0x3F).astype(np.int32)
+    start_pos = np.flatnonzero(is_start)
+    cp_idx = starts_cum - 1
+    seq_end = np.empty(len(start_pos), np.int64)
+    seq_end[:-1] = start_pos[1:]
+    seq_end[-1] = len(b)
+    from_end = (seq_end[cp_idx] - 1
+                - np.arange(len(b), dtype=np.int64)).astype(np.int32)
+    cps = np.bitwise_or.reduceat(payload << (from_end * 6), start_pos)
+    return cps.astype(np.int32, copy=False), new_offs
 
 
 def encode_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:

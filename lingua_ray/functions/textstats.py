@@ -163,4 +163,6 @@ def word_counts_topk(ds, k: int = 100, text_col: str = "text",
     t = pa.Table.from_pylist(reduced.take_all(),
                              schema=pa.schema([("word", pa.string()),
                                                ("n", pa.int64())]))
-    return _topk_block(t, k)
+    # always sort: the salted tree level scrambles row order even when the
+    # result is smaller than k
+    return t.sort_by([("n", "descending"), ("word", "ascending")]).slice(0, k)

@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..chartables import encode_batch
 from ..models import HASH_MULT, rolling_hashes
 from .util import set_column
 
@@ -40,21 +39,31 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
-def _shingle_hashes_batch(texts: list[str], k: int
-                          ) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-shingle hashes for a batch in one pass (duplicates KEPT).
 
-    Returns ``(hashes uint64, offsets int64)`` where row *i*'s shingles are
-    ``hashes[offsets[i]:offsets[i+1]]``.  One C-level UTF-32 encode for the
-    whole batch (``encode_batch``), one vectorized rolling hash, then the
-    windows that straddle row boundaries are dropped by index arithmetic —
-    no per-row Python.  Rows are lowercased and space-padded to length k to
-    match :func:`_shingle_hashes`, so every row has ≥ 1 shingle.
+    Accepts a list[str] or an Arrow string column (decoded straight from
+    the UTF-8 buffers — no per-row str objects).  Returns ``(hashes
+    uint64, offsets int64)`` where row *i*'s shingles are
+    ``hashes[offsets[i]:offsets[i+1]]``.  One codepoint decode for the
+    whole batch, a table-driven Python-exact lowercase, vectorized space
+    padding to length k, one rolling hash; the windows that straddle row
+    boundaries are dropped by index arithmetic — no per-row Python.
     """
-    pad = " " * k
-    lowered = [t.lower() for t in texts]   # lower() may change str length
-    padded = [t if len(t) >= k else (t + pad)[:k] for t in lowered]
-    cps, offs = encode_batch(padded)
+    from ..textprep import _lower_cps, encode_texts
+    cps, offs = encode_texts(texts)
+    cps, offs = _lower_cps(cps, offs)     # lower() may change row lengths
+    lens = np.diff(offs)
+    if (lens < k).any():
+        # space-pad short rows to exactly k codepoints, in bulk
+        new_len = np.maximum(lens, k)
+        new_offs = np.zeros(len(offs), dtype=np.int64)
+        np.cumsum(new_len, out=new_offs[1:])
+        out = np.full(int(new_offs[-1]), 0x20, dtype=np.int32)
+        shift = np.repeat(new_offs[:-1] - offs[:-1], lens)
+        src = np.arange(len(cps), dtype=np.int64)
+        out[src + shift] = cps
+        cps, offs = out, new_offs
     h = rolling_hashes(cps, k)[k - 1]
     lengths = offs[1:] - offs[:-1]
     n_sh = lengths - k + 1            # ≥ 1 per row after padding
@@ -82,11 +91,10 @@ def minhash_signature_batch(batch: pa.Table, text_col: str = "text",
     g_j(x) = mix(x ^ seed_j), signature = min over the row's shingles.
     Duplicate shingles don't affect the min, so no per-row unique needed.
     """
-    texts = ["" if t is None else t for t in batch.column(text_col).to_pylist()]
-    n = len(texts)
+    n = batch.num_rows
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     if n:
-        hashes, offs = _shingle_hashes_batch(texts, k)
+        hashes, offs = _shingle_hashes_batch(batch.column(text_col), k)
         seeds = _SIG_SEEDS[:num_perm]
         for j in range(num_perm):
             sigs[:, j] = np.minimum.reduceat(_mix(hashes ^ seeds[j]),
@@ -155,11 +163,10 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
     — bit b is set when strictly more than half the distinct shingles have
     bit b set, matching the scalar ``vote > 0`` rule.
     """
-    texts = ["" if t is None else t for t in batch.column(text_col).to_pylist()]
-    n = len(texts)
+    n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
     if n:
-        hashes, offs = _shingle_hashes_batch(texts, k)
+        hashes, offs = _shingle_hashes_batch(batch.column(text_col), k)
         row_of = np.repeat(np.arange(n, dtype=np.int64),
                            offs[1:] - offs[:-1])
         order = np.lexsort((hashes, row_of))

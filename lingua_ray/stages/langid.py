@@ -54,8 +54,9 @@ class LangIdScorer:
         self.top_k = top_k_confidences
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        texts = ["" if t is None else t for t in texts]
+        # the Arrow column goes straight to the kernel — codepoints are
+        # decoded from the UTF-8 buffers, no per-row Python str objects
+        texts = batch.column(self.text_col)
         res = self.detector.detect(texts, with_ppl=self.with_ppl,
                                    with_matrix=self.top_k > 0)
         lang_codes = _ISO_LOOKUP[res["lang"]]

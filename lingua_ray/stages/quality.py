@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..chartables import encode_batch
+from ..chartables import encode_arrow
 from .util import set_column
 
 QUALITY_FLAG_NAMES = {
@@ -107,11 +107,8 @@ def _distinct_tokens(cps: np.ndarray, offsets: np.ndarray, n: int
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    texts = ["" if t is None else t for t in texts]
-    n = len(texts)
-
-    cps, offsets = encode_batch(texts)
+    n = batch.num_rows
+    cps, offsets = encode_arrow(batch.column(text_col))
     row_id = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     n_chars = np.diff(offsets).astype(np.int64)
     n_alpha = np.bincount(row_id[_ASCII_ALPHA[cps]], minlength=n).astype(np.int64)

@@ -25,6 +25,9 @@ from .chartables import (
     IS_LETTER,
     IS_LOGOGRAM,
     IS_NUM_PUNCT,
+    LOWER_1TO1,
+    LOWER_SPECIAL,
+    encode_arrow,
     encode_batch,
 )
 
@@ -46,11 +49,89 @@ class CharBatch(NamedTuple):
         )
 
 
-def clean_batch(texts: list[str]) -> CharBatch:
-    """Vectorized ``cleanUpInputText`` over a batch; returns cleaned codepoints."""
-    lowered = [t.strip(_TRIM_CHARS).lower() for t in texts]
-    cps, offsets = encode_batch(lowered)
-    n_rows = len(texts)
+def encode_texts(texts) -> tuple[np.ndarray, np.ndarray]:
+    """list[str] OR Arrow string column → (codepoints, offsets).  The Arrow
+    path decodes straight from the UTF-8 buffers — no per-row str objects."""
+    if isinstance(texts, list):
+        return encode_batch(["" if t is None else t for t in texts])
+    return encode_arrow(texts)
+
+
+def _trim_cps(cps: np.ndarray, offsets: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``str.strip(_TRIM_CHARS)`` (chars ≤ U+0020) per row."""
+    n_rows = len(offsets) - 1
+    if len(cps) == 0:
+        return cps, offsets
+    valid = cps > 0x20
+    idx = np.arange(len(cps), dtype=np.int64)
+    big = np.int64(len(cps) + 1)
+    # one identity-valued sentinel keeps every offsets[:-1] index in
+    # bounds for reduceat (trailing empty rows start AT len(cps));
+    # clipping indices instead would shrink the previous row's segment
+    xmin = np.append(np.where(valid, idx, big), big)
+    xmax = np.append(np.where(valid, idx, np.int64(-1)), np.int64(-1))
+    first = np.minimum.reduceat(xmin, offsets[:-1])
+    last = np.maximum.reduceat(xmax, offsets[:-1])
+    empty = offsets[:-1] == offsets[1:]
+    first = np.where(empty, 0, first)
+    last = np.where(empty, -1, last)
+    new_len = np.maximum(last - first + 1, 0)
+    new_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(new_len, out=new_offs[1:])
+    total = int(new_offs[-1])
+    gather = (np.repeat(first, new_len)
+              + np.arange(total, dtype=np.int64)
+              - np.repeat(new_offs[:-1], new_len))
+    return cps[gather], new_offs
+
+
+def _lower_cps(cps: np.ndarray, offsets: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``str.lower()``: one table gather, with a per-row
+    str.lower() fallback ONLY for rows containing a codepoint whose lower
+    form expands (İ) or is contextual (final sigma) — byte-identical to
+    Python on every input."""
+    if len(cps) == 0:
+        return cps, offsets
+    table_lowered = LOWER_1TO1[cps]
+    special = LOWER_SPECIAL[cps]
+    if not special.any():
+        return table_lowered, offsets
+    n_rows = len(offsets) - 1
+    old_len = np.diff(offsets)
+    row_id = np.repeat(np.arange(n_rows, dtype=np.int64), old_len)
+    bad_rows = np.unique(row_id[special])
+    lowered_rows = {}
+    for r in bad_rows:
+        s = cps[offsets[r]: offsets[r + 1]]
+        txt = s.astype("uint32").tobytes().decode("utf-32-le").lower()
+        lowered_rows[int(r)] = np.frombuffer(
+            txt.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    is_bad = np.zeros(n_rows, dtype=bool)
+    is_bad[bad_rows] = True
+    new_len = old_len.copy()
+    for r, arr in lowered_rows.items():
+        new_len[r] = len(arr)
+    new_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(new_len, out=new_offs[1:])
+    out = np.empty(int(new_offs[-1]), dtype=np.int32)
+    # good rows copy in bulk via a shift map; bad rows paste their re-encode
+    shift = np.repeat(new_offs[:-1] - offsets[:-1], old_len)
+    src = np.flatnonzero(~is_bad[row_id])
+    out[src + shift[src]] = table_lowered[src]
+    for r, arr in lowered_rows.items():
+        out[new_offs[r]: new_offs[r] + len(arr)] = arr
+    return out, new_offs
+
+
+def clean_batch(texts) -> CharBatch:
+    """Vectorized ``cleanUpInputText`` over a batch (list[str] or Arrow
+    string column); returns cleaned codepoints."""
+    cps, offsets = encode_texts(texts)
+    cps, offsets = _trim_cps(cps, offsets)
+    cps, offsets = _lower_cps(cps, offsets)
+    n_rows = len(offsets) - 1
     if len(cps) == 0:
         return CharBatch(cps, offsets)
 
@@ -101,10 +182,11 @@ class WordBatch(NamedTuple):
     n_rows: int
 
 
-def build_word_batch(texts: list[str]) -> WordBatch:
-    """Vectorized ``WordList.build`` over a batch of raw texts."""
-    cps, offsets = encode_batch(texts)
-    n_rows = len(texts)
+def build_word_batch(texts) -> WordBatch:
+    """Vectorized ``WordList.build`` over a batch of raw texts (list[str]
+    or Arrow string column)."""
+    cps, offsets = encode_texts(texts)
+    n_rows = len(offsets) - 1
     if len(cps) == 0:
         e = np.zeros(0, dtype=np.int64)
         return WordBatch(cps, e, e, e, e, np.zeros(0, dtype=bool), n_rows)
