@@ -74,7 +74,73 @@ def _parse_image_dims(p: bytes) -> tuple[str | None, int, int]:
                 return "jpeg", w, h
             i += 2 + seg_len
         return "jpeg", -1, -1
+    if len(p) >= 16 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        cc = p[12:16]
+        if cc == b"VP8 " and len(p) >= 30 and p[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", p[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", p[28:30])[0] & 0x3FFF
+            return "webp", w, h
+        if cc == b"VP8L" and len(p) >= 25 and p[20] == 0x2F:
+            bits = struct.unpack("<I", p[21:25])[0]
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if cc == b"VP8X" and len(p) >= 30:
+            w = int.from_bytes(p[24:27], "little") + 1
+            h = int.from_bytes(p[27:30], "little") + 1
+            return "webp", w, h
+        return "webp", -1, -1
+    if len(p) >= 8 and p[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth (256) / ImageLength (257)
+        end = "<" if p[:2] == b"II" else ">"
+        ifd = struct.unpack(f"{end}I", p[4:8])[0]
+        w = h = -1
+        if ifd + 2 <= len(p):
+            n_ent = struct.unpack(f"{end}H", p[ifd:ifd + 2])[0]
+            for e in range(n_ent):
+                o = ifd + 2 + 12 * e
+                if o + 12 > len(p):
+                    break
+                tag, typ = struct.unpack(f"{end}HH", p[o:o + 4])
+                if tag in (256, 257):
+                    # inline value: SHORT(3) uses the first 2 value bytes,
+                    # LONG(4) all 4 (spec: left-justified in the field)
+                    val = (struct.unpack(f"{end}H", p[o + 8:o + 10])[0]
+                           if typ == 3 else
+                           struct.unpack(f"{end}I", p[o + 8:o + 12])[0])
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+        return "tiff", w, h
+    if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
+        dims = _parse_pnm_header(p)
+        if dims is not None:
+            return ("pgm" if p[:2] == b"P5" else "ppm"), dims[0], dims[1]
+        return ("pgm" if p[:2] == b"P5" else "ppm"), -1, -1
     return None, -1, -1
+
+
+def _parse_pnm_header(p: bytes):
+    """(width, height, maxval, raster_offset) of a binary netpbm payload
+    (P5 grayscale / P6 RGB), honoring '#' comments.  None if malformed."""
+    i, fields = 2, []
+    while i < len(p) and len(fields) < 3:
+        c = p[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < len(p) and p[i:i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(p) and p[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(p[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(p) or not p[i:i + 1].isspace():
+        return None
+    return fields[0], fields[1], fields[2], i + 1
 
 
 def image_dims_batch(batch: pa.Table,
@@ -97,21 +163,63 @@ def image_dims_batch(batch: pa.Table,
     return batch
 
 
+def decode_image(p: bytes):
+    """REAL pure-NumPy decode of the uncompressed raster formats — binary
+    netpbm (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width, height,
+    mean_luma in [0,1]) or None when the payload is a compressed codec
+    (PNG/JPEG/WEBP/...) that needs an external library."""
+    import struct
+    if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
+        hdr = _parse_pnm_header(p)
+        if hdr is None:
+            return None
+        w, h, maxval, off = hdr
+        ch = 1 if p[:2] == b"P5" else 3
+        need = w * h * ch * (2 if maxval > 255 else 1)
+        if maxval <= 0 or len(p) - off < need:
+            return None
+        dt = np.dtype(">u2") if maxval > 255 else np.uint8
+        px = np.frombuffer(p, dtype=dt, count=w * h * ch,
+                           offset=off).astype(np.float64) / maxval
+        if ch == 3:
+            px = px.reshape(-1, 3) @ np.array([0.299, 0.587, 0.114])
+        return w, h, float(px.mean())
+    if len(p) >= 54 and p[:2] == b"BM":
+        data_off = struct.unpack("<I", p[10:14])[0]
+        w, hraw = struct.unpack("<ii", p[18:26])
+        bpp, comp = struct.unpack("<HI", p[28:34])
+        h = abs(hraw)
+        if comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+            return None
+        stride = (w * bpp // 8 + 3) & ~3
+        if len(p) - data_off < stride * h:
+            return None
+        rows = np.frombuffer(p, dtype=np.uint8, count=stride * h,
+                             offset=data_off).reshape(h, stride)
+        if bpp == 24:
+            bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+            luma = (bgr @ np.array([0.114, 0.587, 0.299])).mean() / 255.0
+        else:
+            luma = float(rows[:, :w].mean()) / 255.0
+        return w, h, float(luma)
+    return None
+
+
 class ImageDecoder:
     """Actor-pool decode/feature stage.
 
-    real=False (default here, since no image libs are installed): emits a
-    deterministic fake (width, height, mean_luma) derived from the payload's
-    sha256 — stable across runs, exercising the full Ray plumbing.
-    real=True: raises NotImplementedError at construction, documenting the
-    dependency boundary.
+    real=True decodes the formats a pure-NumPy decoder can handle —
+    binary netpbm (P5/P6) and uncompressed 8/24-bit BMP — via
+    :func:`decode_image`, and raises NotImplementedError per payload for
+    compressed codecs (PNG/JPEG/WEBP need PIL/opencv, not installed
+    here; that boundary is the ONLY stubbed part).
+    real=False emits a deterministic fake (width, height, mean_luma)
+    derived from the payload's sha256 — stable across runs, exercising
+    the full Ray plumbing when no decodable payloads exist.
     """
 
     def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "image decoding requires PIL/opencv, not available in this "
-                "environment; run with real=False for the deterministic stub")
+        self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -119,10 +227,20 @@ class ImageDecoder:
         h = np.empty(len(payloads), dtype=np.int32)
         luma = np.empty(len(payloads), dtype=np.float64)
         for i, p in enumerate(payloads):
-            d = hashlib.sha256(p or b"").digest()
-            w[i] = 64 + d[0] * 4
-            h[i] = 64 + d[1] * 4
-            luma[i] = d[2] / 255.0
+            if self.real:
+                dec = decode_image(p or b"")
+                if dec is None:
+                    fmt = _parse_image_dims(p or b"")[0] or "unknown"
+                    raise NotImplementedError(
+                        f"decoding '{fmt}' payloads needs PIL/opencv "
+                        "(unavailable in this environment); only netpbm "
+                        "and uncompressed BMP decode without codecs")
+                w[i], h[i], luma[i] = dec
+            else:
+                d = hashlib.sha256(p or b"").digest()
+                w[i] = 64 + d[0] * 4
+                h[i] = 64 + d[1] * 4
+                luma[i] = d[2] / 255.0
         batch = set_column(batch, "width", pa.array(w))
         batch = set_column(batch, "height", pa.array(h))
         batch = set_column(batch, "mean_luma", pa.array(luma))

@@ -149,8 +149,10 @@ def test_multimodal_stub_stages(ray_session):
     a = ImageDecoder()(t.slice(0, 4))
     b = ImageDecoder()(t.slice(0, 4))
     assert a.equals(b)
+    # real mode decodes netpbm/uncompressed-BMP; anything else is an
+    # explicit per-payload dependency boundary (PIL/opencv not installed)
     with pytest.raises(NotImplementedError):
-        ImageDecoder(real=True)
+        ImageDecoder(real=True)(t.slice(0, 4))
 
 
 # ---- round 2: vectorized kernel equivalence vs scalar references ----------
