@@ -2604,8 +2604,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                     AS revenue_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -2615,8 +2615,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_building_revenue": """
             SELECT o_orderpriority, count(*) AS n_orders,
-              sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                AS revenue_cents
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderpriority
@@ -2639,7 +2639,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_repetition": """
             SELECT doc_id, max(c) AS top_word_count,
-                   sum(c) AS n_words_rep
+                   CAST(sum(c) AS BIGINT) AS n_words_rep
             FROM (
               SELECT doc_id, w, count(*) AS c FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -2702,16 +2702,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-              sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS sum_base_cents,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                AS sum_disc_e4,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                  * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-                AS sum_charge_e6,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_base_cents,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS sum_disc_e4,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                   AS BIGINT) AS sum_charge_e6,
               count(*) AS n_lines
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2719,9 +2720,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_revenue": """
             SELECT n_name,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                AS revenue_e4,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS revenue_e4,
               count(*) AS n_lines
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -2735,9 +2736,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "local_supplier_volume": """
             SELECT n_name,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                AS revenue_e4
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS revenue_e4
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -2754,9 +2755,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, revenue_e4, o_orderdate, o_orderpriority
             FROM (
               SELECT l_orderkey,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS revenue_e4,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4,
                 o_orderdate, o_orderpriority
               FROM customer
               JOIN orders ON c_custkey = o_custkey
