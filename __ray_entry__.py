@@ -957,6 +957,24 @@ def _dedup_incremental_sql() -> str:
     """
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs — the brief's fourth dedup
+    flavor, hash-verifiable unlike MinHash estimation: every document
+    pair whose distinct char-5-shingle sets (lowercased, space-padded to
+    k) have true Jaccard >= 0.8.  Prefix-filtered similarity self-join
+    (stages/simjoin.py — SSJoin/PPJoin bound with the df-ascending
+    global element order of Vernica et al. broadcast from a stop-shingle
+    census): only 8-byte shingle hashes ride the exchanges, the shingle
+    pass runs once (spilled to parquet, not pinned), and exact
+    verification picks broadcast-lookup vs join layout by set-table
+    size, with a dense bool-matrix kernel for template-heavy (tiny
+    vocabulary) batches.  [SQL-verified]"""
+    from lingua_ray.stages.simjoin import jaccard_similarity_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_similarity_join(docs, threshold=0.8, k=5)
+
+
 def _q_dedup_incremental_bloom(sf_dir: str):
     """The broadcast-sketch variant of incremental dedup: the base half's
     text fingerprints become a bloom filter (per-block bitmaps OR-merged,
@@ -2064,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "dedup_jaccard": _q_dedup_jaccard,
         "lang_hist": _q_lang_hist,
         "source_stats": _q_source_stats,
         "ngram_counts": _q_ngram_counts,
@@ -2276,6 +2295,29 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
+        "dedup_jaccard": """
+            WITH t AS (SELECT doc_id,
+                         CASE WHEN length(lower(text)) < 5
+                              THEN rpad(lower(text), 5, ' ')
+                              ELSE lower(text) END AS s
+                       FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, substring(s, i, 5) AS g
+              FROM t, unnest(generate_series(1, length(s) - 4)) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS dup_of, b.doc_id AS doc_id,
+                             count(*) AS i
+                      FROM grams a JOIN grams b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT i.doc_id, i.dup_of,
+                   round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+                     AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.dup_of
+                         JOIN sizes sb ON sb.doc_id = i.doc_id
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+        """,
         "conversations_assembled": _conversations_assembled_sql(),
         "orders_price_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_orders,
