@@ -2044,6 +2044,83 @@ def _q_events_pivot(sf_dir: str):
     return out.rename_columns(renames)
 
 
+def _q_events_cumsum(sf_dir: str):
+    """Per-user RUNNING TOTAL (the window-function ``SUM ... OVER
+    (PARTITION BY user ORDER BY ts) ROWS UNBOUNDED PRECEDING`` pattern):
+    one hash shuffle by user_id, then a vectorized sort+cumsum inside
+    map_groups.  Values accumulate as integer cents so the two engines'
+    float-summation order can't diverge.  [SQL-verified]"""
+
+    def cumsum_group(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        cents = np.round(group.column("value").to_numpy()
+                         * 100).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "user_id": group.column("user_id").take(pa.array(order)),
+            "run_cents": pa.array(np.cumsum(cents[order])),
+        })
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    return ds.groupby("user_id").map_groups(
+        cumsum_group, batch_format="pyarrow")
+
+
+def _q_docs_per_source_cap(sf_dir: str):
+    """Per-source frequency capping — a web-scale staple (keep at most N
+    documents per domain/source so one crawl host can't dominate the
+    training mix).  Deterministic keep rule: the N smallest doc_ids per
+    source.  A per-batch combiner keeps each source's local N-smallest,
+    so the shuffle carries ≤ N×|sources| rows per block regardless of
+    corpus size; map_groups takes the global N per source.
+    [SQL-verified — row_number() OVER (PARTITION BY source ORDER BY
+    doc_id) <= N]"""
+    CAP = 100
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_numpy(
+            zero_copy_only=False))
+        did = batch.column("doc_id").to_numpy()
+        o = np.lexsort((did, src))
+        src, did = src[o], did[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]]))
+        pos = np.arange(len(src)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(src)]])))
+        m = pos < CAP
+        return pa.table({"source": pa.array(src[m].tolist(),
+                                            type=pa.string()),
+                         "doc_id": pa.array(did[m])})
+
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id"])
+    return (ds.map_batches(local_cap, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(local_cap, batch_format="pyarrow"))
+
+
+def _q_lang_temperature_mix(sf_dir: str):
+    """Temperature-scaled multilingual sampling rates (the mBERT/XLM-R
+    exponential-smoothing recipe): per-language document share p_l,
+    reweighted as p_l^alpha (alpha=0.3) and renormalized — the sampling
+    distribution a multilingual training run would draw from.  One tiny
+    count groupby; the arithmetic runs on the driver over |langs| rows.
+    Rates rounded to 6 decimals in both engines.  [SQL-verified]"""
+    ALPHA = 0.3
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    counts = (ds.groupby("lang").count()
+              .rename_columns({"count()": "n"}).to_pandas())
+    n = counts["n"].to_numpy().astype(np.float64)
+    w = np.power(n / n.sum(), ALPHA)
+    rate = np.round(w / w.sum(), 6)
+    return pa.table({"lang": pa.array(counts["lang"], type=pa.string()),
+                     "n": pa.array(counts["n"].to_numpy()),
+                     "rate": pa.array(rate)})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -2126,6 +2203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "orders_price_bands": _q_orders_price_bands,
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
+        "events_cumsum": _q_events_cumsum,
+        "docs_per_source_cap": _q_docs_per_source_cap,
+        "lang_temperature_mix": _q_lang_temperature_mix,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
         "quality_filter_transcripts": _q_quality_filter_transcripts,
         "langid_documents": _q_langid_documents,
@@ -2295,6 +2375,25 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
+        "events_cumsum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+            FROM events""",
+        "docs_per_source_cap": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 100""",
+        "lang_temperature_mix": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+            w AS (SELECT lang, n,
+                         pow(n / sum(n) OVER (), 0.3) AS wt FROM c)
+            SELECT lang, n,
+                   round(wt / sum(wt) OVER (), 6) AS rate FROM w""",
         "dedup_jaccard": """
             WITH t AS (SELECT doc_id,
                          CASE WHEN length(lower(text)) < 5

@@ -330,7 +330,20 @@ def connected_components(pairs, id_col: str = "doc_id",
         return pa.table({"node": t.column("node").cast(pa.int64()),
                          "label": t.column("label").cast(pa.int64())})
 
-    edges = pairs.select_columns([id_col, dup_col]).materialize()
+    def _norm_edges(t: pa.Table) -> pa.Table:
+        # same quirk as _norm_labels, seen on the INPUT side: an empty
+        # block upstream of a lazy select_columns can surface with the
+        # producer's full schema (e.g. a verify stage's 5 columns), and
+        # that stray schema then breaks the union/groupby key resolution
+        # — rebuild every block to exactly (id_col, dup_col).
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             dup_col: pa.array([], type=pa.int64())})
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         dup_col: t.column(dup_col).cast(pa.int64())})
+
+    edges = (pairs.map_batches(_norm_edges, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
     if edges.count() == 0:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], type=pa.int64()),

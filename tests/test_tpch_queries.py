@@ -34,7 +34,9 @@ def oracle_con():
                                   "doc_length_topp",
                                   "distinct_words_exact",
                                   "local_supplier_volume",
-                                  "top_unshipped_orders", "events_pivot"])
+                                  "top_unshipped_orders", "events_pivot",
+                                  "events_cumsum", "docs_per_source_cap",
+                                  "lang_temperature_mix"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
