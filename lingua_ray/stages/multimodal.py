@@ -247,48 +247,186 @@ class ImageDecoder:
         return batch
 
 
+def decode_wav(p: bytes):
+    """REAL pure-NumPy decode of RIFF/WAVE payloads — PCM 8/16/24/32-bit
+    and IEEE float32/64.  Returns (sample_rate, n_channels, samples) with
+    samples as float64 in [-1, 1] (channel-interleaved, flattened), or
+    None when the payload is not an uncompressed WAV (mp3/ogg/flac need
+    codec libraries)."""
+    import struct
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = struct.unpack("<I", p[i + 4:i + 8])[0]
+        body = p[i + 8:i + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            tag, nch, sr, _br, _ba, bits = struct.unpack("<HHIIHH",
+                                                         body[:16])
+            fmt = (tag, nch, sr, bits)
+        elif cid == b"data" and fmt is not None:
+            tag, nch, sr, bits = fmt
+            if nch == 0 or sr == 0:
+                return None
+            if tag == 1 and bits == 8:        # PCM unsigned 8-bit
+                s = (np.frombuffer(body, dtype=np.uint8)
+                     .astype(np.float64) - 128.0) / 128.0
+            elif tag == 1 and bits == 16:
+                s = np.frombuffer(
+                    body[: len(body) & ~1], dtype="<i2"
+                ).astype(np.float64) / 32768.0
+            elif tag == 1 and bits == 24:
+                raw = np.frombuffer(body[: len(body) - len(body) % 3],
+                                    dtype=np.uint8).reshape(-1, 3)
+                v = (raw[:, 0].astype(np.int32)
+                     | raw[:, 1].astype(np.int32) << 8
+                     | raw[:, 2].astype(np.int32) << 16)
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                s = v.astype(np.float64) / float(1 << 23)
+            elif tag == 1 and bits == 32:
+                s = np.frombuffer(
+                    body[: len(body) & ~3], dtype="<i4"
+                ).astype(np.float64) / float(1 << 31)
+            elif tag == 3 and bits == 32:     # IEEE float
+                s = np.frombuffer(body[: len(body) & ~3],
+                                  dtype="<f4").astype(np.float64)
+            elif tag == 3 and bits == 64:
+                s = np.frombuffer(body[: len(body) & ~7],
+                                  dtype="<f8").copy()
+            else:
+                return None                   # compressed / exotic tag
+            return sr, nch, s
+        i += 8 + size + (size & 1)            # chunks are 2-byte aligned
+    return None
+
+
 class AudioFeaturizer:
-    """Actor-pool audio feature stage (stubbed like ImageDecoder)."""
+    """Actor-pool audio feature stage.
+
+    real=True decodes uncompressed RIFF/WAVE payloads (PCM and IEEE
+    float) with :func:`decode_wav` — no codec library needed — emitting
+    real ``duration_s`` and ``rms``; compressed codecs (mp3/ogg/flac)
+    raise NotImplementedError per payload (torchaudio/ffmpeg are not in
+    this environment; that boundary is the only stubbed part).
+    real=False emits a deterministic sha256-derived fake so the Ray
+    plumbing is exercised when no decodable payloads exist."""
 
     def __init__(self, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "audio decoding requires torchaudio/ffmpeg, unavailable here")
+        self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         dur = np.empty(len(payloads), dtype=np.float64)
         rms = np.empty(len(payloads), dtype=np.float64)
         for i, p in enumerate(payloads):
-            d = hashlib.sha256(b"a" + (p or b"")).digest()
-            dur[i] = 0.5 + d[0] / 16.0
-            rms[i] = d[1] / 255.0
+            if self.real:
+                dec = decode_wav(p or b"")
+                if dec is None:
+                    raise NotImplementedError(
+                        "only uncompressed RIFF/WAVE decodes without "
+                        "codec libraries (mp3/ogg/flac need "
+                        "torchaudio/ffmpeg, unavailable here)")
+                sr, nch, s = dec
+                dur[i] = len(s) / nch / sr
+                rms[i] = float(np.sqrt(np.mean(s * s))) if len(s) else 0.0
+            else:
+                d = hashlib.sha256(b"a" + (p or b"")).digest()
+                dur[i] = 0.5 + d[0] / 16.0
+                rms[i] = d[1] / 255.0
         batch = set_column(batch, "duration_s", pa.array(dur))
         batch = set_column(batch, "rms", pa.array(rms))
         return batch
 
 
+def gif_frame_timestamps(p: bytes):
+    """REAL animated-GIF timeline parse — block walk, no codec library:
+    returns the start timestamp (seconds) of every frame, from the
+    Graphic Control Extension delay preceding each image descriptor
+    (delay 0 rendered as the conventional 0.1 s).  None if not a GIF or
+    structurally malformed."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+    flags = p[10]
+    i = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(p) and p[j] != 0:
+            j += 1 + p[j]
+        return j + 1
+
+    ts, t, delay = [], 0.0, 0.1
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:                       # trailer
+            return ts
+        if b == 0x21 and i + 1 < len(p):    # extension
+            if p[i + 1] == 0xF9 and i + 4 <= len(p) and p[i + 2] >= 4:
+                d = struct.unpack("<H", p[i + 4:i + 6])[0]
+                delay = (d or 1) / 100.0
+            i = skip_subblocks(i + 2)
+        elif b == 0x2C:                     # image descriptor = one frame
+            if i + 10 > len(p):
+                return None
+            ts.append(t)
+            t += delay
+            delay = 0.1
+            lf = p[i + 9]
+            i += 10 + (3 * (2 << (lf & 7)) if lf & 0x80 else 0)
+            if i >= len(p):
+                return None
+            i = skip_subblocks(i + 1)       # skip LZW min-code + data
+        else:
+            return None
+    return ts if ts else None
+
+
 class VideoFrameSampler:
     """Actor-pool frame-sampling stage (brief: decode / feature-extract /
-    resize / frame-sample).  real=True documents the ffmpeg dependency
-    boundary; the deterministic fake emits a plausible frame-timestamp
-    list derived from the payload hash, so downstream per-frame stages
-    (resize, embedding) can be built and tested against the real schema:
-    ``frame_ts``: list<float64> seconds, ``n_frames``: int32.
+    resize / frame-sample).
+
+    real=True REALLY frame-samples animated GIFs: the frame timeline
+    comes from :func:`gif_frame_timestamps` (pure block walk), and the
+    sampler picks the frame nearest each fps-grid tick, capped at
+    max_frames — true codec-container video formats (mp4/webm) raise
+    NotImplementedError per payload (ffmpeg/decord are not in this
+    environment; that boundary is the only stubbed part).
+    real=False emits a deterministic sha256-derived fake timeline.
+    Output schema either way: ``frame_ts``: list<float64> seconds,
+    ``n_frames``: int32.
     """
 
     def __init__(self, fps: float = 1.0, max_frames: int = 16,
                  real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "video decoding requires ffmpeg/decord, unavailable here")
+        self.real = real
         self.fps = fps
         self.max_frames = max_frames
+
+    def _sample(self, timeline: list[float]) -> list[float]:
+        """Nearest frame-start per 1/fps tick over the clip, deduped in
+        order, capped at max_frames."""
+        tl = np.asarray(timeline)
+        end = tl[-1] + 0.1
+        ticks = np.arange(0.0, end, 1.0 / self.fps)[: self.max_frames]
+        idx = np.unique(np.abs(tl[None, :] - ticks[:, None]).argmin(1))
+        return tl[idx].tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         all_ts, offsets = [], [0]
         for p in payloads:
+            if self.real:
+                timeline = gif_frame_timestamps(p or b"")
+                if timeline is None:
+                    raise NotImplementedError(
+                        "only GIF timelines parse without codec "
+                        "libraries (mp4/webm need ffmpeg/decord, "
+                        "unavailable here)")
+                all_ts.extend(self._sample(timeline))
+                offsets.append(len(all_ts))
+                continue
             d = hashlib.sha256(b"v" + (p or b"")).digest()
             duration = 1.0 + d[0] / 8.0              # fake 1-33 s clip
             n = min(self.max_frames, max(1, int(duration * self.fps)))

@@ -120,3 +120,108 @@ def test_image_decoder_fake_mode_still_deterministic():
     assert a.column("width").to_pylist() == b.column("width").to_pylist()
     assert a.column("mean_luma").to_pylist()[0] == \
         b.column("mean_luma").to_pylist()[0]
+
+
+# ---------------------------------------------------------------- audio
+
+
+def _wav_pcm16(freq=440.0, dur=0.5, sr=8000, amp=0.5, nch=1):
+    n = int(dur * sr)
+    t = np.arange(n) / sr
+    s = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    if nch == 2:
+        s = np.repeat(s, 2)
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, sr, sr * 2 * nch, 2 * nch, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def _wav_f32(values, sr=4000):
+    body = np.asarray(values, dtype="<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, sr, sr * 4, 4, 32)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_wav_pcm16_sine():
+    from lingua_ray.stages.multimodal import decode_wav
+    sr, nch, s = decode_wav(_wav_pcm16(dur=0.25, sr=8000, amp=0.5))
+    assert (sr, nch) == (8000, 1) and len(s) == 2000
+    # sine RMS = amp / sqrt(2)
+    assert abs(np.sqrt((s ** 2).mean()) - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_decode_wav_float_and_stereo():
+    from lingua_ray.stages.multimodal import decode_wav
+    sr, nch, s = decode_wav(_wav_f32([0.5, -0.5, 0.5, -0.5]))
+    assert (sr, nch) == (4000, 1)
+    assert np.allclose(s, [0.5, -0.5, 0.5, -0.5])
+    sr, nch, s = decode_wav(_wav_pcm16(nch=2, dur=0.1))
+    assert nch == 2 and len(s) == 2 * int(0.1 * 8000)
+    assert decode_wav(b"ID3\x04" + bytes(64)) is None  # mp3 boundary
+
+
+def test_audio_featurizer_real_mode():
+    from lingua_ray.stages.multimodal import AudioFeaturizer
+    t = pa.table({"payload": pa.array(
+        [_wav_pcm16(dur=0.25, amp=0.5), _wav_f32([1.0, -1.0])],
+        type=pa.large_binary())})
+    out = AudioFeaturizer(real=True)(t)
+    dur = out.column("duration_s").to_pylist()
+    rms = out.column("rms").to_pylist()
+    assert abs(dur[0] - 0.25) < 1e-9 and abs(dur[1] - 2 / 4000) < 1e-12
+    assert abs(rms[0] - 0.5 / np.sqrt(2)) < 1e-3 and abs(rms[1] - 1.0) < 1e-6
+    with pytest.raises(NotImplementedError):
+        AudioFeaturizer(real=True)(pa.table(
+            {"payload": pa.array([b"OggS" + bytes(32)],
+                                 type=pa.large_binary())}))
+
+
+# ---------------------------------------------------------------- video
+
+
+def _gif(delays_cs, w=4, h=4):
+    """Minimal animated GIF: one 2-color global table, each frame a
+    1-byte-per-sub-block dummy LZW stream with its own GCE delay."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80, 0, 0])  # GCT flag, 2 colors
+    out += bytes(6)                                        # 2-entry palette
+    for d in delays_cs:
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", d) + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([2, 2, 0x4C, 0x01, 0])   # LZW min code + 1 sub-block
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_frame_timestamps():
+    from lingua_ray.stages.multimodal import gif_frame_timestamps
+    # 3 frames at 20cs, 30cs, 50cs -> starts at 0, 0.2, 0.5
+    ts = gif_frame_timestamps(_gif([20, 30, 50]))
+    assert ts is not None and np.allclose(ts, [0.0, 0.2, 0.5])
+    # zero delay renders as the conventional 1cs -> 0.01
+    assert np.allclose(gif_frame_timestamps(_gif([0, 0])), [0.0, 0.01])
+    assert gif_frame_timestamps(b"\x00\x00\x00\x18ftypmp42") is None
+
+
+def test_video_frame_sampler_real_mode():
+    from lingua_ray.stages.multimodal import VideoFrameSampler
+    # 10 frames x 0.2s = 2s clip; 1 fps picks the nearest frame per tick
+    clip = _gif([20] * 10)
+    t = pa.table({"payload": pa.array([clip], type=pa.large_binary())})
+    out = VideoFrameSampler(fps=1.0, max_frames=16, real=True)(t)
+    ts = out.column("frame_ts").to_pylist()[0]
+    assert out.column("n_frames").to_pylist() == [len(ts)]
+    assert ts == [0.0, 1.0]  # 2s clip at 1 fps -> ticks 0 and 1
+    cap = VideoFrameSampler(fps=5.0, max_frames=4, real=True)(t)
+    # ticks 0,.2,.4,.6 -> frames 0..3, then the max_frames cap bites
+    assert np.allclose(cap.column("frame_ts").to_pylist()[0],
+                       [0.0, 0.2, 0.4, 0.6])
+    assert cap.column("n_frames").to_pylist() == [4]
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(real=True)(pa.table(
+            {"payload": pa.array([b"\x00\x00\x00\x18ftypmp42"],
+                                 type=pa.large_binary())}))
