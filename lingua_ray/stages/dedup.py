@@ -229,19 +229,77 @@ def estimate_jaccard_batch(batch: pa.Table, col_a: str = "sig_a",
 
 def verify_minhash_candidates(pairs, signatures, threshold: float = 0.5,
                               id_col: str = "doc_id",
-                              num_partitions: int = 16):
+                              num_partitions: int = 16,
+                              broadcast_limit_bytes: int = 256 << 20):
     """Verification stage after LSH bucketing: keep only candidate pairs
     whose *estimated* Jaccard (fraction of equal minhash components) is
     ≥ ``threshold``.
 
-    Expressed as two Ray Data hash joins against the signature table — the
-    exchange moves candidate pairs plus ``8 * num_perm`` bytes per document,
-    never the text, so the stage stays shuffle-bounded at corpus scale.
+    Plan choice by candidate volume (semi-join reduction):
+
+    * **Broadcast path** (candidate id set × signature bytes under
+      ``broadcast_limit_bytes``): the distinct candidate ids filter the
+      signature table down to ONLY candidate signatures (a membership
+      ``searchsorted`` inside map_batches), that small table ships once
+      via ``ray.put``, and one vectorized map over the pairs computes
+      the estimate — zero shuffles, the full signature table never
+      moves.  LSH emits ~(dup_rate × n) candidates, so this is the
+      common case even at corpus scale.
+    * **Join path** (huge candidate sets): two Ray Data hash joins
+      against the signature table — the exchange moves candidate pairs
+      plus ``8 * num_perm`` bytes per document, never the text, so the
+      stage stays shuffle-bounded whatever the skew.
 
     ``pairs``: Dataset[(id_col, dup_of)]; ``signatures``:
     Dataset[(id_col, minhash)].  Returns Dataset[(id_col, dup_of,
     jaccard_est)] filtered to verified pairs.
     """
+    import ray
+    import ray.data
+
+    pairs = pairs.materialize()      # O(candidate pairs): 16 B/row
+    n_cand = pairs.count()
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "dup_of": pa.array([], type=pa.int64()),
+                      "jaccard_est": pa.array([], type=pa.float64())})
+    if n_cand == 0:
+        return ray.data.from_arrow(empty)
+    # worst case 2 distinct ids per pair, 520 B of signature each
+    if n_cand * 2 * 528 <= broadcast_limit_bytes:
+        pdf = pairs.to_pandas()
+        ids = np.unique(np.concatenate([
+            pdf[id_col].to_numpy(np.int64), pdf["dup_of"].to_numpy(np.int64)]))
+        ids_ref = ray.put(ids)
+
+        def _member(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            did = batch.column(id_col).to_numpy()
+            pos = np.clip(np.searchsorted(want, did), 0, len(want) - 1)
+            return batch.filter(pa.array(want[pos] == did))
+
+        refs = (signatures.map_batches(_member, batch_format="pyarrow")
+                .to_arrow_refs())
+        sig_small = pa.concat_tables(
+            t for t in ray.get(refs) if t.num_rows)
+        sig_ids = sig_small.column(id_col).to_numpy()
+        order = np.argsort(sig_ids)
+        mat = _sig_matrix(sig_small.column("minhash"))[order]
+        lut_ref = ray.put((sig_ids[order], mat))
+
+        def _est(batch: pa.Table) -> pa.Table:
+            sids, m = ray.get(lut_ref)
+            ia = np.searchsorted(sids, batch.column(id_col).to_numpy())
+            ib = np.searchsorted(sids, batch.column("dup_of").to_numpy())
+            est = (m[ia] == m[ib]).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({
+                id_col: batch.column(id_col).filter(pa.array(keep)),
+                "dup_of": batch.column("dup_of").filter(pa.array(keep)),
+                "jaccard_est": pa.array(est[keep], type=pa.float64())})
+
+        out = pairs.map_batches(_est, batch_format="pyarrow")
+        # normalize: filtered-empty blocks must still carry the 3-col schema
+        return out.union(ray.data.from_arrow(empty))
     sig_bin = signatures.map_batches(sig_to_binary_batch,
                                      batch_format="pyarrow")
     # coalesce: grouped candidate output can carry schema-less empty
