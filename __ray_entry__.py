@@ -772,6 +772,43 @@ def _q_contamination(sf_dir: str):
     return out.select_columns(["doc_id", "n_ngrams", "n_hits"])
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style boilerplate line removal: lines present in >= 5 distinct
+    documents (planted nav/footer lines via the para_dedup planting rule)
+    are stripped from every document; fully-boilerplate documents drop
+    out.  Census-combiner + broadcast apply — the corpus text never
+    shuffles (stages/paradedup.py::remove_frequent_lines).
+    [SQL-verified]"""
+    from lingua_ray.stages.paradedup import remove_frequent_lines
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_pd_plant, batch_format="pyarrow")
+    return remove_frequent_lines(ds, min_df=5).select_columns(
+        ["doc_id", "text"])
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+    WITH prepped AS (
+      SELECT doc_id,
+        coalesce(text, '')
+          || CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || '{_PD_B1}' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || '{_PD_B2}' ELSE '' END AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      FROM prepped),
+    freq AS (SELECT line FROM lines GROUP BY line
+             HAVING count(DISTINCT doc_id) >= 5)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+    FROM lines WHERE line NOT IN (SELECT line FROM freq)
+    GROUP BY doc_id
+    """
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup: kept doc_ids (min doc_id per distinct text).  The
     combiner hashes text → fingerprint64 and pre-aggregates per batch, so
@@ -2141,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "para_dedup": _q_para_dedup,
+        "line_dedup": _q_line_dedup,
         "doc_stopwords": _q_doc_stopwords,
         "word_counts": _q_word_counts,
         "word_heavy_hitters": _q_word_heavy_hitters,
@@ -2371,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "para_dedup": _para_dedup_sql(),
+        "line_dedup": _line_dedup_sql(),
         "orders_price_bands": _PRICE_BANDS_SQL,
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),

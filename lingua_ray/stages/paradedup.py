@@ -201,3 +201,80 @@ def paragraph_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
                        on=(id_col,), right_on=("doc_id",))
     return joined.map_batches(_apply_keep_batch, batch_format="pyarrow",
                               fn_kwargs=kw)
+
+
+def remove_frequent_lines(docs, min_df: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id", delim: str = "\n",
+                          max_boiler_lines: int = 2_000_000):
+    """C4/RefinedWeb-style BOILERPLATE LINE REMOVAL: any line occurring in
+    ``min_df`` or more distinct documents (nav bars, cookie banners, legal
+    footers) is dropped from every document; documents whose every line is
+    boilerplate disappear from the output.
+
+    Census pass: per-batch combiner emits (line fingerprint, distinct-doc
+    partial count) — per-document de-duplication happens inside the batch,
+    so the exchange carries the batch's line VOCABULARY, never the lines
+    themselves; a groupby sums the partials and the ``>= min_df``
+    survivors (the boilerplate set — tiny by construction: a line present
+    in min_df docs across a 10^10-doc corpus is rare) broadcast once via
+    ``ray.put``.  Apply pass: shuffle-free map_batches drops flagged lines
+    and reassembles with ``pc.binary_join``.  Same 64-bit fingerprint
+    collision caveat as exact dedup: a collision could drop one innocent
+    line; the DuckDB oracle comparison would catch it.
+
+    ``max_boiler_lines`` guards the broadcast: more survivors than this
+    raises rather than silently shipping an oversized set.
+    """
+    import ray
+
+    from ..functions.textstats import fingerprint64_array
+
+    def census(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_offsets(batch.column(text_col), delim)
+        fps = fingerprint64_array(flat).view(np.int64)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # distinct (doc, line) inside the batch
+        keep = np.ones(len(fps), dtype=bool)
+        order = np.lexsort((fps, row))
+        fo, ro = fps[order], row[order]
+        keep[order[1:]] = (fo[1:] != fo[:-1]) | (ro[1:] != ro[:-1])
+        vals, cnts = np.unique(fps[keep], return_counts=True)
+        return pa.table({"line_fp": pa.array(vals),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    freq = (docs.map_batches(census, batch_format="pyarrow")
+            .groupby("line_fp").sum("n")
+            .rename_columns({"sum(n)": "df"})
+            .filter(expr=f"df >= {min_df}")
+            .select_columns(["line_fp"]))
+    boiler = np.sort(np.concatenate(
+        [b.column("line_fp").to_numpy() for b in
+         (ray.get(r) for r in freq.to_arrow_refs()) if b.num_rows]
+        or [np.array([], dtype=np.int64)]))
+    if len(boiler) > max_boiler_lines:
+        raise ValueError(
+            f"{len(boiler)} boilerplate lines exceed the broadcast budget "
+            f"({max_boiler_lines}); raise min_df or the budget")
+    boiler_ref = ray.put(boiler)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        bad = ray.get(boiler_ref)
+        flat, counts = _split_offsets(batch.column(text_col), delim)
+        fps = fingerprint64_array(flat).view(np.int64)
+        if len(bad):
+            pos = np.clip(np.searchsorted(bad, fps), 0, len(bad) - 1)
+            keep = bad[pos] != fps
+        else:
+            keep = np.ones(len(fps), dtype=bool)
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        new_counts = np.bincount(row[keep], minlength=len(counts))
+        offsets = np.concatenate([[0], np.cumsum(new_counts)])
+        kept = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.filter(pa.array(keep)))
+        text = pc.binary_join(kept, pa.scalar(delim))
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col, text)
+        return out.filter(pa.array(new_counts > 0))
+
+    return docs.map_batches(apply, batch_format="pyarrow")

@@ -120,3 +120,49 @@ def test_empty_batch_kernels():
                       "text": pa.array([], pa.string())})
     out = explode_paragraph_keys(batch)
     assert out.num_rows == 0
+
+
+# ------------------------------------------------- boilerplate line removal
+
+
+def _run_lines(ray_session, docs, min_df):
+    import ray.data
+    from lingua_ray.stages.paradedup import remove_frequent_lines
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rows = remove_frequent_lines(ds, min_df=min_df).take_all()
+    return {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_frequent_lines_removed_everywhere(ray_session):
+    boiler = "subscribe now"
+    docs = [(i, f"unique line {i}\n{boiler}") for i in range(5)]
+    docs.append((99, f"{boiler}\nanother unique"))
+    out = _run_lines(None, docs, min_df=5)
+    assert out[0] == "unique line 0"
+    assert out[99] == "another unique"
+    assert all(boiler not in t for t in out.values())
+
+
+def test_below_threshold_lines_survive(ray_session):
+    docs = [(1, "a\nb"), (2, "a\nc")]          # 'a' df=2 < 3
+    out = _run_lines(None, docs, min_df=3)
+    assert out == {1: "a\nb", 2: "a\nc"}
+
+
+def test_fully_boilerplate_doc_drops(ray_session):
+    boiler = "all rights reserved"
+    docs = [(i, f"text {i}\n{boiler}") for i in range(5)]
+    docs.append((50, boiler))                   # only boilerplate
+    out = _run_lines(None, docs, min_df=5)
+    assert 50 not in out and len(out) == 5
+
+
+def test_repeated_line_in_one_doc_counts_once(ray_session):
+    # 'x' appears 3x in ONE doc: df=1, must survive at min_df=2
+    docs = [(1, "x\nx\nx"), (2, "y")]
+    out = _run_lines(None, docs, min_df=2)
+    assert out[1] == "x\nx\nx"
