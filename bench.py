@@ -149,10 +149,26 @@ def main_bench() -> None:
     repeat = int(os.environ.get("RAY_GRAFT_BENCH_REPEAT", "2"))
     headline = None
     with _StealMeter() as meter:
-        for _ in range(max(1, repeat)):  # best-of: see run_queries docstring
-            r = run_headline(NUM_CPUS, SF_DIR)  # owns its own Ray session
+        # The headline leg is cheap (~10-20 s) and is the single
+        # most-compared number, so it gets extra legs with per-leg steal
+        # gating: keep the fastest leg, and if every leg so far ran under
+        # hypervisor throttling (>3% steal), take up to 3 bonus legs
+        # hoping for a clean window.  See run_queries docstring for why
+        # best-of is the right estimator on this host.
+        legs = max(2, repeat)
+        bonus = 3
+        clean_seen = False
+        i = 0
+        while i < legs + (0 if clean_seen else bonus):
+            with _StealMeter() as leg_meter:
+                r = run_headline(NUM_CPUS, SF_DIR)  # owns its Ray session
+            r["steal_pct"] = leg_meter.steal_pct
+            clean_seen = clean_seen or leg_meter.steal_pct < 3.0
             if headline is None or r["sec"] < headline["sec"]:
                 headline = r
+            i += 1
+            if i >= legs and clean_seen:
+                break
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True)
         timings = run_queries(SF_DIR, repeat=repeat)
@@ -169,6 +185,9 @@ def main_bench() -> None:
         # host-health context: hypervisor steal during the whole bench —
         # >5% means these numbers carry throttling noise (BASELINE.md)
         "host_cpu_steal_pct": meter.steal_pct,
+        # steal during the KEPT headline leg specifically: the honest
+        # quality tag for the headline number
+        "headline_leg_steal_pct": headline.get("steal_pct"),
     }))
 
 

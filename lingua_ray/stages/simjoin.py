@@ -171,7 +171,10 @@ def _prefix_rows(threshold: float, id_col: str, num_buckets: int,
             "bkt": pa.array(bkt.astype(np.int64), type=pa.int64()),
             "g": pa.array(g.view(np.int64), type=pa.int64()),
             id_col: pa.array(np.repeat(ids, p)),
-            "n": pa.array(np.repeat(n, p), type=pa.int64())})
+            "n": pa.array(np.repeat(n, p), type=pa.int64()),
+            # position of this shingle in the doc's global-order ranking —
+            # the PPJoin positional filter's input
+            "p": pa.array(within, type=pa.int64())})
     return explode
 
 
@@ -180,15 +183,31 @@ def _pair_gen(threshold: float, id_col: str):
 
     One lexsort over the bucket splits it into per-g segments; pairs are
     expanded with repeat/cumsum arithmetic — no Python loop over shingles
-    or pairs."""
+    or pairs.
+
+    Two published prunes run on the expanded instances:
+
+    * length filter — ``t * max(na, nb) <= min(na, nb)`` (J <= min/max);
+    * PPJoin positional filter (Xiao et al., WWW'08) — a pair sharing
+      shingle g at positions (pa, pb) of the two ordered sets can have at
+      most ``min(na - pa, nb - pb)`` common elements (g is common, and
+      every other common element sorts after it in BOTH sets when g is
+      the first shared one), so it must satisfy
+      ``min(na - pa, nb - pb) >= ceil(t/(1+t) * (na+nb))``.  For a TRUE
+      pair the instance at its first shared prefix shingle always passes,
+      so keeping pairs where any instance passes loses nothing; on
+      template-heavy corpora (many docs sharing mid-frequency shingles
+      deep in their prefixes) this cuts candidates by orders of
+      magnitude."""
     def pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"dup_of": pa.array([], type=pa.int64()),
                           id_col: pa.array([], type=pa.int64())})
         g = group.column("g").to_numpy()
         ids = group.column(id_col).to_numpy()
         ns = group.column("n").to_numpy()
+        ps = group.column("p").to_numpy()
         order = np.lexsort((ids, g))
-        g, ids, ns = g[order], ids[order], ns[order]
+        g, ids, ns, ps = g[order], ids[order], ns[order], ps[order]
         total = len(g)
         if total < 2:
             return empty
@@ -209,6 +228,11 @@ def _pair_gen(threshold: float, id_col: str):
                      - np.repeat(off, counts))
         na, nb = ns[a], ns[b]
         ok = (threshold * np.maximum(na, nb)) <= np.minimum(na, nb)
+        # positional filter: conservative ceil (the -1e-9 keeps borderline
+        # float cases rather than dropping them)
+        overlap_req = np.ceil(threshold / (1.0 + threshold)
+                              * (na + nb) - 1e-9)
+        ok &= np.minimum(na - ps[a], nb - ps[b]) >= overlap_req
         if not ok.any():
             return empty
         lo, hi = ids[a[ok]], ids[b[ok]]
@@ -272,10 +296,21 @@ def _jaccard_runs(flat: np.ndarray, offs: np.ndarray,
                                                np.cumsum(n[idx])[:-1]]),
                                n[idx])))
         hs = flat[take]
-        order = np.lexsort((hs, pair_rows))
-        rs, hh = pair_rows[order], hs[order]
-        dup = (rs[1:] == rs[:-1]) & (hh[1:] == hh[:-1])
-        inter = np.bincount(rs[1:][dup], minlength=npairs)
+        # single-key sort: rank each hash against the batch vocabulary and
+        # pack (pair, rank) into one int64 — npairs * V stays under 2^63
+        # for any realistic batch, and one np.sort on int64 runs ~2x a
+        # two-key lexsort at this size
+        V64 = np.int64(V)
+        if npairs * V <= (1 << 62):
+            key = pair_rows * V64 + np.searchsorted(vocab, hs)
+            key.sort()
+            dup = key[1:] == key[:-1]
+            inter = np.bincount((key[1:][dup] // V64), minlength=npairs)
+        else:
+            order = np.lexsort((hs, pair_rows))
+            rs, hh = pair_rows[order], hs[order]
+            dup = (rs[1:] == rs[:-1]) & (hh[1:] == hh[:-1])
+            inter = np.bincount(rs[1:][dup], minlength=npairs)
     union = na + nb - inter
     return np.where(union > 0, inter / np.where(union > 0, union, 1), 1.0)
 
@@ -367,14 +402,53 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
         batch_format="pyarrow")
     cand = (pfx.groupby("bkt")
                .map_groups(_pair_gen(threshold, id_col),
-                           batch_format="pyarrow"))
-    # dedup pairs discovered via several shared prefix shingles
-    cand = (cand.groupby(["dup_of", id_col]).count()
-                .select_columns(["dup_of", id_col]))
+                           batch_format="pyarrow")
+               .materialize())     # O(candidate pairs): 16 B/row
+    # dedup pairs discovered via several shared prefix shingles.  The
+    # per-bucket dedup already happened in _pair_gen, so what's left is
+    # cross-bucket duplication: when the (already-pruned) pair list fits
+    # a driver budget, one np.unique over packed (lo, hi) key pairs beats
+    # a full sort-shuffle groupby by ~25x at the 10^6-pair scale; bigger
+    # candidate sets fall back to the distributed groupby.
+    n_raw = cand.count()
+    if n_raw == 0:
+        return rd.from_arrow(pa.table({
+            "dup_of": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    if n_raw * 16 <= broadcast_limit_bytes:
+        pdf = cand.to_pandas()
+        lo = pdf["dup_of"].to_numpy(np.int64)
+        hi = pdf[id_col].to_numpy(np.int64)
+        keys = np.unique((lo.astype(np.uint64) << np.uint64(32))
+                         | hi.astype(np.uint64)) \
+            if (lo >= 0).all() and (hi < (1 << 32)).all() and \
+               (lo < (1 << 32)).all() else None
+        if keys is not None:
+            tbl = pa.table({
+                "dup_of": pa.array((keys >> np.uint64(32)).astype(np.int64)),
+                id_col: pa.array(
+                    (keys & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+        else:                      # ids outside uint32: structured unique
+            packed = np.empty(len(lo), dtype=[("a", np.int64),
+                                              ("b", np.int64)])
+            packed["a"], packed["b"] = lo, hi
+            u = np.unique(packed)
+            tbl = pa.table({"dup_of": pa.array(u["a"]),
+                            id_col: pa.array(u["b"])})
+        cand = rd.from_arrow(tbl).repartition(num_partitions)
+    else:
+        cand = (cand.groupby(["dup_of", id_col]).count()
+                    .select_columns(["dup_of", id_col]))
     if verify == "auto":
         set_bytes = int(sets.sum("n") or 0) * 8 + sets.count() * 24
         verify = "broadcast" if set_bytes <= broadcast_limit_bytes \
             else "join"
+    # verification CPU is ~linear in candidate pairs and embarrassingly
+    # parallel — spread the (already-deduped) pair list over ~4 blocks per
+    # core so the verify UDF saturates the machine instead of 16 tasks
+    n_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
+    cand = cand.repartition(max(num_partitions, 4 * n_cpus))
     if verify == "broadcast":
         st = sets.to_pandas()
         ids = st[id_col].to_numpy().astype(np.int64)
