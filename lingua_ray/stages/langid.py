@@ -52,6 +52,19 @@ class LangIdScorer:
         self.text_col = text_col
         self.with_ppl = with_ppl
         self.top_k = top_k_confidences
+        # Warm the kernel once per actor at init (outside the pipeline's
+        # critical path): the first detect() in a fresh worker process
+        # faults in the kernel's working set — on virtualized hosts with
+        # slow first-touch paging that costs seconds, and it would
+        # otherwise land on the first real batch of every actor.  64
+        # mixed-script rows touch every kernel stage incl. the CJK and
+        # multi-byte decode paths.
+        warm = pa.array((["the quick brown fox jumps over the lazy dog",
+                          "szybki brązowy lis przeskakuje nad leniwym psem",
+                          "日本語のテキストを少し含めて温めます",
+                          "пример текста на русском языке"] * 16))
+        self.detector.detect(warm, with_ppl=with_ppl,
+                             with_matrix=top_k_confidences > 0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # the Arrow column goes straight to the kernel — codepoints are
