@@ -130,7 +130,12 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # round-2 second-wave operators
                      "word_heavy_hitters", "orders_price_bands",
                      "doc_length_rank", "events_rollup", "bigram_pmi",
-                     "doc_budget_selection", "doc_entropy", "doc_chunks"]
+                     "doc_budget_selection", "doc_entropy", "doc_chunks",
+                     # round-3 operators (dedup_jaccard excluded: the
+                     # exact similarity self-join costs ~30-60 s at sf0.1
+                     # on this corpus shape — see BASELINE.md)
+                     "line_dedup", "events_cumsum", "docs_per_source_cap",
+                     "lang_temperature_mix"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
