@@ -2081,6 +2081,62 @@ def _q_events_pivot(sf_dir: str):
     return out.rename_columns(renames)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    furthest stage reached with strictly increasing timestamps between
+    stages — the product-analytics staple that needs per-key ORDERED
+    scans, not plain counts.  Irrelevant event types are filtered at the
+    read-side map (only 3/5 types ride the one user_id shuffle); the
+    per-group scan is three vectorized mins.  [SQL-verified]"""
+
+    def funnel_group(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        et = np.asarray(group.column("event_type").to_numpy(
+            zero_copy_only=False))
+        views = ts[et == "view"]
+        if len(views) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "stage": pa.array([], type=pa.int64())})
+        t1 = views.min()
+        stage = 1
+        clicks = ts[(et == "click") & (ts > t1)]
+        if len(clicks):
+            stage = 2
+            t2 = clicks.min()
+            if ((et == "purchase") & (ts > t2)).any():
+                stage = 3
+        uid = group.column("user_id")[0].as_py()
+        return pa.table({"user_id": pa.array([uid], type=pa.int64()),
+                         "stage": pa.array([stage], type=pa.int64())})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = ds.filter(
+        expr="event_type == 'view' or event_type == 'click' "
+             "or event_type == 'purchase'")
+    return ds.groupby("user_id").map_groups(
+        funnel_group, batch_format="pyarrow")
+
+
+_EVENTS_FUNNEL_SQL = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 def _q_events_cumsum(sf_dir: str):
     """Per-user RUNNING TOTAL (the window-function ``SUM ... OVER
     (PARTITION BY user ORDER BY ts) ROWS UNBOUNDED PRECEDING`` pattern):
@@ -2242,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands": _q_orders_price_bands,
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "events_cumsum": _q_events_cumsum,
+        "events_funnel": _q_events_funnel,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "lang_temperature_mix": _q_lang_temperature_mix,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
@@ -2414,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
+        "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_cumsum": """
             SELECT event_id, user_id,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (

@@ -348,9 +348,31 @@ def exact_dedup_local_min(batch: pa.Table, text_col: str = "text",
              .rename_columns(["fp64", id_col]))
 
 
+def _cc_driver(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Exact min-label connected components of an in-memory edge list:
+    vectorized label propagation with pointer jumping (path halving) —
+    O(E) per round, O(log n) rounds.  Returns (node, cluster) for every
+    node in the edge list, cluster = min reachable node id."""
+    ids = np.unique(np.concatenate([a, b]))
+    la = np.searchsorted(ids, a)
+    lb = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, la, lab[lb])
+        np.minimum.at(nxt, lb, lab[la])
+        nxt = nxt[nxt]                      # pointer jumping
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return pa.table({"node": pa.array(ids),
+                     "cluster": pa.array(ids[lab])})
+
+
 def connected_components(pairs, id_col: str = "doc_id",
                          dup_col: str = "dup_of", max_iters: int = 20,
-                         num_partitions: int = 8):
+                         num_partitions: int = 8,
+                         driver_limit_bytes: int = 256 << 20):
     """Transitive dedup clusters from a near-dup pair list: every document
     is labeled with the minimum doc id reachable through pair edges
     (min-label propagation), so a cluster keeps exactly one representative.
@@ -402,10 +424,21 @@ def connected_components(pairs, id_col: str = "doc_id",
 
     edges = (pairs.map_batches(_norm_edges, batch_format="pyarrow")
              .repartition(num_partitions).materialize())
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], type=pa.int64()),
             "cluster": pa.array([], type=pa.int64())}))
+    # Size-adaptive plan (same principle as verify_minhash_candidates):
+    # a near-dup edge list is ~dup_rate x corpus, so it usually fits the
+    # driver budget — one vectorized pointer-jumping pass there beats
+    # paying 2 joins + groupby + materialize of Ray operator startup per
+    # propagation round.  Bigger graphs run the distributed loop below.
+    if n_edges * 16 <= driver_limit_bytes:
+        pdf = edges.to_pandas()
+        out = _cc_driver(pdf[id_col].to_numpy(np.int64),
+                         pdf[dup_col].to_numpy(np.int64))
+        return ray.data.from_arrow(out.rename_columns([id_col, "cluster"]))
     a = edges.select_columns([id_col]).rename_columns({id_col: "node"})
     b = edges.select_columns([dup_col]).rename_columns({dup_col: "node"})
     # repartition after each groupby: grouped outputs contain schema-less

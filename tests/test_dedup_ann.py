@@ -386,9 +386,12 @@ def test_image_dims_header_parsing():
     assert out.column("height").to_pylist() == [480, 200, 50, 1080, -1, -1]
 
 
-def test_connected_components_matches_union_find(ray_session):
-    """Distributed min-label propagation == a driver-side union-find on
-    random pair graphs (chains, cliques, singleton edges)."""
+@pytest.mark.parametrize("driver_limit", [256 << 20, 0])
+def test_connected_components_matches_union_find(ray_session, driver_limit):
+    """Min-label propagation == a driver-side union-find on random pair
+    graphs (chains, cliques, singleton edges) — on BOTH plans: the
+    driver pointer-jumping path (default budget) and the distributed
+    join loop (budget forced to 0)."""
     import ray.data
     from lingua_ray.stages.dedup import connected_components
 
@@ -414,7 +417,8 @@ def test_connected_components_matches_union_find(ray_session):
 
     pairs = ray.data.from_items(
         [{"doc_id": a, "dup_of": b} for a, b in edges])
-    out = connected_components(pairs, num_partitions=2).take_all()
+    out = connected_components(pairs, num_partitions=2,
+                               driver_limit_bytes=driver_limit).take_all()
     got = {r["doc_id"]: r["cluster"] for r in out}
     assert got == want
 
@@ -436,7 +440,9 @@ def test_video_frame_sampler_stage(ray_session):
         # deterministic: 0.25s, 0.75s, ... at 2 fps
         assert r["frame_ts"][0] == 0.25
     with pytest.raises(NotImplementedError):
-        VideoFrameSampler(real=True)
+        # real mode decodes GIF timelines; a non-GIF payload is the
+        # codec dependency boundary and raises per payload
+        VideoFrameSampler(real=True)(t.slice(0, 4))
 
 
 def test_connected_components_empty_pairs(ray_session):

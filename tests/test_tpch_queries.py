@@ -36,7 +36,8 @@ def oracle_con():
                                   "local_supplier_volume",
                                   "top_unshipped_orders", "events_pivot",
                                   "events_cumsum", "docs_per_source_cap",
-                                  "lang_temperature_mix", "line_dedup"])
+                                  "lang_temperature_mix", "line_dedup",
+                                  "events_funnel"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
