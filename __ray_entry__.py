@@ -1091,6 +1091,60 @@ def _q_simhash(sf_dir: str):
     return ds.select_columns(["doc_id", "simhash"])
 
 
+def _q_embedding_centroid_by_label(sf_dir: str):
+    """Per-label mean embedding (the class-centroid reduction behind
+    IVF training, near-dup thresholds, and cluster profiling): one
+    map_batches combiner emits (label, sum-vector, count) partials — a
+    |labels| × dim matrix per block, never the embeddings — and a tiny
+    groupby finishes.  Output unnested to (label, dim, centroid) rows,
+    rounded to 6 decimals in both engines.  [SQL-verified]"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
+            else emb
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dim = len(flat) // max(batch.num_rows, 1)
+        m = flat.reshape(-1, dim)
+        labels = batch.column("label").to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).aggregate(Sum("s"), Sum("n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = (batch.column("sum(s)").to_numpy()
+             / batch.column("sum(n)").to_numpy())
+        return pa.table({"label": batch.column("label"),
+                         "dim": batch.column("dim"),
+                         "centroid": pa.array(np.round(c, 6))})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_EMBEDDING_CENTROID_SQL = """
+    SELECT label, dim, round(avg(x), 6) AS centroid FROM (
+      SELECT label,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings)
+    GROUP BY label, dim
+"""
+
+
 def _q_knn_bruteforce(sf_dir: str):
     """Brute-force cosine top-10 around the vec_id=0 embedding.
     [SQL-verified — id set only, float scores excluded from the compare]"""
@@ -2263,6 +2317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": _q_doc_tfidf,
         "corpus_mix": _q_corpus_mix,
         "knn_bruteforce": _q_knn_bruteforce,
+        "embedding_centroid_by_label": _q_embedding_centroid_by_label,
         "events_last_per_user": _q_events_last_per_user,
         "events_value_salted": _q_events_value_salted,
         "orders_price_quantiles": _q_orders_price_quantiles,
@@ -2472,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "embedding_centroid_by_label": _EMBEDDING_CENTROID_SQL,
         "events_cumsum": """
             SELECT event_id, user_id,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (

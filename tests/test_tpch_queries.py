@@ -19,7 +19,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def oracle_con():
     con = duckdb.connect()
     for t in ("lineitem", "supplier", "nation", "region", "documents",
-              "orders", "customer", "events"):
+              "orders", "customer", "events", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -37,7 +37,8 @@ def oracle_con():
                                   "top_unshipped_orders", "events_pivot",
                                   "events_cumsum", "docs_per_source_cap",
                                   "lang_temperature_mix", "line_dedup",
-                                  "events_funnel"])
+                                  "events_funnel",
+                                  "embedding_centroid_by_label"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
