@@ -2135,6 +2135,56 @@ def _q_events_pivot(sf_dir: str):
     return out.rename_columns(renames)
 
 
+def _q_events_top_spenders(sf_dir: str):
+    """Top-10 users by total event value — the top-k-AFTER-aggregation
+    composition: per-batch (user, cents) partial sums, a user-keyed
+    groupby-sum, then a per-block local top-10 so the final single-group
+    reduce sees ≤ 10 rows per block.  Ties break on user_id ascending.
+    [SQL-verified]"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        cents = np.round(batch.column("value").to_numpy()
+                         * 100).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        sums = np.bincount(inv, weights=None, minlength=len(uniq))
+        csum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(csum, inv, cents)
+        return pa.table({"user_id": pa.array(uniq),
+                         "cents": pa.array(csum)})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        tot = batch.column("total_cents").to_numpy()
+        order = np.lexsort((uid, -tot))[:10]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "total_cents": pa.array(tot[order]),
+                         "k": pa.array(np.zeros(len(order), np.int64))})
+
+    def final(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy()
+        tot = group.column("total_cents").to_numpy()
+        order = np.lexsort((uid, -tot))[:10]
+        return pa.table({"user_id": pa.array(uid[order]),
+                         "total_cents": pa.array(tot[order])})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").sum("cents")
+              .rename_columns({"sum(cents)": "total_cents"}))
+    return (totals.map_batches(topk, batch_format="pyarrow")
+            .groupby("k").map_groups(final, batch_format="pyarrow"))
+
+
+_EVENTS_TOP_SPENDERS_SQL = """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    ORDER BY total_cents DESC, user_id LIMIT 10
+"""
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel analysis (view → click → purchase): per user, the
     furthest stage reached with strictly increasing timestamps between
@@ -2354,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "events_cumsum": _q_events_cumsum,
         "events_funnel": _q_events_funnel,
+        "events_top_spenders": _q_events_top_spenders,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "lang_temperature_mix": _q_lang_temperature_mix,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
@@ -2527,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_top_spenders": _EVENTS_TOP_SPENDERS_SQL,
         "embedding_centroid_by_label": _EMBEDDING_CENTROID_SQL,
         "events_cumsum": """
             SELECT event_id, user_id,
