@@ -38,7 +38,8 @@ def oracle_con():
                                   "events_cumsum", "docs_per_source_cap",
                                   "lang_temperature_mix", "line_dedup",
                                   "events_funnel",
-                                  "embedding_centroid_by_label"])
+                                  "embedding_centroid_by_label",
+                                  "events_top_spenders"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
