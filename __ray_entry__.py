@@ -1562,6 +1562,96 @@ def _q_doc_entropy(sf_dir: str):
     return ds.select_columns(["doc_id", "entropy", "n_hapax"])
 
 
+def _q_doc_dup_ngrams(sf_dir: str):
+    """Gopher-style duplicate-n-gram signal: per document, the fraction
+    of its char-5-gram OCCURRENCES that are repeats of a gram already
+    seen in the same document (degenerate/looping text scores high).
+    Shuffle-free: one lexsort per batch over (row, gram-hash) finds
+    within-doc duplicate runs.  Emitted as round-6 fractions, identical
+    in both engines.  [SQL-verified]"""
+
+    def frac(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from lingua_ray.stages.dedup import _shingle_hashes_batch
+        # the helper lowercases and space-pads short rows to k itself
+        t = pc.fill_null(batch.column("text"), "")
+        hashes, offs = _shingle_hashes_batch(t, 5)
+        n = batch.num_rows
+        counts = np.diff(offs)
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((hashes, row))
+        hs, rs = hashes[order], row[order]
+        dup = np.zeros(len(hs), dtype=bool)
+        dup[1:] = (hs[1:] == hs[:-1]) & (rs[1:] == rs[:-1])
+        ndup = np.bincount(rs[dup], minlength=n)
+        out = np.where(counts > 0, ndup / np.maximum(counts, 1), 0.0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "dup_gram_frac": pa.array(np.floor(out * 1e6 + 0.5) / 1e6),
+                         "n_grams": pa.array(counts.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(frac, batch_format="pyarrow")
+
+
+_DOC_DUP_NGRAMS_SQL = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(lower(coalesce(text, ''))) < 5
+                           THEN rpad(lower(coalesce(text, '')), 5, ' ')
+                           ELSE lower(coalesce(text, '')) END AS s
+               FROM documents),
+    grams AS (
+      SELECT doc_id, substring(s, i, 5) AS g
+      FROM t, unnest(generate_series(1, length(s) - 4)) AS u(i)),
+    per AS (SELECT doc_id, count(*) AS n_grams,
+                   count(*) - count(DISTINCT g) AS n_dup
+            FROM grams GROUP BY doc_id)
+    SELECT doc_id,
+           round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_gram_frac,
+           n_grams FROM per
+"""
+
+
+def _q_lineitem_revenue_filter(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one predicate-heavy filter
+    + a scalar sum — entirely map-side, the canonical read-prune +
+    combiner query.  Revenue summed as integer 10^-4 units so both
+    engines agree bit-for-bit.  [SQL-verified]"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        lo = np.datetime64("1996-01-01")
+        hi = np.datetime64("1997-01-01")
+        m = ((ship.astype("datetime64[D]") >= lo)
+             & (ship.astype("datetime64[D]") < hi)
+             & (np.round(disc * 100) >= 5) & (np.round(disc * 100) <= 7)
+             & (qty < 24))
+        rev = (np.round(price[m] * 100).astype(np.int64)
+               * np.round(disc[m] * 100).astype(np.int64))
+        return pa.table({"rev_e4": pa.array([int(rev.sum())],
+                                            type=pa.int64())})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+    out = ds.map_batches(partial, batch_format="pyarrow").sum("rev_e4")
+    return pa.table({"rev_e4": pa.array([int(out or 0)], type=pa.int64())})
+
+
+_LINEITEM_Q6_SQL = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS rev_e4
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+"""
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signal: the document's most frequent word
     count vs total words (stages/quality.py::repetition_batch — Arrow
@@ -2388,6 +2478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_topp": _q_doc_length_topp,
         "distinct_words_by_lang": _q_distinct_words_by_lang,
         "doc_repetition": _q_doc_repetition,
+        "doc_dup_ngrams": _q_doc_dup_ngrams,
+        "lineitem_revenue_filter": _q_lineitem_revenue_filter,
         "doc_entropy": _q_doc_entropy,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "orders_building_revenue": _q_orders_building_revenue,
@@ -2579,6 +2671,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_bloom": _dedup_incremental_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_top_spenders": _EVENTS_TOP_SPENDERS_SQL,
+        "doc_dup_ngrams": _DOC_DUP_NGRAMS_SQL,
+        "lineitem_revenue_filter": _LINEITEM_Q6_SQL,
         "embedding_centroid_by_label": _EMBEDDING_CENTROID_SQL,
         "events_cumsum": """
             SELECT event_id, user_id,

@@ -39,7 +39,9 @@ def oracle_con():
                                   "lang_temperature_mix", "line_dedup",
                                   "events_funnel",
                                   "embedding_centroid_by_label",
-                                  "events_top_spenders"])
+                                  "events_top_spenders",
+                                  "doc_dup_ngrams",
+                                  "lineitem_revenue_filter"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
