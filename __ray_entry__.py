@@ -743,6 +743,19 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(ds, key_col="lang", k=20, id_col="doc_id")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """100 documents by weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential keys, weight = n_chars, uniforms
+    derived from md5-of-id so the draw is consistent across runs,
+    partitionings and cluster sizes).  Column-pruned to (doc_id,
+    n_chars); shuffle carries ≤ k rows per batch.  [SQL-verified —
+    DuckDB reproduces the key byte-for-byte]"""
+    from lingua_ray.stages.sampling import weighted_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, k=100, weight_col="n_chars",
+                           id_col="doc_id")
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by md5 threshold
     bands — shuffle-free, stable across partitionings; thresholds
@@ -1203,6 +1216,21 @@ def _q_embedding_neardup(sf_dir: str):
     out = embedding_neardup(ds, dim=dim, n=n + planted.num_rows,
                             threshold=0.95)
     return out.select_columns(["vec_id", "dup_of"])
+
+
+def _q_embedding_inference(sf_dir: str):
+    """Batched model inference: every embedding scored with a logistic
+    linear probe (the quality-classifier-over-frozen-embeddings shape).
+    Weights are deterministic (Knuth-hash of the index), broadcast once
+    via ray.put, materialized per ACTOR — one BLAS matvec per batch,
+    shuffle-free.  [SQL-verified — DuckDB rebuilds the identical model
+    from integer arithmetic; scores rounded to 6 decimals both sides]"""
+    from lingua_ray.stages.inference import score_embeddings
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    meta = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(meta.read_row_group(0).column("embedding")[0])
+    out = score_embeddings(ds, dim=dim, bias=0.1)
+    return out.select_columns(["vec_id", "score"])
 
 
 def _q_knn_lsh(sf_dir: str):
@@ -2499,6 +2527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_spenders": _q_events_top_spenders,
         "docs_per_source_cap": _q_docs_per_source_cap,
         "lang_temperature_mix": _q_lang_temperature_mix,
+        "weighted_sample": _q_weighted_sample,
+        "embedding_inference": _q_embedding_inference,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
         "quality_filter_transcripts": _q_quality_filter_transcripts,
         "langid_documents": _q_langid_documents,
@@ -2935,6 +2965,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id
         """,
         "doc_split": _doc_split_sql(),
+        "embedding_inference": """
+            SELECT vec_id, round(1/(1 + exp(-(s + 0.1))), 6) AS score
+            FROM (
+              SELECT vec_id,
+                sum(CAST(e AS DOUBLE) *
+                    ((((idx - 1) * 2654435761) % 4294967296)
+                     / 4294967296.0 - 0.5)) AS s
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) AS idx
+                    FROM embeddings)
+              GROUP BY vec_id
+            )
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, rn FROM (
+              SELECT doc_id, n_chars,
+                CAST(row_number() OVER (ORDER BY
+                  -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                       )::UBIGINT + 1) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE),
+                  doc_id) AS BIGINT) AS rn
+              FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 100
+        """,
         "stratified_sample": """
             SELECT lang, doc_id,
               CAST(row_number() OVER (

@@ -1,0 +1,84 @@
+"""Batched model inference over an embedding column — actor-pool stage.
+
+The distributed shape of "score every row with a trained model": the
+model (here a logistic linear probe, sigmoid(w·x + b) — the standard
+quality-classifier head scored over frozen embeddings) is broadcast ONCE
+via ``ray.put`` and materialized per ACTOR in ``__init__`` — never
+re-shipped per batch — and each ``__call__`` scores a whole Arrow batch
+with one BLAS matvec.  Swapping in a real checkpoint (ONNX / torch /
+fasttext) only changes ``__init__``; the Ray plumbing — broadcast, actor
+pool, zero-copy Arrow batches, optional threshold filter — is identical,
+which is the point of the stage.
+
+Weights are deterministic (Knuth multiplicative hash of the dimension
+index) so tests and the DuckDB oracle reproduce the exact same model;
+scores are rounded to 6 decimals in both engines (the repo-wide float
+parity convention, see stages/tfidf.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import _embedding_matrix
+
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant (2^32 / phi)
+
+
+def golden_weights(dim: int) -> np.ndarray:
+    """w_i = frac(i * 2654435761 / 2^32) - 0.5.
+
+    Integer-exact and reproducible in SQL:
+    ``((i * 2654435761) % 4294967296) / 4294967296.0 - 0.5``.
+    """
+    i = np.arange(dim, dtype=np.int64)
+    return ((i * _KNUTH) % 2 ** 32) / 2.0 ** 32 - 0.5
+
+
+class LinearScorer:
+    """map_batches actor: appends ``out_col`` = sigmoid(w·x + bias).
+
+    ``weights`` may be an ``ray.ObjectRef`` (broadcast model — resolved
+    once here, NOT per batch) or a plain ndarray for direct/test use.
+    """
+
+    def __init__(self, weights, bias: float = 0.0, col: str = "embedding",
+                 out_col: str = "score"):
+        if not isinstance(weights, np.ndarray):
+            import ray
+            weights = ray.get(weights)
+        self.w = np.ascontiguousarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, self.col)
+        z = x @ self.w + self.bias
+        score = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        return batch.append_column(self.out_col,
+                                   pa.array(score, type=pa.float64()))
+
+
+def score_embeddings(ds, dim: int, bias: float = 0.1,
+                     col: str = "embedding", out_col: str = "score",
+                     keep_above: float | None = None, concurrency: int = 4):
+    """Score every row with the deterministic linear probe; optionally
+    keep only rows with ``out_col`` > ``keep_above`` (the quality-filter
+    composition).  Shuffle-free: broadcast + actor pool + map-side
+    filter."""
+    import ray
+
+    ref = ray.put(golden_weights(dim))
+    out = ds.map_batches(
+        LinearScorer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"weights": ref, "bias": bias, "col": col,
+                               "out_col": out_col})
+    if keep_above is not None:
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.greater(batch.column(out_col),
+                                           keep_above))
+        out = out.map_batches(keep, batch_format="pyarrow")
+    return out

@@ -19,6 +19,7 @@ byte-for-byte reproducible in DuckDB (``md5(CAST(id AS VARCHAR))``).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyarrow as pa
 
@@ -69,6 +70,68 @@ def stratified_sample(ds, key_col: str, k: int, id_col: str = "doc_id",
     partial = ds.map_batches(combiner, batch_format="pyarrow")
     return partial.groupby(key_col).map_groups(finalize,
                                                batch_format="pyarrow")
+
+
+def _es_keys(ids, weights) -> list[float]:
+    """Efraimidis–Spirakis exponential keys with CONSISTENT uniforms.
+
+    u is derived from the first 13 hex digits (52 bits — exact in a
+    float64) of md5(str(id)), so the key is a pure function of the row:
+    key = -ln((v + 1) / 2^52) / w.  Byte-for-byte reproducible in DuckDB:
+    ``-ln((('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 13))::UBIGINT + 1)
+    / 4503599627370496.0) / w`` — verified equal to Python ``math.log``.
+    The k rows with the SMALLEST keys are a weighted sample without
+    replacement (selection probability proportional to w at each draw).
+    """
+    out = []
+    for i, w in zip(ids, weights):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        out.append(-math.log((v + 1) / 4503599627370496.0) / w)
+    return out
+
+
+def _smallest_k(t: pa.Table, id_col: str, k: int) -> pa.Table:
+    return t.sort_by([("_key", "ascending"), (id_col, "ascending")]) \
+            .slice(0, k)
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    with_rank: bool = True):
+    """Deterministic weighted sampling WITHOUT replacement: the global k
+    rows with the smallest Efraimidis–Spirakis keys, weights from
+    ``weight_col`` (rows with weight <= 0 are excluded — ES requires
+    positive weights).
+
+    Shape: each batch keeps its k smallest keys (the global winners are
+    necessarily among the per-batch winners), then one single-group
+    finalize picks the final k — the shuffle carries ≤ k rows per batch
+    regardless of corpus size.  Same selection on any partitioning, any
+    cluster size, any resume.
+
+    Returns columns ``(id_col, weight_col[, rn])``, rn = 1-based rank.
+    """
+    def combiner(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, weight_col])
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(w > 0))
+        keys = _es_keys(t.column(id_col).to_pylist(),
+                        t.column(weight_col).to_pylist())
+        t = t.append_column("_key", pa.array(keys, type=pa.float64()))
+        t = t.append_column("_g", pa.array([0] * t.num_rows, pa.int32()))
+        return _smallest_k(t, id_col, k)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t = _smallest_k(group, id_col, k)
+        cols = [t.column(id_col), t.column(weight_col)]
+        names = [id_col, weight_col]
+        if with_rank:
+            cols.append(pa.array(range(1, t.num_rows + 1), type=pa.int64()))
+            names.append("rn")
+        return pa.table(dict(zip(names, cols)))
+
+    partial = ds.map_batches(combiner, batch_format="pyarrow")
+    return partial.groupby("_g").map_groups(finalize,
+                                            batch_format="pyarrow")
 
 
 def _md5_threshold(rate: float) -> str:

@@ -133,3 +133,53 @@ def test_split_assign_deterministic_and_sized(ray_session):
     assert abs(c["train"] / 5000 - 0.8) < 0.03
     assert abs(c["val"] / 5000 - 0.1) < 0.02
     assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+def _es_brute(rows, k):
+    """Brute-force Efraimidis–Spirakis selection: global k smallest keys."""
+    keyed = []
+    for r in rows:
+        if r["w"] <= 0:
+            continue
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
+        keyed.append((-math.log((v + 1) / 2.0 ** 52) / r["w"], r["doc_id"]))
+    return [i for _, i in sorted(keyed)[:k]]
+
+
+def test_weighted_sample_pure_parity():
+    """Combiner + finalize (no Ray) equals the brute-force selection,
+    on any batch split, with zero/negative weights excluded."""
+    from lingua_ray.stages.sampling import weighted_sample  # noqa: F401
+    from lingua_ray.stages import sampling as S
+    rows = [{"doc_id": i, "w": float((i * 7) % 11 - 1)} for i in range(200)]
+    expect = _es_brute(rows, 25)
+    t = pa.table({"doc_id": pa.array([r["doc_id"] for r in rows],
+                                     pa.int64()),
+                  "w": pa.array([r["w"] for r in rows], pa.float64())})
+    for cut in (1, 37, 100):
+        parts = [t.slice(s, cut) for s in range(0, t.num_rows, cut)]
+        partials = []
+        for p in parts:
+            w = p.column("w").to_numpy(zero_copy_only=False)
+            q = p.filter(pa.array(w > 0))
+            keys = S._es_keys(q.column("doc_id").to_pylist(),
+                              q.column("w").to_pylist())
+            q = q.append_column("_key", pa.array(keys, pa.float64()))
+            partials.append(S._smallest_k(q, "doc_id", 25))
+        merged = S._smallest_k(pa.concat_tables(partials), "doc_id", 25)
+        got = merged.column("doc_id").to_pylist()
+        assert got == expect, f"cut={cut}"
+
+
+def test_weighted_sample_ray(ray_session):
+    import ray.data
+    from lingua_ray.stages.sampling import weighted_sample
+    rows = [{"doc_id": i, "w": float(i % 9)} for i in range(300)]
+    expect = _es_brute(rows, 30)
+    for parts in (1, 5):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = weighted_sample(ds, k=30, weight_col="w").take_all()
+        out.sort(key=lambda r: r["rn"])
+        assert [r["doc_id"] for r in out] == expect, f"parts={parts}"
+        assert [r["rn"] for r in out] == list(range(1, 31))
+        assert all(r["w"] > 0 for r in out)
