@@ -163,12 +163,116 @@ def image_dims_batch(batch: pa.Table,
     return batch
 
 
-def decode_image(p: bytes):
-    """REAL pure-NumPy decode of the uncompressed raster formats — binary
-    netpbm (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width, height,
-    mean_luma in [0,1]) or None when the payload is a compressed codec
-    (PNG/JPEG/WEBP/...) that needs an external library."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (spec §9).  ``raw`` is the
+    decompressed stream, h rows of (1 filter byte + stride data bytes).
+    Sub is vectorized as a per-lane cumsum mod 256; Up is one vector add;
+    Average/Paeth walk pixels within the row (lanes vectorized)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    for y in range(h):
+        ftype, row = rows[y, 0], rows[y, 1:].copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: cumsum per byte lane, mod 256
+            lanes = row.reshape(-1, bpp).astype(np.uint64)
+            rec = np.cumsum(lanes, axis=0, dtype=np.uint64) \
+                    .astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = row
+            rec[:bpp] += (prev[:bpp] // 2).astype(np.uint8)
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp:x].astype(np.uint16)
+                up = prev[x:x + bpp].astype(np.uint16)
+                rec[x:x + bpp] += ((left + up) // 2).astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            rec = row
+            rec[:bpp] += prev[:bpp]
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp:x].astype(np.int32)
+                b = prev[x:x + bpp].astype(np.int32)
+                c = prev[x - bpp:x].astype(np.int32)
+                pp = a + b - c
+                pa_, pb, pc = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), a,
+                                np.where(pb <= pc, b, c))
+                rec[x:x + bpp] += pred.astype(np.uint8)
+        else:
+            return None
+        out[y] = prev = rec
+    return out
+
+
+def _decode_png(p: bytes):
+    """REAL PNG decode — zlib (stdlib) inflate + numpy unfiltering.
+    Supports the universal web subset: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Returns (width, height, mean_luma) or None (not PNG / unsupported)."""
     import struct
+    import zlib
+    if not p.startswith(_PNG_SIG) or len(p) < 33:
+        return None
+    if p[12:16] != b"IHDR":
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = \
+        struct.unpack(">IIBBBBB", p[16:29])
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or depth != 8 or interlace != 0 \
+            or w <= 0 or h <= 0 or w * h > 64_000_000:
+        return None
+    idat, plte, j = [], None, 8
+    while j + 8 <= len(p):
+        ln, tag = struct.unpack(">I4s", p[j:j + 8])
+        if j + 8 + ln > len(p):
+            return None
+        if tag == b"IDAT":
+            idat.append(p[j + 8:j + 8 + ln])
+        elif tag == b"PLTE":
+            plte = np.frombuffer(p[j + 8:j + 8 + ln],
+                                 dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+        j += 12 + ln  # length + tag + data + crc
+    if not idat or (ctype == 3 and plte is None):
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    px = _png_unfilter(raw, h, stride, channels)
+    if px is None:
+        return None
+    px = px.reshape(h, w, channels)
+    if ctype == 3:
+        rgb = plte[px[:, :, 0].reshape(-1)].astype(np.float64)
+        luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+    elif ctype in (2, 6):
+        rgb = px[:, :, :3].reshape(-1, 3).astype(np.float64)
+        luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+    else:  # 0, 4: first channel is gray
+        luma = float(px[:, :, 0].mean()) / 255.0
+    return int(w), int(h), float(luma)
+
+
+def decode_image(p: bytes):
+    """REAL pure-NumPy decode — PNG (stdlib-zlib inflate + numpy
+    unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
+    binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width,
+    height, mean_luma in [0,1]) or None when the payload needs an
+    external codec (JPEG/WEBP/16-bit-or-interlaced PNG/...)."""
+    import struct
+    png = _decode_png(p)
+    if png is not None:
+        return png
     if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
         hdr = _parse_pnm_header(p)
         if hdr is None:
@@ -208,11 +312,12 @@ def decode_image(p: bytes):
 class ImageDecoder:
     """Actor-pool decode/feature stage.
 
-    real=True decodes the formats a pure-NumPy decoder can handle —
+    real=True decodes the formats a pure-NumPy + stdlib decoder can
+    handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering),
     binary netpbm (P5/P6) and uncompressed 8/24-bit BMP — via
     :func:`decode_image`, and raises NotImplementedError per payload for
-    compressed codecs (PNG/JPEG/WEBP need PIL/opencv, not installed
-    here; that boundary is the ONLY stubbed part).
+    the remaining codecs (JPEG/WEBP entropy coding needs PIL/opencv, not
+    installed here; that boundary is the ONLY stubbed part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
@@ -233,8 +338,9 @@ class ImageDecoder:
                     fmt = _parse_image_dims(p or b"")[0] or "unknown"
                     raise NotImplementedError(
                         f"decoding '{fmt}' payloads needs PIL/opencv "
-                        "(unavailable in this environment); only netpbm "
-                        "and uncompressed BMP decode without codecs")
+                        "(unavailable in this environment); only PNG, "
+                        "netpbm and uncompressed BMP decode without "
+                        "external codecs")
                 w[i], h[i], luma[i] = dec
             else:
                 d = hashlib.sha256(p or b"").digest()

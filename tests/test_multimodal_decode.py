@@ -225,3 +225,133 @@ def test_video_frame_sampler_real_mode():
         VideoFrameSampler(real=True)(pa.table(
             {"payload": pa.array([b"\x00\x00\x00\x18ftypmp42"],
                                  type=pa.large_binary())}))
+
+
+# ---- PNG (real stdlib-zlib decode path) ----
+
+def _png_chunk(tag, data):
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_filter_forward(img, ftype):
+    """Apply PNG filter ``ftype`` to every scanline of (h, w, ch) uint8."""
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    out = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        left = np.zeros_like(row); left[ch:] = row[:-ch]
+        upleft = np.zeros_like(prev); upleft[ch:] = prev[:-ch]
+        if ftype == 0:
+            f = row
+        elif ftype == 1:
+            f = row - left
+        elif ftype == 2:
+            f = row - prev
+        elif ftype == 3:
+            f = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            f = row - pred
+        out.append(bytes([ftype]) + (f % 256).astype(np.uint8).tobytes())
+        prev = row
+    return b"".join(out)
+
+
+def _png(img, ctype, filters=0, plte=None):
+    """Encode (h, w, ch) uint8 into a real PNG; ``filters`` is an int or
+    per-row list of filter types."""
+    import zlib
+    h, w, ch = img.shape
+    if isinstance(filters, int):
+        raw = _png_filter_forward(img, filters)
+    else:
+        rows = [_png_filter_forward(img[y:y + 1], f)
+                for y, f in enumerate(filters)]
+        # re-filter each row against its true predecessor
+        raw = b""
+        prev = np.zeros((1, w, ch), dtype=np.uint8)
+        for y, f in enumerate(filters):
+            two = np.concatenate([prev, img[y:y + 1]])
+            raw += _png_filter_forward(two, f)[1 + w * ch:]
+            prev = img[y:y + 1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(raw))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def _luma(img):  # (h, w, 3) -> Rec.601 mean in [0, 1]
+    return float((img.reshape(-1, 3).astype(np.float64)
+                  @ np.array([0.299, 0.587, 0.114])).mean() / 255.0)
+
+
+def test_png_decode_rgb_all_filters():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_image(_png(img, 2, filters=f))
+        assert got is not None, f"filter {f}"
+        w, h, luma = got
+        assert (w, h) == (5, 6)
+        assert abs(luma - _luma(img)) < 1e-12, f"filter {f}"
+    # mixed per-row filters
+    w, h, luma = decode_image(_png(img, 2, filters=[0, 1, 2, 3, 4, 2]))
+    assert abs(luma - _luma(img)) < 1e-12
+
+
+def test_png_decode_gray_rgba_palette():
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(4, 9, 1), dtype=np.uint8)
+    w, h, luma = decode_image(_png(gray, 0, filters=4))
+    assert (w, h) == (9, 4)
+    assert abs(luma - gray.mean() / 255.0) < 1e-12
+    ga = rng.randint(0, 256, size=(3, 3, 2), dtype=np.uint8)
+    assert abs(decode_image(_png(ga, 4))[2]
+               - ga[:, :, 0].mean() / 255.0) < 1e-12
+    rgba = rng.randint(0, 256, size=(5, 2, 4), dtype=np.uint8)
+    assert abs(decode_image(_png(rgba, 6, filters=1))[2]
+               - _luma(rgba[:, :, :3])) < 1e-12
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(4, 4, 1), dtype=np.uint8)
+    w, h, luma = decode_image(_png(idx, 3, plte=plte))
+    assert (w, h) == (4, 4)
+    assert abs(luma - _luma(plte[idx[:, :, 0]])) < 1e-12
+
+
+def test_png_unsupported_variants_stay_boundary():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _png(img, 2)
+    # 16-bit depth
+    deep = bytearray(good); deep[24] = 16
+    assert decode_image(bytes(deep)) is None
+    # interlaced
+    inter = bytearray(good); inter[28] = 1
+    assert decode_image(bytes(inter)) is None
+    # truncated IDAT
+    assert decode_image(good[:40]) is None
+    from lingua_ray.stages.multimodal import ImageDecoder as D
+    bad = pa.table({"payload": pa.array([bytes(deep)],
+                                        type=pa.large_binary())})
+    with pytest.raises(NotImplementedError):
+        D(real=True)(bad)
+
+
+def test_image_decoder_real_mode_png():
+    img = np.full((3, 4, 3), 200, dtype=np.uint8)
+    t = pa.table({"payload": pa.array([_png(img, 2, filters=3)],
+                                      type=pa.large_binary())})
+    out = ImageDecoder(real=True)(t)
+    assert out.column("width").to_pylist() == [4]
+    assert out.column("height").to_pylist() == [3]
+    assert abs(out.column("mean_luma").to_pylist()[0] - 200 / 255.0) < 1e-12
