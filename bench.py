@@ -135,7 +135,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # exact similarity self-join costs ~30-60 s at sf0.1
                      # on this corpus shape — see BASELINE.md)
                      "line_dedup", "events_cumsum", "docs_per_source_cap",
-                     "lang_temperature_mix"]
+                     "lang_temperature_mix", "weighted_sample",
+                     "embedding_inference"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
