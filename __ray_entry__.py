@@ -161,6 +161,27 @@ def _q_doc_quality(sf_dir: str):
                               "quality_flags"])
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Consolidated Gopher quality rules (word-count bounds, mean word
+    length, symbol ratio, alpha-word fraction, required stopwords) as
+    integer signals + the keep decision — one shuffle-free pass.  The
+    synthetic corpus carries at most one of the 8 Gopher required
+    stopwords per doc, so this query sets min_req_stopwords=1 (and keeps
+    the canonical 50-word floor) to exercise every rule with real
+    variation; thresholds are integer comparisons, so the oracle matches
+    bit-for-bit.  [SQL-verified]"""
+    from lingua_ray.stages.quality import gopher_signals_batch
+
+    def fn(batch):
+        return gopher_signals_batch(batch, min_req_stopwords=1)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_words", "n_alpha_words",
+                              "n_req_stopwords", "n_symbols",
+                              "gopher_keep"])
+
+
 def _q_doc_scrub(sf_dir: str):
     """PII scrub + toxicity count.  [SQL-verified — both engines are RE2]"""
     from lingua_ray.stages.scrub import scrub_batch
@@ -2529,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_mix": _q_lang_temperature_mix,
         "weighted_sample": _q_weighted_sample,
         "embedding_inference": _q_embedding_inference,
+        "gopher_filter": _q_gopher_filter,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
         "quality_filter_transcripts": _q_quality_filter_transcripts,
         "langid_documents": _q_langid_documents,
@@ -2965,6 +2987,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id
         """,
         "doc_split": _doc_split_sql(),
+        "gopher_filter": """
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM t),
+            agg AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_alpha_words,
+                CAST(count(DISTINCT CASE WHEN lower(word) IN
+                       ('the','be','to','of','and','that','have','with')
+                     THEN lower(word) END) AS BIGINT) AS n_req_stopwords
+              FROM w GROUP BY doc_id)
+            SELECT t.doc_id,
+              CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_words,
+              agg.n_alpha_words, agg.n_req_stopwords,
+              CAST((length(t.text) - length(replace(t.text, '#', '')))
+                 + (length(t.text) - length(replace(t.text, chr(8230), '')))
+                 AS BIGINT) AS n_symbols,
+              CAST(CASE WHEN
+                  len(string_split(t.text, ' ')) BETWEEN 50 AND 100000
+                  AND 3 * len(string_split(t.text, ' '))
+                      <= length(t.text) - len(string_split(t.text, ' ')) + 1
+                  AND length(t.text) - len(string_split(t.text, ' ')) + 1
+                      <= 10 * len(string_split(t.text, ' '))
+                  AND 10 * ((length(t.text)
+                             - length(replace(t.text, '#', '')))
+                          + (length(t.text)
+                             - length(replace(t.text, chr(8230), ''))))
+                      <= len(string_split(t.text, ' '))
+                  AND 5 * agg.n_alpha_words
+                      >= 4 * len(string_split(t.text, ' '))
+                  AND agg.n_req_stopwords >= 1
+                THEN 1 ELSE 0 END AS INT) AS gopher_keep
+            FROM t JOIN agg USING (doc_id)
+        """,
         "embedding_inference": """
             SELECT vec_id, round(1/(1 + exp(-(s + 0.1))), 6) AS score
             FROM (

@@ -263,3 +263,77 @@ def entropy_batch(batch: pa.Table, text_col: str = "text",
                        pa.array(np.round(entropy, ndigits)))
     batch = set_column(batch, "n_hapax", pa.array(hapax))
     return batch
+
+
+# The 8 "required" English words of the Gopher quality rules (Rae et al.
+# 2021, appendix A): a document must contain at least 2 distinct ones.
+# Frozen so the DuckDB oracle can inline the identical list.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                             "have", "with")
+
+
+def gopher_signals_batch(batch: pa.Table, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_req_stopwords: int = 2) -> pa.Table:
+    """Consolidated Gopher document-quality rules as INTEGER signals plus
+    the final keep decision — shuffle-free, one pass, no Python loops
+    over rows or tokens.
+
+    Rules applied (word-level subset — the corpus has no line structure,
+    so the line-based bullet/ellipsis rules are n/a and documented out):
+
+    * 50 <= n_words <= 100_000
+    * mean word length in [3, 10]   -> 3*n_words <= word_chars <= 10*n_words
+    * symbol-to-word ratio <= 0.1   -> 10*n_symbols <= n_words  ('#', '…')
+    * >= 80% of words contain an ASCII letter -> 5*n_alpha_words >= 4*n_words
+    * >= 2 distinct required stopwords present
+
+    Every signal is an integer and every threshold an integer comparison,
+    so the DuckDB oracle reproduces the decision bit-for-bit (no float
+    rounding anywhere).
+    """
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    col = pc.fill_null(batch.column(text_col), "")
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    words = pc.split_pattern(col, " ")
+    n_words = pc.cast(pc.list_value_length(words), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), n_words)
+
+    has_alpha = pc.match_substring_regex(
+        flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    n_alpha_words = np.bincount(row_id[has_alpha], minlength=n) \
+        .astype(np.int64)
+
+    flat_lower = pc.utf8_lower(flat)
+    n_req = np.zeros(n, dtype=np.int64)
+    for sw in GOPHER_REQUIRED_STOPWORDS:
+        eq = pc.equal(flat_lower, sw).to_numpy(zero_copy_only=False)
+        n_req += (np.bincount(row_id[eq], minlength=n) > 0)
+
+    n_symbols = (
+        pc.cast(pc.count_substring(col, "#"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        + pc.cast(pc.count_substring(col, "…"), pa.int64()).to_numpy(
+            zero_copy_only=False))
+
+    word_chars = n_chars - (n_words - 1)  # split(' '): spaces = words - 1
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+            & (10 * n_symbols <= n_words)
+            & (5 * n_alpha_words >= 4 * n_words)
+            & (n_req >= min_req_stopwords))
+
+    for name, arr, typ in (
+        ("n_words", n_words, pa.int64()),
+        ("n_alpha_words", n_alpha_words, pa.int64()),
+        ("n_req_stopwords", n_req, pa.int64()),
+        ("n_symbols", n_symbols, pa.int64()),
+        ("gopher_keep", keep.astype(np.int32), pa.int32()),
+    ):
+        batch = set_column(batch, name, pa.array(arr, type=typ))
+    return batch

@@ -148,3 +148,43 @@ def test_stopword_ratio_batch():
     assert out.column("n_words_total").to_pylist() == [6, 2, 1, 1, 3]
     empty = stopword_ratio_batch(t.slice(0, 0))
     assert empty.num_rows == 0
+
+
+def test_gopher_signals_each_rule():
+    from lingua_ray.stages.quality import gopher_signals_batch
+    good = ("the cat runs with great speed and that hound have chased "
+            "them over long miles " * 4).strip()          # all rules pass
+    short = "the be words here"                           # < min_words
+    tiny_words = ("a b c d e f g h i j " * 6).strip()     # mean len < 3
+    longw = " ".join(["the", "be"] + ["x" * 40] * 58)     # mean len > 10
+    symbols = ("the be " + "# " * 20 + "word " * 40).strip()  # sym ratio
+    numeric = " ".join(["the", "be"] + ["123"] * 58)      # alpha frac
+    nostop = ("cat dog bird fish lion tiger bear wolf " * 8).strip()
+    t = pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                  "text": pa.array([good, short, tiny_words, longw,
+                                    symbols, numeric, nostop])})
+    out = gopher_signals_batch(t, min_words=50, min_req_stopwords=2)
+    keep = out.column("gopher_keep").to_pylist()
+    assert keep == [1, 0, 0, 0, 0, 0, 0]
+    # scalar oracle for the integer signals
+    import re
+    for row in out.to_pylist():
+        words = t.column("text")[row["doc_id"]].as_py().split(" ")
+        assert row["n_words"] == len(words)
+        assert row["n_alpha_words"] == sum(
+            1 for w in words if re.search("[A-Za-z]", w))
+        req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        assert row["n_req_stopwords"] == len(
+            {w.lower() for w in words} & req)
+        txt = t.column("text")[row["doc_id"]].as_py()
+        assert row["n_symbols"] == txt.count("#") + txt.count("…")
+
+
+def test_gopher_signals_null_and_ellipsis():
+    from lingua_ray.stages.quality import gopher_signals_batch
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([None, "the be word… more…"])})
+    out = gopher_signals_batch(t)
+    assert out.column("n_words").to_pylist() == [1, 4]
+    assert out.column("n_symbols").to_pylist() == [0, 2]
+    assert out.column("gopher_keep").to_pylist() == [0, 0]
