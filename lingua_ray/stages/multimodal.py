@@ -253,7 +253,10 @@ def _decode_png(p: bytes):
         return None
     px = px.reshape(h, w, channels)
     if ctype == 3:
-        rgb = plte[px[:, :, 0].reshape(-1)].astype(np.float64)
+        idx = px[:, :, 0].reshape(-1)
+        if idx.max(initial=0) >= len(plte):
+            return None  # index past the palette: malformed, not a codec gap
+        rgb = plte[idx].astype(np.float64)
         luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
     elif ctype in (2, 6):
         rgb = px[:, :, :3].reshape(-1, 3).astype(np.float64)

@@ -355,3 +355,10 @@ def test_image_decoder_real_mode_png():
     assert out.column("width").to_pylist() == [4]
     assert out.column("height").to_pylist() == [3]
     assert abs(out.column("mean_luma").to_pylist()[0] - 200 / 255.0) < 1e-12
+
+
+def test_png_palette_index_out_of_range_is_none():
+    rng = np.random.RandomState(5)
+    plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = np.full((2, 2, 1), 9, dtype=np.uint8)  # only 4 palette entries
+    assert decode_image(_png(idx, 3, plte=plte)) is None
