@@ -54,6 +54,9 @@ class LinearScorer:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(self.out_col,
+                                       pa.array([], type=pa.float64()))
         x = _embedding_matrix(batch, self.col)
         z = x @ self.w + self.bias
         score = np.round(1.0 / (1.0 + np.exp(-z)), 6)

@@ -53,3 +53,23 @@ def test_salted_combine_empty(ray_session):
     t = _empty(k=pa.string(), v=pa.int64())
     out = salted_sum(ray.data.from_arrow(t), "k", "v").take_all()
     assert out == []
+
+
+def test_round3_kernels_empty():
+    from lingua_ray.stages.quality import gopher_signals_batch
+    from lingua_ray.stages.inference import LinearScorer, golden_weights
+    from lingua_ray.stages import sampling as S
+
+    t = _empty(doc_id=pa.int64(), text=pa.string())
+    g = gopher_signals_batch(t)
+    assert g.num_rows == 0 and "gopher_keep" in g.column_names
+
+    e = _empty(vec_id=pa.int64(), embedding=pa.list_(pa.float32()))
+    out = LinearScorer(golden_weights(8), bias=0.1)(e)
+    assert out.num_rows == 0 and "score" in out.column_names
+
+    w = _empty(doc_id=pa.int64(), w=pa.float64())
+    keys = S._es_keys([], [])
+    assert keys == []
+    q = w.append_column("_key", pa.array([], pa.float64()))
+    assert S._smallest_k(q, "doc_id", 5).num_rows == 0
