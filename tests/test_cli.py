@@ -50,3 +50,15 @@ def test_cli_errors_cleanly():
     r = _run(["--min-distance", "1.5"], "x\n")
     assert r.returncode == 2
     assert "Traceback" not in r.stderr
+
+
+def test_cli_multi_language_sections():
+    r = _run(["--multi"],
+             "this is english text 日本語のテキストです and back\n"
+             "bonjour le monde\n")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert len(lines) == 2
+    assert "en[0:21]" in lines[0] and "ja[21:32]" in lines[0]
+    assert "'日本語のテキストです'" in lines[0]
+    assert lines[1].startswith("fr[0:16]")

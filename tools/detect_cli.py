@@ -19,6 +19,11 @@ def main() -> None:
     ap.add_argument("--low-accuracy", action="store_true")
     ap.add_argument("--confidence", action="store_true",
                     help="print top-5 confidence values")
+    ap.add_argument("--multi", action="store_true",
+                    help="split mixed-language lines into per-language "
+                         "sections (terminal analogue of the reference's "
+                         "multi-language GUI, app/multilanguage/"
+                         "MultiLanguageGui.kt)")
     ap.add_argument("--min-distance", type=float, default=0.0)
     args = ap.parse_args()
 
@@ -50,7 +55,16 @@ def main() -> None:
         text = line.rstrip("\n")
         if not text:
             continue
-        if args.confidence:
+        if args.multi:
+            sections = det.detect_multi_language_of(text)
+
+            def code(i):
+                return C.ISO1_CODES[i] if i < len(C.ISO1_CODES) else "un"
+            print(" | ".join(
+                f"{code(s.language)}"
+                f"[{s.start}:{s.end}]:{s.section_text.strip()!r}"
+                for s in sections) or "un")
+        elif args.confidence:
             values = det.compute_language_confidence_values(text)[:5]
             print(" ".join(f"{c}:{v:.4f}" for c, v in values) or "un")
         else:
