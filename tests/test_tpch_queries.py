@@ -41,7 +41,9 @@ def oracle_con():
                                   "embedding_centroid_by_label",
                                   "events_top_spenders",
                                   "doc_dup_ngrams",
-                                  "lineitem_revenue_filter"])
+                                  "lineitem_revenue_filter",
+                                  "weighted_sample", "embedding_inference",
+                                  "gopher_filter"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
