@@ -122,3 +122,61 @@ def test_distinct_tokens_equals_split_fuzzed(texts):
         toks = t.split(" ")
         assert nw[i] == len(toks), repr(t)
         assert nd[i] == len(set(toks)), repr(t)
+
+
+@given(st.lists(st.floats(min_value=-5, max_value=1e6,
+                          allow_nan=False).map(lambda x: round(x, 3)),
+                min_size=0, max_size=120),
+       st.integers(1, 20), st.integers(1, 50))
+@settings(max_examples=60, deadline=None)
+def test_weighted_sample_split_invariance_fuzzed(weights, k, cut):
+    """Per-batch combiner + global finalize equals the brute-force
+    selection for ANY weights (zeros/negatives excluded) at ANY split."""
+    import math
+    import hashlib
+    import pyarrow as pa
+    from lingua_ray.stages import sampling as S
+
+    t = pa.table({"doc_id": pa.array(range(len(weights)), pa.int64()),
+                  "w": pa.array(weights, pa.float64())})
+    brute = []
+    for i, w in enumerate(weights):
+        if w <= 0:
+            continue
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        brute.append((-math.log((v + 1) / 2.0 ** 52) / w, i))
+    expect = [i for _, i in sorted(brute)[:k]]
+    partials = []
+    for s in range(0, max(t.num_rows, 1), cut):
+        p = t.slice(s, cut)
+        w = p.column("w").to_numpy(zero_copy_only=False)
+        q = p.filter(pa.array(w > 0))
+        keys = S._es_keys(q.column("doc_id").to_pylist(),
+                          q.column("w").to_pylist())
+        q = q.append_column("_key", pa.array(keys, pa.float64()))
+        partials.append(S._smallest_k(q, "doc_id", k))
+    merged = S._smallest_k(pa.concat_tables(partials), "doc_id", k)
+    assert merged.column("doc_id").to_pylist() == expect
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2026),
+    max_size=80), min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_gopher_signals_equal_scalar_fuzzed(texts):
+    import re
+    import pyarrow as pa
+    from lingua_ray.stages.quality import (GOPHER_REQUIRED_STOPWORDS,
+                                           gopher_signals_batch)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = gopher_signals_batch(t)
+    for i, txt in enumerate(texts):
+        words = txt.split(" ")
+        assert out.column("n_words")[i].as_py() == len(words)
+        assert out.column("n_alpha_words")[i].as_py() == sum(
+            1 for w in words if re.search("[A-Za-z]", w))
+        assert out.column("n_req_stopwords")[i].as_py() == len(
+            {w.lower() for w in words} & set(GOPHER_REQUIRED_STOPWORDS))
+        assert out.column("n_symbols")[i].as_py() == (
+            txt.count("#") + txt.count("…"))
