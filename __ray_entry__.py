@@ -2286,7 +2286,6 @@ def _q_events_top_spenders(sf_dir: str):
         cents = np.round(batch.column("value").to_numpy()
                          * 100).astype(np.int64)
         uniq, inv = np.unique(uid, return_inverse=True)
-        sums = np.bincount(inv, weights=None, minlength=len(uniq))
         csum = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(csum, inv, cents)
         return pa.table({"user_id": pa.array(uniq),
@@ -2747,8 +2746,8 @@ def oracle_sql() -> dict[str, str]:
                    round(wt / sum(wt) OVER (), 6) AS rate FROM w""",
         "dedup_jaccard": """
             WITH t AS (SELECT doc_id,
-                         CASE WHEN length(lower(text)) < 5
-                              THEN rpad(lower(text), 5, ' ')
+                         CASE WHEN length(lower(coalesce(text, ''))) < 5
+                              THEN rpad(lower(coalesce(text, '')), 5, ' ')
                               ELSE lower(text) END AS s
                        FROM documents),
             grams AS (

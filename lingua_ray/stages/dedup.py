@@ -279,8 +279,10 @@ def verify_minhash_candidates(pairs, signatures, threshold: float = 0.5,
 
         refs = (signatures.map_batches(_member, batch_format="pyarrow")
                 .to_arrow_refs())
-        sig_small = pa.concat_tables(
-            t for t in ray.get(refs) if t.num_rows)
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:       # no candidate id has a signature row
+            return ray.data.from_arrow(empty)
+        sig_small = pa.concat_tables(tables)
         sig_ids = sig_small.column(id_col).to_numpy()
         order = np.argsort(sig_ids)
         mat = _sig_matrix(sig_small.column("minhash"))[order]
@@ -288,10 +290,17 @@ def verify_minhash_candidates(pairs, signatures, threshold: float = 0.5,
 
         def _est(batch: pa.Table) -> pa.Table:
             sids, m = ray.get(lut_ref)
-            ia = np.searchsorted(sids, batch.column(id_col).to_numpy())
-            ib = np.searchsorted(sids, batch.column("dup_of").to_numpy())
-            est = (m[ia] == m[ib]).mean(axis=1)
-            keep = est >= threshold
+            a = batch.column(id_col).to_numpy()
+            b = batch.column("dup_of").to_numpy()
+            ia = np.minimum(np.searchsorted(sids, a), len(sids) - 1)
+            ib = np.minimum(np.searchsorted(sids, b), len(sids) - 1)
+            # pairs whose id has no signature row are dropped, matching
+            # the hash-join plan (inner joins drop them)
+            ok = (sids[ia] == a) & (sids[ib] == b)
+            est = np.zeros(len(a), dtype=np.float64)
+            if ok.any():
+                est[ok] = (m[ia[ok]] == m[ib[ok]]).mean(axis=1)
+            keep = ok & (est >= threshold)
             return pa.table({
                 id_col: batch.column(id_col).filter(pa.array(keep)),
                 "dup_of": batch.column("dup_of").filter(pa.array(keep)),

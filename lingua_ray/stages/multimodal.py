@@ -472,9 +472,9 @@ def gif_frame_timestamps(p: bytes):
         if b == 0x3B:                       # trailer
             return ts
         if b == 0x21 and i + 1 < len(p):    # extension
-            if p[i + 1] == 0xF9 and i + 4 <= len(p) and p[i + 2] >= 4:
+            if p[i + 1] == 0xF9 and i + 6 <= len(p) and p[i + 2] >= 4:
                 d = struct.unpack("<H", p[i + 4:i + 6])[0]
-                delay = (d or 1) / 100.0
+                delay = (d or 10) / 100.0
             i = skip_subblocks(i + 2)
         elif b == 0x2C:                     # image descriptor = one frame
             if i + 10 > len(p):

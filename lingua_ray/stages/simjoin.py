@@ -444,12 +444,13 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
         set_bytes = int(sets.sum("n") or 0) * 8 + sets.count() * 24
         verify = "broadcast" if set_bytes <= broadcast_limit_bytes \
             else "join"
-    # verification CPU is ~linear in candidate pairs and embarrassingly
-    # parallel — spread the (already-deduped) pair list over ~4 blocks per
-    # core so the verify UDF saturates the machine instead of 16 tasks
     n_cpus = int(ray.cluster_resources().get("CPU", num_partitions))
-    cand = cand.repartition(max(num_partitions, 4 * n_cpus))
     if verify == "broadcast":
+        # verification CPU is ~linear in candidate pairs and embarrassingly
+        # parallel — spread the (already-deduped) pair list over ~4 blocks
+        # per core so the verify UDF saturates the machine instead of 16
+        # tasks (the join plan repartitions for its own layout below)
+        cand = cand.repartition(max(num_partitions, 4 * n_cpus))
         st = sets.to_pandas()
         ids = st[id_col].to_numpy().astype(np.int64)
         order = np.argsort(ids)

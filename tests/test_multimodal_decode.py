@@ -202,9 +202,13 @@ def test_gif_frame_timestamps():
     # 3 frames at 20cs, 30cs, 50cs -> starts at 0, 0.2, 0.5
     ts = gif_frame_timestamps(_gif([20, 30, 50]))
     assert ts is not None and np.allclose(ts, [0.0, 0.2, 0.5])
-    # zero delay renders as the conventional 1cs -> 0.01
-    assert np.allclose(gif_frame_timestamps(_gif([0, 0])), [0.0, 0.01])
+    # zero delay renders as the browser-conventional 10cs -> 0.1
+    assert np.allclose(gif_frame_timestamps(_gif([0, 0])), [0.0, 0.1])
     assert gif_frame_timestamps(b"\x00\x00\x00\x18ftypmp42") is None
+    # truncated mid-GCE (ends right after the block-size byte): malformed,
+    # not a crash
+    trunc = b"GIF89a" + bytes([4, 0, 0, 0, 0, 0, 0]) + b"\x21\xf9\x04"
+    assert gif_frame_timestamps(trunc) is None
 
 
 def test_video_frame_sampler_real_mode():
