@@ -34,6 +34,12 @@ _LATIN_CYR_DEV = np.array(
      C.SCRIPT_INDEX["DEVANAGARI"]], dtype=np.int64)
 _CHINESE = C.LANG_INDEX["CHINESE"]
 _JAPANESE = C.LANG_INDEX["JAPANESE"]
+# Perplexity floor for trigrams absent at every backoff level (3->2->1):
+# ln(1e-9), i.e. rarer than anything a real model stores (the smallest
+# stored relative frequency is bounded below by 1/corpus_ngrams ~ 1e-8).
+# All-OOV text then scores ppl = 1e9, the worst value, not the best.
+_OOV_LOG_P = float(np.log(1e-9))
+
 _CJK_BOOST_LANGS = np.array(
     [C.LANG_INDEX[n] for n in C.LANGUAGES_SUPPORTING_LOGOGRAMS], dtype=np.int64)
 
@@ -101,7 +107,6 @@ class Detector:
         self._vote_langs = np.array(vote_langs, dtype=np.int64)
         self._lang_to_col = np.full(C.NUM_LANGUAGES, -1, dtype=np.int64)
         self._lang_to_col[self._vote_langs] = np.arange(len(vote_langs))
-        self._col_configured = cfg.languages[self._vote_langs]
 
         # (languages × scripts) membership for candidate filtering.
         S = np.zeros((C.NUM_LANGUAGES, C.NUM_SCRIPTS), dtype=bool)
@@ -598,4 +603,10 @@ class Detector:
                 logsum += np.bincount(p_row[hit], weights=np.log(f[hit]),
                                       minlength=g)
             p_start, p_row = p_start[~hit], p_row[~hit]
+        if len(p_start):
+            # Trigrams that miss at every backoff level are OUT of the
+            # language's vocabulary: charge the OOV floor instead of the
+            # implicit ln P = 0, which would hand all-OOV gibberish the
+            # best possible perplexity (1.0) and defeat the ppl keep-gate.
+            logsum += _OOV_LOG_P * np.bincount(p_row, minlength=g)
         return logsum, count

@@ -199,9 +199,24 @@ def ensure_models(model_dir: Path = DEFAULT_MODEL_DIR,
     while time.monotonic() < deadline:
         if success.exists():
             return model_dir
-        if not lock.exists():
-            # Holder died or finished; retry from the top.
-            return ensure_models(model_dir, timeout_s)
+        remaining = max(1.0, deadline - time.monotonic())
+        try:
+            age = time.time() - lock.stat().st_mtime
+        except FileNotFoundError:
+            # Holder finished or exited cleanly; retry for the REMAINING
+            # time (not a fresh full timeout).
+            return ensure_models(model_dir, remaining)
+        if age > timeout_s:
+            # Orphaned lock: the holder died without its `finally`
+            # (SIGKILL / OOM-killed worker).  A live build finishes far
+            # inside timeout_s, so a lock older than that is stale —
+            # reclaim it; the O_CREAT|O_EXCL retry keeps this race-safe
+            # if several waiters reclaim at once.
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+            return ensure_models(model_dir, remaining)
         time.sleep(0.5)
     raise TimeoutError(f"model artifact {model_dir} not built within {timeout_s}s")
 

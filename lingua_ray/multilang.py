@@ -195,8 +195,11 @@ class MultiLanguageDetector:
             return False
         if (nxt.letters >= _MIN_RELIABLE_LETTERS and cur.letters >= 5
                 and cur.contains_non_letter()):
-            conf = dict(self.detector.confidence_values(cur.text))
-            next_conf = dict(self.detector.confidence_values(nxt.text))
+            # memoized on the sections: a rejected merge reuses these in
+            # _confidence_sections (cur) and the next iteration (nxt);
+            # merge_with invalidates, so an accepted merge recomputes
+            conf = dict(self._conf(cur))
+            next_conf = dict(self._conf(nxt))
             mc, mnc = cur.min_confidence(), nxt.min_confidence()
             common = [lang for lang, v in conf.items() if v > mc]
             too_low = all(next_conf.get(lang, 0.0) < mnc for lang in common)
@@ -230,8 +233,7 @@ class MultiLanguageDetector:
                         index += 1
                     else:
                         break
-                section._conf = None
-                self._conf(section)
+                self._conf(section)   # compute if not already memoized
                 out.append(section)
             index += 1
         return out

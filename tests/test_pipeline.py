@@ -139,3 +139,18 @@ def test_pipeline_junk_input_never_crashes(ray_session):
         assert by_turn[i]["keep"] is False
     assert by_turn[6]["lang"] == "en"
     assert by_turn[8]["lang"] == "ja"
+
+
+def test_oov_text_gets_worst_perplexity():
+    """Trigrams absent at every backoff level charge the OOV floor: text
+    the winning language's model has never seen must score WORSE (higher
+    ppl) than fluent text, not a perfect 1.0."""
+    from lingua_ray import constants as C
+    det = Detector(M.NgramModels())
+    en = C.LANG_INDEX["ENGLISH"]
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "щщщщ ъъъъ щъщъ"]          # Cyrillic salad scored as English
+    ppl = det.trigram_perplexity(texts, np.array([en, en]))
+    assert ppl[0] < 1e4                  # fluent text: plausible ppl
+    assert ppl[1] > 1e8                  # all-OOV: the 1e9 floor
+    assert ppl[1] > ppl[0]
