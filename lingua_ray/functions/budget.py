@@ -44,7 +44,12 @@ def select_under_budget(ds, score_col: str, cost_col: str, budget: int,
     rows = ds.map_batches(hist, batch_format="pyarrow") \
         .groupby("score").sum("cost").take_all()
     if not rows:
-        return ds.limit(0)
+        # keep the documented (id, score, cost) output schema on empty
+        import ray.data
+        base = ds.schema().base_schema
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], base.field(c).type)
+             for c in (id_col, score_col, cost_col)}))
     rows.sort(key=lambda r: -r["score"])
     scores = np.array([r["score"] for r in rows], dtype=np.int64)
     costs = np.array([r["sum(cost)"] for r in rows], dtype=np.int64)

@@ -36,9 +36,22 @@ def quantile_hist_batch(batch: pa.Table, key_col: str,
     vmin = np.int64(vals.min())
     shifted = vals - vmin
     base = np.int64(shifted.max()) + 1
-    upair, cnts = np.unique(kidx * base + shifted, return_counts=True)
-    uk = (upair // base).astype(np.int64)
-    uv = (upair % base).astype(np.int64) + vmin
+    n_keys = np.int64(len(enc.dictionary))
+    if base > 0 and n_keys <= (np.iinfo(np.int64).max - base) // base:
+        upair, cnts = np.unique(kidx * base + shifted, return_counts=True)
+        uk = (upair // base).astype(np.int64)
+        uv = (upair % base).astype(np.int64) + vmin
+    else:
+        # wide-range values (timestamps, snowflake ids): kidx * base
+        # would wrap int64 and silently collide distinct pairs — count
+        # runs of the lexsorted pair instead
+        order = np.lexsort((shifted, kidx))
+        ks, vs = kidx[order], shifted[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.append(starts, len(ks)))
+        uk, uv = ks[starts], vs[starts] + vmin
     return pa.table({key_col: enc.dictionary.take(pa.array(uk)),
                      value_col: pa.array(uv),
                      "cnt": pa.array(cnts.astype(np.int64))})
@@ -149,7 +162,12 @@ def percent_rank_column(ds, value_col: str, out_col: str = "pct"):
     rows = ds.map_batches(hist_partial, batch_format="pyarrow") \
         .groupby("v").sum("cnt").take_all()
     if not rows:
-        return ds.limit(0)
+        # empty input: still append the documented out_col
+        import ray.data
+        base = ds.schema().base_schema
+        cols = {f.name: pa.array([], f.type) for f in base}
+        cols[out_col] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
     rows.sort(key=lambda r: r["v"])
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)

@@ -61,6 +61,12 @@ class BruteForceTopK:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:   # LSH/IVF pruning can empty a block
+            return pa.table({
+                self.id_col: batch.column(self.id_col).slice(0, 0),
+                "query_id": pa.array([], type=pa.int32()),
+                "cos": pa.array([], type=pa.float64()),
+            })
         m = _normalize(_embedding_matrix(batch, self.col))
         ids = batch.column(self.id_col).to_numpy()
         sims = m @ self.q.T  # (n, q)
@@ -104,7 +110,9 @@ def knn_bruteforce(ds, query: np.ndarray, k: int = 10,
         topk_group, batch_format="pyarrow")
     rows = reduced.take_all()
     if not rows:
-        return pa.table({id_col: [], "query_id": [], "cos": []})
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "query_id": pa.array([], type=pa.int32()),
+                         "cos": pa.array([], type=pa.float64())})
     ids = np.array([r[id_col] for r in rows])
     qid = np.array([r["query_id"] for r in rows])
     cos = np.array([r["cos"] for r in rows])
@@ -118,6 +126,9 @@ def knn_bruteforce(ds, query: np.ndarray, k: int = 10,
 
 def add_lsh_bucket(batch: pa.Table, dim: int, n_planes: int = 16,
                    col: str = "embedding") -> pa.Table:
+    if batch.num_rows == 0:
+        return batch.append_column("bucket",
+                                   pa.array([], type=pa.int32()))
     m = _embedding_matrix(batch, col)
     planes = hyperplanes(dim, n_planes)
     return batch.append_column("bucket", pa.array(bucket_ids(m, planes)))
@@ -389,8 +400,9 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
     paths = [str(f) for p in probe
              for f in sorted((out / "lists"
                               / f"list_id={int(p)}").glob("*.parquet"))]
-    if not paths:
+    if not paths:   # same schema as the non-empty knn_bruteforce path
         return pa.table({id_col: pa.array([], pa.int64()),
+                         "query_id": pa.array([], pa.int32()),
                          "cos": pa.array([], pa.float64())})
     ds = ray.data.read_parquet(paths)
     return knn_bruteforce(ds, query, k, id_col, col=col)

@@ -73,7 +73,10 @@ def explode_paragraph_keys(batch: pa.Table, text_col: str = "text",
     if batch.num_rows == 0:
         return empty
     flat, counts = _split_offsets(batch.column(text_col), delim)
-    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # int64 BEFORE the shift: a narrower source dtype (int32 doc_id)
+    # would wrap in native arithmetic and pack silently-wrong keys
+    doc_ids = batch.column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     if len(doc_ids) and (doc_ids.min() < 0 or doc_ids.max() >= _MAX_DOC_ID):
         raise ValueError(f"doc_id out of packing range [0, 2^43): "
                          f"{doc_ids.min()}..{doc_ids.max()}")

@@ -35,7 +35,9 @@ def _tag_right_keys(right, on: str, right_on: str, schema: pa.Schema):
     """Combiner: distinct right keys per batch, left columns null-padded."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        keys = pc.unique(batch.column(right_on))
+        # SQL semantics: NULL never matches — and Ray's sort-based
+        # groupby rejects null keys anyway
+        keys = pc.unique(batch.column(right_on)).drop_null()
         cols = {}
         for f in schema:
             if f.name == on:
@@ -100,8 +102,14 @@ def bloom_semi_filter(left, right, on: str, right_on: str | None = None,
     right_on = right_on or on
 
     def key_fps(batch: pa.Table, col: str) -> np.ndarray:
-        k = batch.column(col).to_numpy(zero_copy_only=False)
-        return _mix64(np.asarray(k, dtype=np.uint64))
+        arr = batch.column(col)
+        if pa.types.is_integer(arr.type):
+            k = arr.to_numpy(zero_copy_only=False)
+            return _mix64(k.astype(np.uint64))
+        # string/binary keys: 64-bit content fingerprint, then mix
+        from ..functions.textstats import fingerprint64_array
+        return _mix64(fingerprint64_array(
+            pc.cast(pc.fill_null(arr, ""), pa.string())))
 
     n = max(int(right.count()), 1)
     m_bits, k_hashes = bloom_params(n, bits_per_item)
