@@ -177,6 +177,10 @@ def encode_arrow(col) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        # Ray Data emits null-TYPED blocks when every value is null;
+        # fill_null has no kernel for them — cast first
+        col = col.cast(pa.string())
     if col.null_count:
         col = pc.fill_null(col, "")
     n = len(col)

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import utf8_filled
+
 
 def n_chunks_for(lens: np.ndarray, chunk_chars: int,
                  stride: int) -> np.ndarray:
@@ -32,7 +34,7 @@ def chunk_batch(batch: pa.Table, text_col: str = "text",
                 stride: int = 400) -> pa.Table:
     if not 0 < stride <= chunk_chars:
         raise ValueError("need 0 < stride <= chunk_chars")
-    text = pc.fill_null(batch.column(text_col), "")
+    text = utf8_filled(batch.column(text_col))
     lens = pc.utf8_length(text).to_numpy().astype(np.int64)
     nch = n_chunks_for(lens, chunk_chars, stride)
     parts: list[pa.Table] = []

@@ -147,8 +147,11 @@ def bucket_pairs_group(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     buckets with >1 member."""
     ids = np.sort(batch.column(id_col).to_numpy())
     if len(ids) < 2:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
-                         "dup_of": pa.array([], type=pa.int64())})
+        # preserve the id type (upstream lsh_band_batch does too) so
+        # singleton buckets don't emit a mismatched int64 schema
+        t = batch.schema.field(id_col).type
+        return pa.table({id_col: pa.array([], type=t),
+                         "dup_of": pa.array([], type=t)})
     return pa.table({id_col: pa.array(ids[1:]),
                      "dup_of": pa.array(np.full(len(ids) - 1, ids[0]))})
 

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..chartables import encode_arrow
-from .util import set_column
+from .util import set_column, utf8_filled
 
 QUALITY_FLAG_NAMES = {
     1: "too_few_words",        # space-script: n_words < 3; CJK: n_chars < 3
@@ -173,7 +173,7 @@ def stopword_ratio_batch(batch: pa.Table, text_col: str = "text",
     downstream).  A low stopword share on English text is a strong
     machine-generated/keyword-stuffing signal (Gopher quality rules)."""
     import pyarrow.compute as pc
-    col = pc.fill_null(batch.column(text_col), "")
+    col = utf8_filled(batch.column(text_col))
     words = pc.split_pattern(col, " ")
     total = pc.cast(pc.list_value_length(words), pa.int64())
     flat = pc.utf8_lower(pc.list_flatten(words))
@@ -196,16 +196,18 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     dictionary-encode gives integer word codes, then one lexsort and two
     segmented reductions — no Python loop over rows or tokens."""
     import pyarrow.compute as pc
-    col = pc.fill_null(batch.column(text_col), "")
+    col = utf8_filled(batch.column(text_col))
     words = pc.split_pattern(col, " ")
     n = batch.num_rows
     lens = np.asarray(
         pc.list_value_length(words).to_numpy(zero_copy_only=False),
         dtype=np.int64)
     flat = pc.list_flatten(words)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
     codes = np.asarray(
-        pc.dictionary_encode(flat).combine_chunks().indices.to_numpy(
-            zero_copy_only=False), dtype=np.int64)
+        enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
     row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
 
     top = np.zeros(n, dtype=np.int64)
@@ -235,16 +237,18 @@ def entropy_batch(batch: pa.Table, text_col: str = "text",
     per-(doc, word) run lengths folded into per-doc sums by
     ``np.add.at``."""
     import pyarrow.compute as pc
-    col = pc.fill_null(batch.column(text_col), "")
+    col = utf8_filled(batch.column(text_col))
     words = pc.split_pattern(col, " ")
     n = batch.num_rows
     lens = np.asarray(
         pc.list_value_length(words).to_numpy(zero_copy_only=False),
         dtype=np.int64)
     flat = pc.list_flatten(words)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
     codes = np.asarray(
-        pc.dictionary_encode(flat).combine_chunks().indices.to_numpy(
-            zero_copy_only=False), dtype=np.int64)
+        enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
     row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
 
     entropy = np.zeros(n, dtype=np.float64)
@@ -295,7 +299,7 @@ def gopher_signals_batch(batch: pa.Table, text_col: str = "text",
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    col = pc.fill_null(batch.column(text_col), "")
+    col = utf8_filled(batch.column(text_col))
     n_chars = pc.cast(pc.utf8_length(col), pa.int64()).to_numpy(
         zero_copy_only=False)
     words = pc.split_pattern(col, " ")

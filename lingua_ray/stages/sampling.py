@@ -18,15 +18,15 @@ byte-for-byte reproducible in DuckDB (``md5(CAST(id AS VARCHAR))``).
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import pyarrow as pa
 
+from .util import md5_hex_ranks
+
 
 def _rank_key(batch: pa.Table, id_col: str) -> pa.Table:
-    ids = batch.column(id_col).to_pylist()
-    digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    digests = md5_hex_ranks(batch.column(id_col).to_pylist())
     return batch.append_column("_rk", pa.array(digests, type=pa.string()))
 
 
@@ -84,8 +84,8 @@ def _es_keys(ids, weights) -> list[float]:
     replacement (selection probability proportional to w at each draw).
     """
     out = []
-    for i, w in zip(ids, weights):
-        v = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+    for d, w in zip(md5_hex_ranks(ids), weights):
+        v = int(d[:13], 16)
         out.append(-math.log((v + 1) / 4503599627370496.0) / w)
     return out
 
@@ -152,8 +152,8 @@ def hash_sample(ds, rate: float, id_col: str = "doc_id"):
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        mask = pa.array([hashlib.md5(str(i).encode()).hexdigest() < thresh
-                         for i in ids], type=pa.bool_())
+        mask = pa.array([d < thresh for d in md5_hex_ranks(ids)],
+                        type=pa.bool_())
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -195,8 +195,7 @@ def split_assign(ds, fractions: dict[str, float], id_col: str = "doc_id",
         bands.append((_md5_threshold(cum), name))
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        digests = md5_hex_ranks(batch.column(id_col).to_pylist())
         labels = []
         for d in digests:
             for thresh, name in bands:

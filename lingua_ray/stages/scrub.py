@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
-from .util import set_column
+from .util import set_column, utf8_filled
 
 # (column_suffix, pattern, replacement) — applied in order.
 PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -36,8 +36,7 @@ TOX_PATTERN = r"\b(?:" + "|".join(TOX_WORDS) + r")\b"
 
 
 def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    col = batch.column(text_col)
-    col = pc.fill_null(col, "")
+    col = utf8_filled(batch.column(text_col))
     current = col
     for suffix, pattern, replacement in PII_PATTERNS:
         count = pc.count_substring_regex(current, pattern)

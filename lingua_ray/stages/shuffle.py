@@ -19,17 +19,17 @@ Rank function matches DuckDB byte-for-byte: lowercase-hex md5 of
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from .util import md5_hex_ranks
 
 
 def shuffle_key_batch(batch: pa.Table, id_col: str = "doc_id",
                       bucket_chars: int = 2) -> pa.Table:
     """Attach (bucket, digest): bucket = md5 hex prefix."""
-    ids = batch.column(id_col).to_pylist()
-    digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    digests = md5_hex_ranks(batch.column(id_col).to_pylist())
     return pa.table({id_col: batch.column(id_col),
                      "bucket": pa.array([d[:bucket_chars]
                                          for d in digests]),

@@ -99,7 +99,7 @@ class TfIdfScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         wh, rows = _doc_word_hashes(batch, self.text_col, self.id_col)
         score = np.zeros(batch.num_rows, dtype=np.float64)
-        if len(wh):
+        if len(wh) and len(self.hashes):
             wh = wh.view(np.int64)
             idx = np.searchsorted(self.hashes, wh)
             idx[idx == len(self.hashes)] = 0

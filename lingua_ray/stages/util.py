@@ -5,6 +5,28 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def md5_hex_ranks(ids) -> list[str]:
+    """``hashlib.md5(str(id)).hexdigest()`` per id — THE shared rank
+    primitive all deterministic sampling/splitting/shuffling stages and
+    their DuckDB oracles (``md5(CAST(id AS VARCHAR))``) depend on.  Any
+    change here desynchronizes every [SQL-verified] parity claim that
+    cites consistent md5-of-id rank — don't."""
+    import hashlib
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def utf8_filled(col) -> pa.Array:
+    """Text column with nulls as '' — tolerating the NULL-TYPED blocks
+    Ray Data emits when every value in a block is null (fill_null has no
+    kernel for the null type; cast first)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    return pc.fill_null(col, "") if col.null_count else col
+
+
 def set_column(batch: pa.Table, name: str, arr) -> pa.Table:
     """Append a column, replacing any existing column of the same name (input
     tables may already carry columns like ``lang`` or ``n_chars``)."""
