@@ -90,3 +90,25 @@ def test_empty_input_output_schemas(ray_session):
     p = percent_rank_column(empty, "v")
     assert p.count() == 0
     assert "pct" in p.schema().names
+
+
+def test_null_typed_text_blocks_tolerated():
+    """Ray Data emits null-TYPED blocks when every value in a block is
+    null; every text stage must survive them (fill_null has no kernel
+    for the null type)."""
+    from lingua_ray.stages.chunking import chunk_batch
+    from lingua_ray.stages.dedup import (minhash_signature_batch,
+                                         simhash_batch)
+    from lingua_ray.stages.quality import (entropy_batch,
+                                           gopher_signals_batch,
+                                           quality_batch,
+                                           repetition_batch,
+                                           stopword_ratio_batch)
+    from lingua_ray.stages.scrub import scrub_batch
+    nulls = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array([None, None])})
+    for fn in (quality_batch, stopword_ratio_batch, gopher_signals_batch,
+               entropy_batch, repetition_batch, scrub_batch, chunk_batch,
+               minhash_signature_batch, simhash_batch):
+        out = fn(nulls)
+        assert out.num_rows >= 1, fn.__name__
