@@ -135,13 +135,31 @@ _REQUIRED_KEYS = ("script_id", "is_letter", "is_num_punct",
                   "charlang", "uniq", "lower_1to1", "lower_special")
 
 
+def _constants_fingerprint() -> str:
+    """Content hash of every constants.py input the build consumes — a
+    cache whose fingerprint mismatches was built from OLD constants and
+    must be rebuilt, or the kernel's masks silently diverge from the
+    scalar oracle (which always reads constants fresh)."""
+    import hashlib
+    payload = repr((tuple(C.ALL_SCRIPTS),
+                    tuple(sorted(C.CHARS_TO_LANGUAGES.items())),
+                    tuple(C.UNIQUE_CHARS),
+                    tuple(C.SCRIPTS_WITH_LOGOGRAMS),
+                    C.SCRIPT_NONE)).encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
 def _load() -> dict[str, np.ndarray]:
+    fp = _constants_fingerprint()
     if _CACHE.exists():
         with np.load(_CACHE) as z:
-            if all(k in z.files for k in _REQUIRED_KEYS):
+            if (all(k in z.files for k in _REQUIRED_KEYS)
+                    and "constants_fp" in z.files
+                    and str(z["constants_fp"]) == fp):
                 return {k: z[k] for k in z.files}
-            # stale cache from an older build (missing tables): rebuild
+            # stale cache (older build or edited constants): rebuild
     tables = _build()
+    tables["constants_fp"] = np.array(fp)
     _DATA_DIR.mkdir(parents=True, exist_ok=True)
     tmp = _DATA_DIR / f"chartables.tmp.{os.getpid()}.npz"
     np.savez_compressed(tmp, **tables)

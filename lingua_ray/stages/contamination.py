@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 from ..functions.textstats import fingerprint64_array
 from ..models import HASH_MULT
+from .util import utf8_filled
 
 
 def _word_gram_hashes(batch: pa.Table, n: int, text_col: str
@@ -38,9 +39,7 @@ def _word_gram_hashes(batch: pa.Table, n: int, text_col: str
     empty strings between consecutive spaces count as words, matching the
     SQL oracle).  Returns ``(hashes uint64, row_offsets int64)``.
     """
-    # cast first: an all-null block types the column as null, and
-    # fill_null(null, "") has no kernel
-    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    col = utf8_filled(batch.column(text_col))
     words = pc.split_pattern(col, " ")
     flat = pc.list_flatten(words)
     counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)

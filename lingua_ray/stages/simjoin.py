@@ -326,8 +326,9 @@ def _exact_jaccard_batch(batch: pa.Table) -> pa.Table:
         offs = np.concatenate([oa, ob[1:] + oa[-1]])
         ia = np.arange(npairs, dtype=np.int64)
         jac = _jaccard_runs(flat, offs, ia, npairs + ia)
-    return set_column(batch, "jaccard", pa.array(np.round(jac, 6),
-                                                 type=pa.float64()))
+    # UNROUNDED: the threshold filter must see the exact value (the SQL
+    # oracle filters unrounded too); callers round the reported column
+    return set_column(batch, "jaccard", pa.array(jac, type=pa.float64()))
 
 
 def _verify_broadcast(sets_ref, threshold: float, id_col: str):
@@ -339,12 +340,13 @@ def _verify_broadcast(sets_ref, threshold: float, id_col: str):
         doc = batch.column(id_col).to_numpy()
         ia = np.searchsorted(ids_sorted, dup_of)
         ib = np.searchsorted(ids_sorted, doc)
-        jac = np.round(_jaccard_runs(flat, offs, ia, ib), 6)
-        keep = jac >= threshold
-        return pa.table({
+        jac = _jaccard_runs(flat, offs, ia, ib)
+        keep = jac >= threshold   # UNROUNDED (matches the SQL oracle);
+        return pa.table({         # round only the reported column
             id_col: pa.array(doc[keep], type=pa.int64()),
             "dup_of": pa.array(dup_of[keep], type=pa.int64()),
-            "jaccard": pa.array(jac[keep], type=pa.float64())})
+            "jaccard": pa.array(np.round(jac[keep], 6),
+                                type=pa.float64())})
     return verify
 
 
@@ -361,6 +363,12 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
     ``"broadcast"`` / ``"join"`` / ``"auto"`` (broadcast iff the packed
     set table is under ``broadcast_limit_bytes``; at 100-TB corpus sizes
     auto always picks the join layout).
+
+    ``spill_dir`` must be empty or nonexistent — the shingle-set table
+    is written there and every consumer re-reads the WHOLE directory, so
+    stale files from a previous run would corrupt the join.  It must
+    outlive consumption of the returned (lazy) Dataset; the default
+    mkdtemp under /tmp is NOT auto-deleted for that reason.
     """
     import ray.data as rd
 
@@ -368,6 +376,13 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if verify not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    if spill_dir is not None:
+        from pathlib import Path
+        p = Path(spill_dir)
+        if p.exists() and any(p.iterdir()):
+            raise ValueError(
+                f"spill_dir {spill_dir!r} is not empty: read_parquet "
+                "would ingest stale set tables from a previous run")
     # one shingle pass, spilled to parquet; every consumer re-reads
     if spill_dir is None:
         import tempfile
@@ -476,4 +491,11 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
     j2 = j2.rename_columns({"set_bin": "set_b"})
     out = j2.map_batches(_exact_jaccard_batch, batch_format="pyarrow")
     out = out.filter(expr=f"jaccard >= {threshold!r}")
-    return out.select_columns([id_col, "dup_of", "jaccard"])
+
+    def round_report(batch: pa.Table) -> pa.Table:
+        jac = np.round(batch.column("jaccard").to_numpy(), 6)
+        return set_column(batch, "jaccard",
+                          pa.array(jac, type=pa.float64()))
+
+    return out.map_batches(round_report, batch_format="pyarrow") \
+        .select_columns([id_col, "dup_of", "jaccard"])

@@ -25,15 +25,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import utf8_filled
+
 from ..functions.textstats import fingerprint64_array
 
 
 def _doc_word_hashes(batch: pa.Table, text_col: str, id_col: str
                      ) -> tuple[np.ndarray, np.ndarray]:
     """(word hashes, row index per word) for a batch."""
-    # cast first: an all-null block types the column as null, and
-    # fill_null(null, "") has no kernel
-    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    col = utf8_filled(batch.column(text_col))
     words = pc.split_pattern(col, " ")
     counts = np.asarray(pc.list_value_length(words)
                         .to_numpy(zero_copy_only=False), dtype=np.int64)

@@ -49,6 +49,10 @@ def main():
 
     oracles = E.oracle_sql()
     failures = 0
+    if only:
+        unknown = set(only) - set(E.queries())
+        if unknown:   # a typo must not read as a silent pass
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
