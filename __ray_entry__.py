@@ -66,7 +66,8 @@ def _q_quality_filter_transcripts(sf_dir: str):
     ensure_models()
     ds = ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)),
                                columns=["conv_id", "turn_idx", "text"])
-    out = run_quality_filter(ds, PipelineOptions(langid_concurrency=4))
+    out = run_quality_filter(ds, PipelineOptions(
+        langid_concurrency=_langid_concurrency()))
     return out.select_columns(["conv_id", "turn_idx", "lang", "ppl",
                                "quality_flags", "tox_count", "scrubbed_text",
                                "keep"])
@@ -98,7 +99,16 @@ def _langid_concurrency(n_rows: int | None = None,
     if n_rows is None:
         return by_cpu
     by_data = max(1, -(-n_rows // batch_size))
-    return max(2, min(by_cpu, by_data))
+    return min(by_cpu, by_data)   # by_data caps at 1 for one-batch inputs
+
+
+def _sql_cents(x, scale: float = 100.0) -> np.ndarray:
+    """Money → integer units with DuckDB ``round()`` semantics (half AWAY
+    from zero).  np.round/np.rint round half-to-even and would diverge
+    from every oracle's ``CAST(round(v * 100) AS BIGINT)`` on an exact
+    half-cent value (e.g. 0.125 — representable exactly in binary)."""
+    v = np.asarray(x, dtype=np.float64) * scale
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
 def _doc_rows(sf_dir: str) -> int:
@@ -248,8 +258,9 @@ def _para_dedup_sql() -> str:
     return f"""
     WITH prepped AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || '{_PD_B1}'
-             ELSE text END
+        CASE WHEN doc_id % 3 = 0
+             THEN coalesce(text, '') || chr(10) || '{_PD_B1}'
+             ELSE coalesce(text, '') END
         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_PD_B2}'
                 ELSE '' END AS text
       FROM documents),
@@ -304,7 +315,7 @@ def _q_events_value_salted(sf_dir: str):
         v = batch.column("value").to_numpy()
         return pa.table({"event_type": batch.column("event_type"),
                          "cents": pa.array(
-                             np.round(v * 100).astype(np.int64))})
+                             _sql_cents(v))})
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     return salted_sum(ds.map_batches(cents, batch_format="pyarrow"),
@@ -331,7 +342,7 @@ def _q_orders_price_quantiles(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column("o_totalprice").to_numpy()
-        cents = np.round(v * 100).astype(np.int64)
+        cents = _sql_cents(v)
         vals, cnts = np.unique(cents, return_counts=True)
         return pa.table({"cents": pa.array(vals),
                          "cnt": pa.array(cnts.astype(np.int64))})
@@ -921,7 +932,6 @@ def _q_dedup_minhash(sf_dir: str):
     would evict everything else; a storage round-trip costs one
     sequential write + reads and keeps the store free.  [rows-only]"""
     import os
-    import tempfile
 
     import ray.data
 
@@ -931,21 +941,36 @@ def _q_dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     sig = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
     # In a production run this prefix lives under the job's output root so
-    # a resume can reuse it; here a unique /tmp dir per invocation.
-    os.makedirs("/tmp/lingua_ray", exist_ok=True)
-    sig_path = tempfile.mkdtemp(prefix="minhash-sig-", dir="/tmp/lingua_ray")
+    # a resume can reuse it; here a fixed per-sf path, cleared up front
+    # (a fresh mkdtemp per invocation leaked a full signature table into
+    # /tmp on every bench/correctness round).
+    import shutil
+    sig_path = f"/tmp/lingua_ray/minhash-sig-{Path(sf_dir).name}"
+    shutil.rmtree(sig_path, ignore_errors=True)
+    os.makedirs(sig_path, exist_ok=True)
     sig.select_columns(["doc_id", "minhash"]).write_parquet(sig_path)
     sig = ray.data.read_parquet(sig_path)
     bands = sig.map_batches(lsh_band_batch, batch_format="pyarrow")
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs_group, batch_format="pyarrow")
-    # a doc may appear in several buckets: keep the smallest dup_of
-    cand = cand.groupby("doc_id").min("dup_of").rename_columns(
-        {"min(dup_of)": "dup_of"})
+    # the same pair can surface in several bands: dedup to distinct
+    # pairs, verify ALL of them, and only then keep each doc's smallest
+    # VERIFIED partner — reducing to min(dup_of) BEFORE verification
+    # would discard a doc entirely when its smallest candidate is an LSH
+    # false positive even though another candidate verifies.
+    cand = (cand.groupby(["doc_id", "dup_of"]).count()
+                .select_columns(["doc_id", "dup_of"]))
     import ray
     nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    return verify_minhash_candidates(cand, sig, threshold=0.5,
-                                     num_partitions=nparts)
+    verified = verify_minhash_candidates(cand, sig, threshold=0.5,
+                                         num_partitions=nparts)
+
+    def _min_verified(group):
+        t = group.sort_by([("dup_of", "ascending")])
+        return t.slice(0, 1)
+
+    return verified.groupby("doc_id").map_groups(_min_verified,
+                                                 batch_format="pyarrow")
 
 
 def _q_dedup_clusters(sf_dir: str):
@@ -1388,10 +1413,10 @@ def _q_orders_by_segment(sf_dir: str):
         seg = np.where(hit, segs[idx], None)
         # integer cents: float sums depend on association order across
         # engines; integer arithmetic is exact and hash-stable
-        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100.0)
+        cents = _sql_cents(batch.column("o_totalprice").to_numpy())
         return pa.table({
             "c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
-            "cents": pa.array(cents.astype(np.int64)),
+            "cents": pa.array(cents),
         })
 
     from ray.data.aggregate import Count, Sum
@@ -1431,13 +1456,9 @@ def _q_lineitem_pricing(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.rint(
-            batch.column("l_extendedprice").to_numpy() * 100.0
-        ).astype(np.int64)
-        disc = np.rint(
-            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
-        tax = np.rint(
-            batch.column("l_tax").to_numpy() * 100.0).astype(np.int64)
+        cents = _sql_cents(batch.column("l_extendedprice").to_numpy())
+        disc = _sql_cents(batch.column("l_discount").to_numpy())
+        tax = _sql_cents(batch.column("l_tax").to_numpy())
         qty = np.rint(batch.column("l_quantity").to_numpy()).astype(np.int64)
         disc_e4 = cents * (100 - disc)
         t = pa.table({
@@ -1500,12 +1521,12 @@ def _q_supplier_revenue(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         sk = batch.column("l_suppkey").to_numpy()
-        name = sname[np.searchsorted(skeys, sk)]
-        cents = np.rint(
-            batch.column("l_extendedprice").to_numpy() * 100.0
-        ).astype(np.int64)
-        disc = np.rint(
-            batch.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        si = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
+        hit = skeys[si] == sk   # inner-join semantics: drop unknown keys
+        sk, si = sk[hit], si[hit]
+        name = sname[si]
+        cents = _sql_cents(batch.column("l_extendedprice").to_numpy()[hit])
+        disc = _sql_cents(batch.column("l_discount").to_numpy()[hit])
         t = pa.table({
             "n_name": pa.array(name.tolist(), type=pa.string()),
             "revenue_e4": pa.array(cents * (100 - disc)),
@@ -1543,8 +1564,7 @@ def _q_orders_building_revenue(sf_dir: str):
                       right_on="c_custkey")
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.round(batch.column("o_totalprice").to_numpy()
-                         * 100).astype(np.int64)
+        cents = _sql_cents(batch.column("o_totalprice").to_numpy())
         t = pa.table({"o_orderpriority": batch.column("o_orderpriority"),
                       "n": pa.array(np.ones(batch.num_rows, np.int64)),
                       "cents": pa.array(cents)})
@@ -1675,10 +1695,10 @@ def _q_lineitem_revenue_filter(sf_dir: str):
         hi = np.datetime64("1997-01-01")
         m = ((ship.astype("datetime64[D]") >= lo)
              & (ship.astype("datetime64[D]") < hi)
-             & (np.round(disc * 100) >= 5) & (np.round(disc * 100) <= 7)
+             & (_sql_cents(disc) >= 5) & (_sql_cents(disc) <= 7)
              & (qty < 24))
-        rev = (np.round(price[m] * 100).astype(np.int64)
-               * np.round(disc[m] * 100).astype(np.int64))
+        rev = (_sql_cents(price[m])
+               * _sql_cents(disc[m]))
         return pa.table({"rev_e4": pa.array([int(rev.sum())],
                                             type=pa.int64())})
 
@@ -2098,9 +2118,11 @@ def _q_local_supplier_volume(sf_dir: str):
 
     def attach_cust_nation(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey").to_numpy()
-        cn = cnation[np.searchsorted(ckeys, ck)]
-        return pa.table({"o_orderkey": batch.column("o_orderkey"),
-                         "cust_nk": pa.array(cn)})
+        ci = np.minimum(np.searchsorted(ckeys, ck), len(ckeys) - 1)
+        hit = ckeys[ci] == ck   # inner-join semantics: drop unknown keys
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(pa.array(hit)),
+            "cust_nk": pa.array(cnation[ci[hit]])})
 
     orders_nk = orders.map_batches(attach_cust_nation,
                                    batch_format="pyarrow")
@@ -2113,14 +2135,13 @@ def _q_local_supplier_volume(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         sk = batch.column("l_suppkey").to_numpy()
-        si = np.searchsorted(skeys, sk)
+        si = np.minimum(np.searchsorted(skeys, sk), len(skeys) - 1)
         sn = snation[si]
-        ni = np.searchsorted(nkeys, sn)
-        m = (sn == batch.column("cust_nk").to_numpy()) & in_asia[ni]
-        cents = np.rint(batch.column("l_extendedprice").to_numpy()[m]
-                        * 100.0).astype(np.int64)
-        disc = np.rint(batch.column("l_discount").to_numpy()[m]
-                       * 100.0).astype(np.int64)
+        ni = np.minimum(np.searchsorted(nkeys, sn), len(nkeys) - 1)
+        m = ((skeys[si] == sk) & (nkeys[ni] == sn)   # inner-join semantics
+             & (sn == batch.column("cust_nk").to_numpy()) & in_asia[ni])
+        cents = _sql_cents(batch.column("l_extendedprice").to_numpy()[m])
+        disc = _sql_cents(batch.column("l_discount").to_numpy()[m])
         t = pa.table({
             "n_name": pa.array(nnames[ni[m]].tolist(), type=pa.string()),
             "revenue_e4": pa.array(cents * (100 - disc)),
@@ -2163,6 +2184,8 @@ def _q_top_unshipped_orders(sf_dir: str):
 
     def building_only(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey").to_numpy()
+        if len(bkeys) == 0:   # no customer in the segment at this sf
+            return batch.slice(0, 0).drop_columns(["o_custkey"])
         i = np.searchsorted(bkeys, ck)
         hit = (i < len(bkeys)) & (bkeys[np.minimum(i, len(bkeys) - 1)] == ck)
         return batch.filter(pa.array(hit)).drop_columns(["o_custkey"])
@@ -2176,10 +2199,8 @@ def _q_top_unshipped_orders(sf_dir: str):
         filter=pc.field("l_shipdate") > cutoff)
 
     def partial(batch: pa.Table) -> pa.Table:
-        cents = np.rint(batch.column("l_extendedprice").to_numpy()
-                        * 100.0).astype(np.int64)
-        disc = np.rint(batch.column("l_discount").to_numpy()
-                       * 100.0).astype(np.int64)
+        cents = _sql_cents(batch.column("l_extendedprice").to_numpy())
+        disc = _sql_cents(batch.column("l_discount").to_numpy())
         t = pa.table({"l_orderkey": batch.column("l_orderkey"),
                       "revenue_e4": pa.array(cents * (100 - disc))})
         return t.group_by("l_orderkey").aggregate(
@@ -2283,8 +2304,7 @@ def _q_events_top_spenders(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy()
-        cents = np.round(batch.column("value").to_numpy()
-                         * 100).astype(np.int64)
+        cents = _sql_cents(batch.column("value").to_numpy())
         uniq, inv = np.unique(uid, return_inverse=True)
         csum = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(csum, inv, cents)
@@ -2390,8 +2410,7 @@ def _q_events_cumsum(sf_dir: str):
         ts = group.column("ts").to_numpy().astype(
             "datetime64[us]").astype(np.int64)
         eid = group.column("event_id").to_numpy()
-        cents = np.round(group.column("value").to_numpy()
-                         * 100).astype(np.int64)
+        cents = _sql_cents(group.column("value").to_numpy())
         order = np.lexsort((eid, ts))
         return pa.table({
             "event_id": pa.array(eid[order]),
@@ -2618,12 +2637,20 @@ def _conversations_assembled_sql() -> str:
     """DuckDB oracle for conversation assembly.  The transcripts table is
     generated (deterministically, seed-pinned) rather than a pre-registered
     view, so the oracle reads the SAME parquet shards the Ray query reads —
-    ensure_transcripts() is idempotent and needs no Ray session."""
-    sf_dir = "/root/testdata/sf0.01"
+    ensure_transcripts() is idempotent and needs no Ray session.
+
+    oracle_sql() takes no sf argument, so the transcript SIZE is resolved
+    from $GRAFT_ORACLE_SF_DIR (tools/check_queries sets it to the sf under
+    test; the driver's own gate runs at the sf0.01 default)."""
+    import os
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         path = _transcripts_for_sf(sf_dir)
-    except Exception:
-        return "SELECT NULL AS conv_id, NULL AS n_turns, NULL AS text WHERE 1=0"
+    except Exception as e:
+        # surface the generation failure in the oracle run itself rather
+        # than returning an empty result that reads as a data mismatch
+        msg = f"transcript fixture generation failed: {e!r}".replace("'", "")
+        return f"SELECT error('{msg}')"
     return f"""
         SELECT conv_id,
           CAST(count(*) AS BIGINT) AS n_turns,

@@ -4,6 +4,7 @@ via DuckDB.  Usage: python tools/check_queries.py [sf_dir] [name ...]"""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -47,6 +48,9 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    # size-dependent oracles (generated transcript fixtures) must match
+    # the sf under test — oracle_sql() itself takes no sf argument
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = E.oracle_sql()
     failures = 0
     if only:
