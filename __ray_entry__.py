@@ -577,22 +577,10 @@ def _q_word_counts_by_lang(sf_dir: str):
     """Per-language top-10 words: (lang, word) count combiner → ONE
     multi-key groupby → per-lang top-k in map_groups (group = one
     language's vocabulary, bounded).  [SQL-verified]"""
+    from lingua_ray.functions.divergence import source_word_counts
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        col = pc.fill_null(batch.column("text"), "")
-        words = pc.split_pattern(col, " ").combine_chunks()
-        n_per = np.diff(words.offsets.to_numpy().astype(np.int64))
-        flat = pc.list_flatten(words)
-        langs = batch.column("lang").take(
-            pa.array(np.repeat(np.arange(batch.num_rows), n_per)))
-        t = pa.table({"lang": langs, "word": flat})
-        g = pa.TableGroupBy(t, ["lang", "word"]).aggregate([([],
-                                                            "count_all")])
-        return g.rename_columns(["lang", "word", "n"])
-
-    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+    grouped = ds.map_batches(source_word_counts, batch_format="pyarrow",
+                             fn_kwargs={"key_col": "lang"}) \
         .groupby(["lang", "word"]).sum("n").rename_columns({"sum(n)": "n"})
 
     def topk(group: pa.Table) -> pa.Table:
