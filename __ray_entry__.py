@@ -338,27 +338,13 @@ def _q_orders_price_quantiles(sf_dir: str):
     histogram-combiner quantile kernel (`functions/quantiles.py`): each
     block ships (cents, count) pairs, one tiny groupby, driver cumsum.
     Matches DuckDB quantile_disc rank-for-rank.  [SQL-verified]"""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column("o_totalprice").to_numpy()
-        cents = _sql_cents(v)
-        vals, cnts = np.unique(cents, return_counts=True)
-        return pa.table({"cents": pa.array(vals),
-                         "cnt": pa.array(cnts.astype(np.int64))})
+    from lingua_ray.functions.quantiles import exact_quantiles
 
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("cents").aggregate(Sum("cnt")).to_pandas())
-    hist = hist.sort_values("cents")
-    vals = hist["cents"].to_numpy()
-    cum = hist["sum(cnt)"].cumsum().to_numpy()
-    n = int(cum[-1])
-    row = {"n_orders": n}
-    for q, name in ((0.5, "p50_cents"), (0.9, "p90_cents"),
-                    (0.99, "p99_cents")):
-        rank = int(np.ceil(q * n))
-        row[name] = int(vals[np.searchsorted(cum, rank)])
+    n, found = exact_quantiles(ds, "o_totalprice",
+                               {"p50_cents": 0.5, "p90_cents": 0.9,
+                                "p99_cents": 0.99}, transform=_sql_cents)
+    row = {"n_orders": n, **found}
     return pa.table({k: pa.array([v], type=pa.int64())
                      for k, v in row.items()})
 
@@ -1756,25 +1742,12 @@ def _q_doc_length_quantiles(sf_dir: str):
     (one row per distinct length — KBs at any corpus size) with a cumsum.
     Matches DuckDB's quantile_disc rank semantics ceil(q*n) exactly — no
     approximation, no full sort, no large exchange.  [SQL-verified]"""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column("n_chars").to_numpy()
-        vals, cnts = np.unique(v, return_counts=True)
-        return pa.table({"n_chars": pa.array(vals.astype(np.int64)),
-                         "cnt": pa.array(cnts.astype(np.int64))})
+    from lingua_ray.functions.quantiles import exact_quantiles
 
     ds = _read(sf_dir, "documents", columns=["n_chars"])
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("n_chars").aggregate(Sum("cnt")).to_pandas())
-    hist = hist.sort_values("n_chars")
-    vals = hist["n_chars"].to_numpy()
-    cum = hist["sum(cnt)"].cumsum().to_numpy()
-    n = int(cum[-1])
-    row = {"n_docs": n}
-    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-        rank = int(np.ceil(q * n))
-        row[name] = int(vals[np.searchsorted(cum, rank)])
+    n, found = exact_quantiles(ds, "n_chars",
+                               {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+    row = {"n_docs": n, **found}
     return pa.table({k: pa.array([v], type=pa.int64())
                      for k, v in row.items()})
 
@@ -1889,24 +1862,12 @@ def _q_doc_length_topp(sf_dir: str):
     scalar in a shuffle-free filter over the corpus.  Matches DuckDB
     ``quantile_disc(0.9)`` rank semantics (ceil(q*n)) exactly.
     [SQL-verified]"""
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column("n_chars").to_numpy()
-        vals, cnts = np.unique(v, return_counts=True)
-        return pa.table({"n_chars": pa.array(vals.astype(np.int64)),
-                         "cnt": pa.array(cnts.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
+    from lingua_ray.functions.quantiles import exact_quantiles
 
     ds = _read(sf_dir, "documents", columns=["n_chars"])
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("n_chars").aggregate(Sum("cnt")).to_pandas())
-    hist = hist.sort_values("n_chars")
-    vals = hist["n_chars"].to_numpy()
-    cum = hist["sum(cnt)"].cumsum().to_numpy()
-    rank = int(np.ceil(0.9 * int(cum[-1])))
-    p90 = int(vals[np.searchsorted(cum, rank)])
+    _, found = exact_quantiles(ds, "n_chars", {"p90": 0.9})
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return docs.filter(expr=f"n_chars >= {p90}")
+    return docs.filter(expr=f"n_chars >= {found['p90']}")
 
 
 def _q_top_orders_per_segment(sf_dir: str):

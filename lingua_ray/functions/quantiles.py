@@ -183,3 +183,33 @@ def percent_rank_column(ds, value_col: str, out_col: str = "pct"):
         return batch.append_column(out_col, pa.array(pct))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def exact_quantiles(ds, value_col: str, qs: dict[str, float],
+                    transform=None) -> tuple[int, dict[str, int]]:
+    """Global exact ``quantile_disc`` over an integer(-izable) column.
+
+    The histogram-combiner shape shared by every exact-quantile query:
+    each block ships (value, count) pairs, ONE tiny groupby sums them,
+    and the driver cumsums the KB-sized histogram.  ``transform(values)
+    -> int64`` quantizes continuous inputs (e.g. money to cents).
+    Rank = ceil(q * n), matching DuckDB ``quantile_disc`` exactly.
+    Returns ``(n, {name: value})``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy()
+        v = transform(v) if transform is not None else v.astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("cnt")).to_pandas())
+    hist = hist.sort_values("v")
+    vals = hist["v"].to_numpy()
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    n = int(cum[-1])
+    return n, {name: int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+               for name, q in qs.items()}
