@@ -915,11 +915,14 @@ def _q_dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     sig = ds.map_batches(minhash_signature_batch, batch_format="pyarrow")
     # In a production run this prefix lives under the job's output root so
-    # a resume can reuse it; here a fixed per-sf path, cleared up front
+    # a resume can reuse it; here a per-(sf, pid) path, cleared up front
     # (a fresh mkdtemp per invocation leaked a full signature table into
-    # /tmp on every bench/correctness round).
+    # /tmp on every bench/correctness round; the pid suffix keeps a
+    # concurrent bench/check run from rmtree-ing shards this process's
+    # lazy readers are still consuming).
     import shutil
-    sig_path = f"/tmp/lingua_ray/minhash-sig-{Path(sf_dir).name}"
+    sig_path = (f"/tmp/lingua_ray/minhash-sig-{Path(sf_dir).name}"
+                f"-pid{os.getpid()}")
     shutil.rmtree(sig_path, ignore_errors=True)
     os.makedirs(sig_path, exist_ok=True)
     sig.select_columns(["doc_id", "minhash"]).write_parquet(sig_path)
@@ -1667,12 +1670,12 @@ def _q_lineitem_revenue_filter(sf_dir: str):
         price = batch.column("l_extendedprice").to_numpy()
         lo = np.datetime64("1996-01-01")
         hi = np.datetime64("1997-01-01")
-        m = ((ship.astype("datetime64[D]") >= lo)
-             & (ship.astype("datetime64[D]") < hi)
-             & (_sql_cents(disc) >= 5) & (_sql_cents(disc) <= 7)
+        days = ship.astype("datetime64[D]")
+        disc_c = _sql_cents(disc)
+        m = ((days >= lo) & (days < hi)
+             & (disc_c >= 5) & (disc_c <= 7)
              & (qty < 24))
-        rev = (_sql_cents(price[m])
-               * _sql_cents(disc[m]))
+        rev = _sql_cents(price[m]) * disc_c[m]
         return pa.table({"rev_e4": pa.array([int(rev.sum())],
                                             type=pa.int64())})
 

@@ -45,11 +45,9 @@ def select_under_budget(ds, score_col: str, cost_col: str, budget: int,
         .groupby("score").sum("cost").take_all()
     if not rows:
         # keep the documented (id, score, cost) output schema on empty
-        import ray.data
-        base = ds.schema().base_schema
-        return ray.data.from_arrow(pa.table(
-            {c: pa.array([], base.field(c).type)
-             for c in (id_col, score_col, cost_col)}))
+        from ..stages.util import empty_typed_dataset
+        return empty_typed_dataset(
+            ds, {id_col: None, score_col: None, cost_col: None})
     rows.sort(key=lambda r: -r["score"])
     scores = np.array([r["score"] for r in rows], dtype=np.int64)
     costs = np.array([r["sum(cost)"] for r in rows], dtype=np.int64)

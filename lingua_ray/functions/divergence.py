@@ -24,8 +24,11 @@ import pyarrow.compute as pc
 def source_word_counts(batch: pa.Table, key_col: str = "source",
                        text_col: str = "text") -> pa.Table:
     """Combiner: (key, word, n) partials — one row per distinct pair."""
-    col = pc.fill_null(batch.column(text_col), "")
-    words = pc.split_pattern(col, " ").combine_chunks()
+    from ..stages.util import utf8_filled
+    # utf8_filled tolerates null-TYPED (all-null) blocks and returns a
+    # plain (already-combined) Array, so no combine_chunks afterwards
+    col = utf8_filled(batch.column(text_col))
+    words = pc.split_pattern(col, " ")
     n_per = np.diff(words.offsets.to_numpy().astype(np.int64))
     flat = pc.list_flatten(words)
     keys = batch.column(key_col).take(

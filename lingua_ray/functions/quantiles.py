@@ -32,12 +32,18 @@ def quantile_hist_batch(batch: pa.Table, key_col: str,
                          "cnt": pa.array([], pa.int64())})
     kidx = enc.indices.to_numpy().astype(np.int64)
     # composite (key, value) id for one-pass unique: shift values to be
-    # non-negative first so the encoding is collision-free
+    # non-negative first so the encoding is collision-free.  The range
+    # math must happen in Python ints BEFORE the subtraction: vals - vmin
+    # itself wraps int64 when the value range exceeds 2**63, which would
+    # leave negative "shifted" values that pass a post-hoc guard yet
+    # collide composites across keys
     vmin = np.int64(vals.min())
-    shifted = vals - vmin
-    base = np.int64(shifted.max()) + 1
-    n_keys = np.int64(len(enc.dictionary))
-    if base > 0 and n_keys <= (np.iinfo(np.int64).max - base) // base:
+    base_py = int(vals.max()) - int(vmin) + 1  # exact, no wrap
+    shifted = vals - vmin  # may wrap when base_py > 2**63 (fallback-only)
+    n_keys = len(enc.dictionary)
+    if (base_py <= np.iinfo(np.int64).max
+            and n_keys * base_py <= np.iinfo(np.int64).max):
+        base = np.int64(base_py)
         upair, cnts = np.unique(kidx * base + shifted, return_counts=True)
         uk = (upair // base).astype(np.int64)
         uv = (upair % base).astype(np.int64) + vmin
@@ -163,11 +169,10 @@ def percent_rank_column(ds, value_col: str, out_col: str = "pct"):
         .groupby("v").sum("cnt").take_all()
     if not rows:
         # empty input: still append the documented out_col
-        import ray.data
-        base = ds.schema().base_schema
-        cols = {f.name: pa.array([], f.type) for f in base}
-        cols[out_col] = pa.array([], pa.float64())
-        return ray.data.from_arrow(pa.table(cols))
+        from ..stages.util import empty_typed_dataset
+        cols = {f.name: None for f in ds.schema().base_schema}
+        cols[out_col] = pa.float64()
+        return empty_typed_dataset(ds, cols)
     rows.sort(key=lambda r: r["v"])
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
@@ -207,6 +212,8 @@ def exact_quantiles(ds, value_col: str, qs: dict[str, float],
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("v").aggregate(Sum("cnt")).to_pandas())
+    if len(hist) == 0:
+        return 0, {name: 0 for name in qs}
     hist = hist.sort_values("v")
     vals = hist["v"].to_numpy()
     cum = hist["sum(cnt)"].cumsum().to_numpy()

@@ -48,16 +48,12 @@ def global_row_number(ds, value_col: str, id_col: str, ntile: int | None = None)
         .groupby("v").sum("cnt").take_all()
     if not rows:
         # empty input still gets the DOCUMENTED output schema, not the
-        # source schema (downstream select/union crash otherwise); a
-        # typed literal because Ray derives no schema from zero blocks
-        import ray.data
-        base = ds.schema().base_schema
-        cols = {id_col: pa.array([], base.field(id_col).type),
-                value_col: pa.array([], base.field(value_col).type),
-                "rn": pa.array([], pa.int64())}
+        # source schema (downstream select/union crash otherwise)
+        from ..stages.util import empty_typed_dataset
+        cols = {id_col: None, value_col: None, "rn": pa.int64()}
         if ntile is not None:
-            cols["tile"] = pa.array([], pa.int64())
-        return ray.data.from_arrow(pa.table(cols))
+            cols["tile"] = pa.int64()
+        return empty_typed_dataset(ds, cols)
     rows.sort(key=lambda r: r["v"])
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)

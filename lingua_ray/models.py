@@ -43,6 +43,12 @@ MODEL_VERSION = 2
 
 _DATA_DIR = Path(__file__).resolve().parent / "data"
 DEFAULT_MODEL_DIR = _DATA_DIR / "models" / f"v{MODEL_VERSION}"
+
+# Staleness threshold for reclaiming an orphaned build lock.  Fixed and
+# far above any real build duration (~45 s single-core) so a waiter can
+# never mistake a LIVE builder's lock for an orphan; deliberately NOT
+# tied to ensure_models' caller timeout, which shrinks on recursion.
+_STALE_LOCK_S = 1800.0
 CORPUS_DIR = Path("/root/reference/src/accuracyReport/resources/language-testdata")
 CORPUS_CATEGORIES = ("single-words", "word-pairs", "sentences")
 
@@ -193,7 +199,10 @@ def ensure_models(model_dir: Path = DEFAULT_MODEL_DIR,
             if not success.exists():
                 build_model_artifact(model_dir)
         finally:
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # a waiter mis-reclaimed it; the build still succeeded
         return model_dir
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
@@ -206,14 +215,18 @@ def ensure_models(model_dir: Path = DEFAULT_MODEL_DIR,
             # Holder finished or exited cleanly; retry for the REMAINING
             # time (not a fresh full timeout).
             return ensure_models(model_dir, remaining)
-        if age > timeout_s:
+        if age > _STALE_LOCK_S:
             # Orphaned lock: the holder died without its `finally`
-            # (SIGKILL / OOM-killed worker).  A live build finishes far
-            # inside timeout_s, so a lock older than that is stale —
-            # reclaim it; the O_CREAT|O_EXCL retry keeps this race-safe
-            # if several waiters reclaim at once.
+            # (SIGKILL / OOM-killed worker).  The staleness threshold is
+            # a FIXED constant far above any real build duration — never
+            # the caller's (possibly shrunk-by-recursion) timeout_s,
+            # which could reclaim a LIVE builder's lock and run two
+            # concurrent writers into model_dir.  Re-stat right before
+            # the unlink so a lock another reclaimer just recreated is
+            # not swept away with the stale one.
             try:
-                os.unlink(lock)
+                if time.time() - lock.stat().st_mtime > _STALE_LOCK_S:
+                    os.unlink(lock)
             except FileNotFoundError:
                 pass
             return ensure_models(model_dir, remaining)

@@ -22,13 +22,46 @@ import pyarrow.compute as pc
 _SIDE = "__set_side"
 
 
-def _tag_left(left, schema: pa.Schema):
+def _tag_left(left, on: str, schema: pa.Schema):
     def tag(batch: pa.Table) -> pa.Table:
         t = batch.select([f.name for f in schema])
+        # SQL semantics: a NULL left key matches nothing, so it never
+        # enters the exchange (Ray's sort-based groupby would reject it
+        # anyway).  anti_join unions these rows back in afterwards.
+        col = t.column(on)
+        if pa.types.is_null(col.type):
+            t = pa.table({f.name: pa.array([], f.type) for f in schema})
+        elif col.null_count:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.filter(pc.is_valid(col))
         return t.append_column(
             _SIDE, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
 
     return left.map_batches(tag, batch_format="pyarrow")
+
+
+def _null_keyed_left(left, on: str, schema: pa.Schema):
+    """Left rows whose key IS NULL, cast to the dataset-level schema."""
+
+    def nulls_only(batch: pa.Table) -> pa.Table:
+        t = batch.select([f.name for f in schema])
+        col = t.column(on)
+        if pa.types.is_null(col.type):
+            # all-null typed block: every row is null-keyed; re-type the
+            # null-typed columns so the union with the join result agrees
+            return pa.table({
+                f.name: (t.column(f.name).cast(f.type)
+                         if pa.types.is_null(t.column(f.name).type)
+                         else t.column(f.name))
+                for f in schema})
+        if col.null_count == 0:
+            return t.slice(0, 0)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.filter(pc.is_null(col))
+
+    return left.map_batches(nulls_only, batch_format="pyarrow")
 
 
 def _tag_right_keys(right, on: str, right_on: str, schema: pa.Schema):
@@ -55,7 +88,7 @@ def _filter_join(left, right, on: str, right_on: str | None,
                  keep_if_right_present: bool):
     schema = pa.schema([(f.name, f.type) for f in left.schema().base_schema])
 
-    tagged = _tag_left(left, schema).union(
+    tagged = _tag_left(left, on, schema).union(
         _tag_right_keys(right, on, right_on or on, schema))
 
     def pick(group: pa.Table) -> pa.Table:
@@ -66,7 +99,11 @@ def _filter_join(left, right, on: str, right_on: str | None,
             return body.filter(pa.array(side == 0))
         return body.slice(0, 0)
 
-    return tagged.groupby(on).map_groups(pick, batch_format="pyarrow")
+    joined = tagged.groupby(on).map_groups(pick, batch_format="pyarrow")
+    if keep_if_right_present:
+        return joined  # semi: NULL keys match nothing → dropped
+    # anti (NOT EXISTS): NULL-keyed left rows match nothing → kept
+    return joined.union(_null_keyed_left(left, on, schema))
 
 
 def semi_join(left, right, on: str, right_on: str | None = None):
@@ -103,13 +140,22 @@ def bloom_semi_filter(left, right, on: str, right_on: str | None = None,
 
     def key_fps(batch: pa.Table, col: str) -> np.ndarray:
         arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         if pa.types.is_integer(arr.type):
+            if arr.null_count:
+                # NULL never matches; fingerprint deterministically so
+                # the prefilter's keep/drop of these rows is stable
+                arr = pc.fill_null(arr, 0)
             k = arr.to_numpy(zero_copy_only=False)
             return _mix64(k.astype(np.uint64))
-        # string/binary keys: 64-bit content fingerprint, then mix
+        # string/binary keys: 64-bit content fingerprint, then mix.
+        # utf8_filled tolerates null-TYPED (all-null) blocks, which
+        # bare fill_null cannot.
         from ..functions.textstats import fingerprint64_array
+        from .util import utf8_filled
         return _mix64(fingerprint64_array(
-            pc.cast(pc.fill_null(arr, ""), pa.string())))
+            pc.cast(utf8_filled(arr), pa.string())))
 
     n = max(int(right.count()), 1)
     m_bits, k_hashes = bloom_params(n, bits_per_item)

@@ -27,6 +27,19 @@ def utf8_filled(col) -> pa.Array:
     return pc.fill_null(col, "") if col.null_count else col
 
 
+def empty_typed_dataset(ds, cols: dict):
+    """Zero-row Dataset with an explicit schema — Ray Data derives no
+    schema from zero blocks, so driver-side reduces that hit empty input
+    must hand back a typed literal.  ``cols`` maps column name to a
+    ``pa.DataType``, or ``None`` to inherit that column's type from
+    ``ds``'s schema."""
+    import ray.data
+    base = ds.schema().base_schema
+    return ray.data.from_arrow(pa.table(
+        {name: pa.array([], base.field(name).type if typ is None else typ)
+         for name, typ in cols.items()}))
+
+
 def set_column(batch: pa.Table, name: str, arr) -> pa.Table:
     """Append a column, replacing any existing column of the same name (input
     tables may already carry columns like ``lang`` or ``n_chars``)."""

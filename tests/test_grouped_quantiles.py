@@ -35,6 +35,28 @@ def test_hist_batch_counts_pairs():
     assert rows == {("a", -3): 2, ("a", 5): 1, ("b", 7): 1}
 
 
+def test_hist_batch_wide_range_no_wrap():
+    """Values spanning more than 2**63 used to wrap in `vals - vmin`
+    BEFORE the overflow guard ran, corrupting the fast path's composite
+    ids; the range check must happen in Python ints."""
+    lo, hi = -2**62, 2**62
+    t = pa.table({"k": ["a", "b", "a", "b"],
+                  "v": pa.array([lo, lo, hi, hi], pa.int64())})
+    h = quantile_hist_batch(t, "k", "v")
+    rows = {(r["k"], r["v"]): r["cnt"] for r in h.to_pylist()}
+    assert rows == {("a", lo): 1, ("a", hi): 1,
+                    ("b", lo): 1, ("b", hi): 1}
+
+
+def test_exact_quantiles_empty_input(ray_session):
+    import ray.data
+    from lingua_ray.functions.quantiles import exact_quantiles
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([], pa.int64())}))
+    n, out = exact_quantiles(ds, "v", {"p50": 0.5})
+    assert n == 0 and out == {"p50": 0}
+
+
 def test_grouped_quantiles_matches_bruteforce(ray_session):
     import ray.data
     keys, vals = _fixture()

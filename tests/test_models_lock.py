@@ -46,6 +46,23 @@ def test_ensure_models_fresh_lock_times_out(tmp_path, monkeypatch):
     assert lock.exists()
 
 
+def test_ensure_models_live_lock_older_than_caller_timeout(tmp_path,
+                                                           monkeypatch):
+    """Staleness is the FIXED _STALE_LOCK_S, never the caller's timeout:
+    a lock older than timeout_s but younger than the stale threshold
+    belongs to a live builder and must not be stolen."""
+    mdir = tmp_path / f"v{M.MODEL_VERSION}"
+    lock = tmp_path / f"v{M.MODEL_VERSION}.lock"
+    lock.write_text("")
+    mid = time.time() - 60  # older than timeout_s=2, far younger than stale
+    os.utime(lock, (mid, mid))
+    monkeypatch.setattr(M, "build_model_artifact",
+                        lambda d: pytest.fail("must not steal a live lock"))
+    with pytest.raises(TimeoutError):
+        M.ensure_models(mdir, timeout_s=2.0)
+    assert lock.exists()
+
+
 def test_ensure_models_lock_released_mid_wait(tmp_path, monkeypatch):
     """Holder finishing (lock unlinked, _SUCCESS present) unblocks the
     waiter immediately."""

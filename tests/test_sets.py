@@ -41,6 +41,49 @@ def test_anti_join_empty_right(ray_session):
     assert sorted(r["k"] for r in out) == [1, 2, 3, 4, 5]
 
 
+def test_null_left_keys_sql_semantics(ray_session):
+    """NULL left keys match nothing: semi_join drops them, anti_join
+    (NOT EXISTS) keeps them — neither crashes the groupby."""
+    import ray.data
+    from lingua_ray.stages.sets import anti_join, semi_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None, 9], type=pa.int64()),
+        "name": ["a", "b", "c", "d", "e"],
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([2, 9, None], type=pa.int64()),
+        "junk": ["x", "y", "z"],
+    }))
+    semi = semi_join(left, right, on="k", right_on="rk").take_all()
+    assert sorted(r["k"] for r in semi) == [2, 9]
+    anti = anti_join(left, right, on="k", right_on="rk").take_all()
+    assert sorted(r["name"] for r in anti) == ["a", "b", "d"]
+    assert sorted(str(r["k"]) for r in anti) == ["1", "None", "None"]
+
+
+def test_bloom_semi_filter_null_typed_key_block(ray_session):
+    """An all-null (null-TYPED) key block must survive the prefilter's
+    fingerprint path, for both string and integer key columns."""
+    import ray.data
+    from lingua_ray.stages.sets import bloom_semi_filter
+    left_str = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, None], type=pa.null()),
+        "v": pa.array([1, 2], type=pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({"rk": ["a", "b"]}))
+    # must not raise; the bloom pass is only a superset prefilter
+    bloom_semi_filter(left_str, right, on="k", right_on="rk").take_all()
+    left_int = ray.data.from_arrow(pa.table({
+        "k": pa.array([3, None, 5], type=pa.int64()),
+        "v": pa.array([1, 2, 3], type=pa.int64()),
+    }))
+    right_int = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([5], type=pa.int64())}))
+    out = bloom_semi_filter(left_int, right_int, on="k",
+                            right_on="rk").take_all()
+    assert {r["v"] for r in out} >= {3}  # the true match survives
+
+
 def test_bloom_semi_filter_superset_and_prunes(ray_session):
     import numpy as np
     import pyarrow as pa
