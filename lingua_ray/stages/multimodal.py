@@ -266,9 +266,145 @@ def _decode_png(p: bytes):
     return int(w), int(h), float(luma)
 
 
+_LUMA_W = np.array([0.299, 0.587, 0.114])
+
+
+def _lzw_decode(data: bytes, mcs: int, max_pixels: int):
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/END codes,
+    12-bit dictionary cap.  Returns up to ``max_pixels`` decoded palette
+    indices as bytes, or None on a corrupt stream."""
+    clear = 1 << mcs
+    end = clear + 1
+    singles = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(singles)
+    width = mcs + 1
+    val = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    out = bytearray()
+    prev = None
+    while pos + width <= nbits and len(out) < max_pixels:
+        code = (val >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(singles)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code != end and code != clear:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+def _decode_gif(p: bytes):
+    """REAL GIF pixel decode of the FIRST frame — pure block walk +
+    LZW inflate, no codec library.  Handles global/local palettes,
+    interlacing (row-reorder) and GCE transparency (transparent pixels
+    take the background color); a frame smaller than the logical screen
+    is composed onto the background-filled screen, matching what a
+    viewer shows for frame 1.  Returns (width, height, mean_luma) or
+    None (not a GIF / malformed / frame overflows the screen)."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+    sw, sh = struct.unpack("<HH", p[6:10])
+    flags, bg_idx = p[10], p[11]
+    if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
+        return None
+    i, gpal = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if 13 + 3 * n > len(p):
+            return None
+        gpal = np.frombuffer(p[13:13 + 3 * n],
+                             dtype=np.uint8).reshape(-1, 3)
+        i = 13 + 3 * n
+    transparent = None
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:
+            return None  # trailer before any image
+        if b == 0x21:  # extension: note GCE transparency, skip the rest
+            if (i + 7 <= len(p) and p[i + 1] == 0xF9 and p[i + 2] >= 4
+                    and p[i + 3] & 1):
+                transparent = p[i + 6]
+            j = i + 2
+            while j < len(p) and p[j] != 0:
+                j += 1 + p[j]
+            i = j + 1
+            continue
+        if b != 0x2C:
+            return None
+        # image descriptor: decode THIS (first) frame
+        if i + 10 > len(p):
+            return None
+        fx, fy, fw, fh = struct.unpack("<HHHH", p[i + 1:i + 9])
+        lf = p[i + 9]
+        i += 10
+        pal = gpal
+        if lf & 0x80:
+            n = 2 << (lf & 7)
+            if i + 3 * n > len(p):
+                return None
+            pal = np.frombuffer(p[i:i + 3 * n],
+                                dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        if (pal is None or fw == 0 or fh == 0
+                or fx + fw > sw or fy + fh > sh or i >= len(p)):
+            return None
+        mcs = p[i]
+        i += 1
+        if not 2 <= mcs <= 11:
+            return None
+        parts = []
+        while i < len(p) and p[i] != 0:
+            ln = p[i]
+            parts.append(p[i + 1:i + 1 + ln])
+            i += 1 + ln
+        if i >= len(p):
+            return None
+        idx = _lzw_decode(b"".join(parts), mcs, fw * fh)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        a = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        if lf & 0x40:  # interlaced: rows arrive in the 4 GIF passes
+            order = np.concatenate([
+                np.arange(0, fh, 8), np.arange(4, fh, 8),
+                np.arange(2, fh, 4), np.arange(1, fh, 2)])
+            rows = np.empty_like(a)
+            rows[order] = a
+            a = rows
+        if int(a.max(initial=0)) >= len(pal):
+            return None
+        bg_rgb = (gpal[bg_idx].astype(np.float64)
+                  if gpal is not None and bg_idx < len(gpal)
+                  else np.zeros(3))
+        rgb = pal[a.reshape(-1)].astype(np.float64)
+        if transparent is not None:
+            rgb[a.reshape(-1) == transparent] = bg_rgb
+        frame_sum = float((rgb @ _LUMA_W).sum())
+        bg_luma = float(bg_rgb @ _LUMA_W)
+        total = frame_sum + bg_luma * (sw * sh - fw * fh)
+        return int(sw), int(sh), total / (sw * sh) / 255.0
+    return None
+
+
 def decode_image(p: bytes):
     """REAL pure-NumPy decode — PNG (stdlib-zlib inflate + numpy
     unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
+    GIF first frame (pure-Python LZW + palette/interlace/transparency),
     binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width,
     height, mean_luma in [0,1]) or None when the payload needs an
     external codec (JPEG/WEBP/16-bit-or-interlaced PNG/...)."""
@@ -276,6 +412,9 @@ def decode_image(p: bytes):
     png = _decode_png(p)
     if png is not None:
         return png
+    gif = _decode_gif(p)
+    if gif is not None:
+        return gif
     if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
         hdr = _parse_pnm_header(p)
         if hdr is None:
@@ -316,11 +455,12 @@ class ImageDecoder:
     """Actor-pool decode/feature stage.
 
     real=True decodes the formats a pure-NumPy + stdlib decoder can
-    handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering),
-    binary netpbm (P5/P6) and uncompressed 8/24-bit BMP — via
-    :func:`decode_image`, and raises NotImplementedError per payload for
-    the remaining codecs (JPEG/WEBP entropy coding needs PIL/opencv, not
-    installed here; that boundary is the ONLY stubbed part).
+    handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering), GIF
+    first frame (LZW), binary netpbm (P5/P6) and uncompressed 8/24-bit
+    BMP — via :func:`decode_image`, and raises NotImplementedError per
+    payload for the remaining codecs (JPEG/WEBP entropy coding needs
+    PIL/opencv, not installed here; that boundary is the ONLY stubbed
+    part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
@@ -342,8 +482,8 @@ class ImageDecoder:
                     raise NotImplementedError(
                         f"decoding '{fmt}' payloads needs PIL/opencv "
                         "(unavailable in this environment); only PNG, "
-                        "netpbm and uncompressed BMP decode without "
-                        "external codecs")
+                        "GIF, netpbm and uncompressed BMP decode "
+                        "without external codecs")
                 w[i], h[i], luma[i] = dec
             else:
                 d = hashlib.sha256(p or b"").digest()

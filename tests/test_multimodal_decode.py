@@ -366,3 +366,152 @@ def test_png_palette_index_out_of_range_is_none():
     plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
     idx = np.full((2, 2, 1), 9, dtype=np.uint8)  # only 4 palette entries
     assert decode_image(_png(idx, 3, plte=plte)) is None
+
+
+# ---------------------------------------------------------------- GIF pixels
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """True greedy GIF-LZW encoder (test oracle for the decoder): LSB-first
+    variable-width codes, CLEAR up front and on dictionary overflow."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out, nbits = 0, 0
+
+    def emit(code, width):
+        nonlocal out, nbits
+        out |= code << nbits
+        nbits += width
+
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    emit(clear, width)
+    seq = b""
+    for px in indices:
+        cand = seq + bytes([px])
+        if cand in table:
+            seq = cand
+            continue
+        # decoder's table lags the encoder's by one entry, so the width
+        # bump happens when nxt EXCEEDS the current code space
+        if nxt > (1 << width) and width < 12:
+            width += 1
+        emit(table[seq], width)
+        table[cand] = nxt
+        nxt += 1
+        seq = bytes([px])
+        if nxt == 4096:
+            if nxt > (1 << width) and width < 12:
+                width += 1
+            emit(clear, width)
+            width = mcs + 1
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+    if seq:
+        if nxt > (1 << width) and width < 12:
+            width += 1
+        emit(table[seq], width)
+        nxt += 1
+    if nxt > (1 << width) and width < 12:
+        width += 1
+    emit(end, width)
+    return out.to_bytes((nbits + 7) // 8, "little")
+
+
+def _gif_pixels(idx, palette, interlace=False, frame=None, bg=0,
+                transparent=None, local_palette=False):
+    """Assemble a single-frame GIF: ``idx`` (h, w) uint8 palette indices,
+    ``palette`` (n, 3); optional interlace, sub-rect frame placement,
+    GCE transparency and local-palette placement."""
+    fh, fw = idx.shape
+    if frame is None:
+        sw, sh, fx, fy = fw, fh, 0, 0
+    else:
+        sw, sh, fx, fy = frame
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = b"GIF89a" + struct.pack("<HH", sw, sh)
+    if local_palette:
+        out += bytes([0x00, bg, 0])            # no global palette
+    else:
+        out += bytes([0x80 | 7, bg, 0]) + pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += b"\x2C" + struct.pack("<HHHH", fx, fy, fw, fh)
+    out += bytes([(0x80 | 7 if local_palette else 0)
+                  | (0x40 if interlace else 0)])
+    if local_palette:
+        out += pal.tobytes()
+    if interlace:
+        order = np.concatenate([np.arange(0, fh, 8), np.arange(4, fh, 8),
+                                np.arange(2, fh, 4), np.arange(1, fh, 2)])
+        data = idx[order].tobytes()
+    else:
+        data = idx.tobytes()
+    lzw = _lzw_encode(data, 8)
+    out += bytes([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3B"
+
+
+def test_gif_decode_roundtrip_random():
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+    idx = rng.randint(0, 64, size=(32, 32), dtype=np.uint8)
+    w, h, luma = decode_image(_gif_pixels(idx, palette))
+    assert (w, h) == (32, 32)
+    assert abs(luma - _luma(palette[idx])) < 1e-12
+
+
+def test_gif_decode_constant_color_kwkwk():
+    # a constant image exercises the LZW KwKwK (code == table size) path
+    palette = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    idx = np.ones((16, 16), dtype=np.uint8)
+    w, h, luma = decode_image(_gif_pixels(idx, palette))
+    assert (w, h) == (16, 16)
+    assert abs(luma - _luma(palette[idx])) < 1e-12
+
+
+def test_gif_decode_interlaced_matches_progressive():
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+    idx = rng.randint(0, 32, size=(19, 7), dtype=np.uint8)  # odd height
+    plain = decode_image(_gif_pixels(idx, palette))
+    inter = decode_image(_gif_pixels(idx, palette, interlace=True))
+    assert plain == inter
+    assert abs(plain[2] - _luma(palette[idx])) < 1e-12
+
+
+def test_gif_decode_subframe_transparency_local_palette():
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    palette[1] = [255, 255, 255]   # white
+    palette[2] = [255, 0, 0]       # red
+    palette[3] = [0, 0, 255]       # bg blue
+    idx = np.full((2, 2), 1, dtype=np.uint8)
+    idx[0, 0] = 2                  # transparent slot
+    # 4x4 screen, 2x2 frame at (1,1), bg color 3, index 2 transparent
+    p = _gif_pixels(idx, palette, frame=(4, 4, 1, 1), bg=3, transparent=2)
+    w, h, luma = decode_image(p)
+    assert (w, h) == (4, 4)
+    lw = np.array([0.299, 0.587, 0.114])
+    white, blue = palette[1] @ lw, palette[3] @ lw
+    want = (3 * white + 13 * blue) / 16 / 255.0
+    assert abs(luma - want) < 1e-12
+    # local palette, full frame, no transparency
+    idx2 = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    got = decode_image(_gif_pixels(idx2, palette, local_palette=True))
+    assert abs(got[2] - _luma(palette[idx2])) < 1e-12
+
+
+def test_gif_decode_rejects_malformed():
+    rng = np.random.RandomState(9)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(4, 4), dtype=np.uint8)
+    good = _gif_pixels(idx, palette)
+    assert decode_image(good) is not None
+    # truncated LZW data
+    assert decode_image(good[:-8]) is None
+    # frame overflowing the logical screen
+    bad = _gif_pixels(idx, palette, frame=(3, 3, 2, 2))
+    assert decode_image(bad) is None
