@@ -113,7 +113,13 @@ def semi_join(left, right, on: str, right_on: str | None = None):
 
 
 def anti_join(left, right, on: str, right_on: str | None = None):
-    """Left rows whose key does NOT appear in ``right`` (NOT EXISTS)."""
+    """Left rows whose key does NOT appear in ``right`` (NOT EXISTS).
+
+    NULL-keyed left rows are kept (they match nothing), routed around
+    the exchange by a second filter-scan of ``left`` — map-only, no
+    shuffle, emits ~0 rows when keys are non-null; at scale it is a
+    column-pruned re-read, the price of SQL NULL semantics without
+    polluting the hash exchange with a sentinel key."""
     return _filter_join(left, right, on, right_on,
                         keep_if_right_present=False)
 
