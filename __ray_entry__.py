@@ -86,6 +86,215 @@ def _q_conversations_assembled(sf_dir: str):
     return assemble_conversations(ds)
 
 
+def _read_transcripts(sf_dir: str, columns: list[str]):
+    """Column-pruned read of the deterministic transcript fixture."""
+    import ray.data
+    return ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)),
+                                 columns=columns)
+
+
+def _q_transcript_scrub(sf_dir: str):
+    """Per-turn PII scrub + toxicity counts over the TRANSCRIPTS table —
+    the north-rule scrub surface keyed by (conv_id, turn_idx) instead of
+    doc_id.  Stateless vectorized RE2 kernels; no shuffle.
+    [SQL-verified — both engines run RE2-family regexes]"""
+    from lingua_ray.stages.scrub import scrub_batch
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "pii_email", "pii_ip",
+                              "pii_ssn", "pii_cc", "pii_phone", "tox_count",
+                              "scrubbed_text"])
+
+
+def _grouped_turn_stats(ds, key: str):
+    """(key, conv_id)-level partials → distinct-conversation counting
+    without a COUNT(DISTINCT) shuffle of raw rows.
+
+    The per-block combiner collapses each block to one row per
+    (key, conv_id) pair, so the exchange carries pairs — bounded by
+    #keys × #conversations — never turns.  After the pair-level groupby
+    each pair exists exactly once globally, so the per-key conversation
+    count is a plain Count() over pairs (tiny second shuffle).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(pc.fill_null(batch.column("text"),
+                                                    "")), pa.int64())
+        tools = pc.cast(pc.not_equal(pc.fill_null(batch.column("tool"), ""),
+                                     ""), pa.int64())
+        t = pa.table({key: batch.column(key),
+                      "conv_id": batch.column("conv_id"),
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "chars": chars, "tools": tools})
+        return t.group_by([key, "conv_id"]).aggregate(
+            [("n", "sum"), ("chars", "sum"), ("tools", "sum")])
+
+    pairs = ds.map_batches(part, batch_format="pyarrow") \
+              .groupby([key, "conv_id"]) \
+              .sum(["n_sum", "chars_sum", "tools_sum"])
+    out = pairs.groupby(key).aggregate(
+        Count(), Sum("sum(n_sum)"), Sum("sum(chars_sum)"),
+        Sum("sum(tools_sum)"))
+    return out.rename_columns({"count()": "n_convs",
+                               "sum(sum(n_sum))": "n_turns",
+                               "sum(sum(chars_sum))": "sum_chars",
+                               "sum(sum(tools_sum))": "n_tool_calls"})
+
+
+def _q_transcript_role_stats(sf_dir: str):
+    """Per-role turn/char/tool-call totals + distinct conversations
+    touched, via the pair-level combiner (see _grouped_turn_stats).
+    [SQL-verified]"""
+    ds = _read_transcripts(sf_dir, ["conv_id", "role", "text", "tool"])
+    out = _grouped_turn_stats(ds, "role")
+    return out.select_columns(["role", "n_turns", "n_convs", "sum_chars",
+                               "n_tool_calls"])
+
+
+def _q_transcript_tool_usage(sf_dir: str):
+    """Tool-call frequency: per named tool, call count, conversations
+    using it, and total argument chars.  Same pair-level combiner.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def only_tools(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(pc.fill_null(batch.column("tool"), ""), "")
+        return batch.filter(mask)
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "tool", "text"])
+    ds = ds.map_batches(only_tools, batch_format="pyarrow")
+    out = _grouped_turn_stats(ds, "tool")
+    return out.select_columns(["tool", "n_turns", "n_convs", "sum_chars"]) \
+              .rename_columns({"n_turns": "n_calls"})
+
+
+def _q_transcript_conv_stats(sf_dir: str):
+    """Per-conversation shape: turn counts by kind, total chars, and the
+    µs span between first and last timestamp.  Per-block per-conv
+    partials (pa group_by inside map_batches) → one conv-keyed groupby
+    of partial rows — the mega-conversation contributes one partial row
+    per block, never one group holding all its turns, so the skewed key
+    costs nothing extra.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(pc.fill_null(batch.column("text"),
+                                                    "")), pa.int64())
+        user = pc.cast(pc.equal(batch.column("role"), "user"), pa.int64())
+        tool = pc.cast(pc.not_equal(pc.fill_null(batch.column("tool"), ""),
+                                    ""), pa.int64())
+        ts = batch.column("ts").cast(pa.int64())
+        t = pa.table({"conv_id": batch.column("conv_id"),
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "user": user, "tool": tool, "chars": chars, "ts": ts})
+        return t.group_by(["conv_id"]).aggregate(
+            [("n", "sum"), ("user", "sum"), ("tool", "sum"),
+             ("chars", "sum"), ("ts", "min"), ("ts", "max")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        span = pc.subtract(batch.column("max(ts_max)"),
+                           batch.column("min(ts_min)"))
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "n_turns": batch.column("sum(n_sum)"),
+            "n_user_turns": batch.column("sum(user_sum)"),
+            "n_tool_calls": batch.column("sum(tool_sum)"),
+            "sum_chars": batch.column("sum(chars_sum)"),
+            "span_us": span})
+
+    ds = _read_transcripts(sf_dir,
+                           ["conv_id", "turn_idx", "role", "text", "tool",
+                            "ts"])
+    out = ds.map_batches(part, batch_format="pyarrow") \
+            .groupby("conv_id").aggregate(
+                Sum("n_sum"), Sum("user_sum"), Sum("tool_sum"),
+                Sum("chars_sum"), Min("ts_min"), Max("ts_max"))
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_transcript_role_transitions(sf_dir: str):
+    """Global (previous role → role) transition counts within each
+    conversation's stable turn order — the role-alternation validation a
+    transcript QA pass runs.  Per-conversation adjacency needs the
+    conversation's own turns adjacent, so this is one conv-keyed
+    map_groups (sort by turn_idx, shift, count pairs locally) followed
+    by a tiny (prev_role, role) groupby of per-conv partial counts.  At
+    scale the mega-conversation group is bounded by the same salting
+    treatment quality_filter uses; here a group is one conversation's
+    turns.  [SQL-verified — LAG OVER (PARTITION BY conv_id)]"""
+
+    def trans_group(group: pa.Table) -> pa.Table:
+        idx = group.column("turn_idx").to_numpy()
+        order = np.argsort(idx, kind="stable")
+        roles = group.column("role").take(pa.array(order))
+        if len(roles) < 2:
+            return pa.table({"prev_role": pa.array([], pa.string()),
+                             "role": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"prev_role": roles.slice(0, len(roles) - 1),
+                      "role": roles.slice(1),
+                      "n": pa.array(np.ones(len(roles) - 1, dtype=np.int64))})
+        g = t.group_by(["prev_role", "role"]).aggregate([("n", "sum")])
+        return pa.table({"prev_role": g.column("prev_role"),
+                         "role": g.column("role"),
+                         "n": g.column("n_sum")})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role"])
+    out = ds.groupby("conv_id").map_groups(trans_group,
+                                           batch_format="pyarrow")
+    return out.groupby(["prev_role", "role"]).sum("n") \
+              .rename_columns({"sum(n)": "n"})
+
+
+def _q_transcript_turn_gaps(sf_dir: str):
+    """Per-turn gap (µs) to the previous turn of the same conversation in
+    stable turn order — the transcript counterpart of events_lag.  One
+    conv-keyed shuffle, vectorized sort+diff inside map_groups; turns
+    with no predecessor are dropped (SQL's LAG IS NOT NULL).
+    [SQL-verified]"""
+
+    def lag_group(group: pa.Table) -> pa.Table:
+        idx = group.column("turn_idx").to_numpy()
+        order = np.argsort(idx, kind="stable")
+        ts = group.column("ts").cast(pa.int64()).to_numpy()[order]
+        conv = group.column("conv_id").take(pa.array(order))
+        return pa.table({"conv_id": conv.slice(1),
+                         "turn_idx": pa.array(idx[order][1:]),
+                         "gap_us": pa.array(np.diff(ts))})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "ts"])
+    return ds.groupby("conv_id").map_groups(lag_group,
+                                            batch_format="pyarrow")
+
+
+def _q_conv_dedup(sf_dir: str):
+    """Whole-conversation exact dedup: assemble each conversation's text
+    in turn order, fingerprint the assembled string, keep the smallest
+    conv_id per fingerprint.  The conversation bodies never ride the
+    second shuffle — only (fp64, conv_id) pairs do.  [SQL-verified —
+    DuckDB groups by the assembled text itself; identical as long as the
+    64-bit fingerprint is collision-free on the input, which the driver
+    compare would catch]"""
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.assemble import assemble_conversations
+
+    def fp(batch: pa.Table) -> pa.Table:
+        # int64 view: Arrow has no native uint64 path through the groupby
+        # reduce (values past 2^63 hit a slow conversion fallback)
+        h = fingerprint64_array(batch.column("text")).view(np.int64)
+        return pa.table({"fp64": pa.array(h, type=pa.int64()),
+                         "conv_id": batch.column("conv_id")})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    asm = assemble_conversations(ds)
+    pairs = asm.map_batches(fp, batch_format="pyarrow")
+    return pairs.groupby("fp64").min("conv_id").rename_columns(
+        {"min(conv_id)": "conv_id"}).select_columns(["conv_id"])
+
+
 def _langid_concurrency(n_rows: int | None = None,
                         batch_size: int = 2048) -> int:
     """Scale the scorer actor pool with the session's CPUs (~7/8, the
@@ -2442,6 +2651,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- SQL-verified (hash-checked against oracle_sql) ----
         "conversations_assembled": _q_conversations_assembled,
+        "transcript_scrub": _q_transcript_scrub,
+        "transcript_role_stats": _q_transcript_role_stats,
+        "transcript_tool_usage": _q_transcript_tool_usage,
+        "transcript_conv_stats": _q_transcript_conv_stats,
+        "transcript_role_transitions": _q_transcript_role_transitions,
+        "transcript_turn_gaps": _q_transcript_turn_gaps,
+        "conv_dedup": _q_conv_dedup,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
@@ -2585,11 +2801,12 @@ def _doc_split_sql() -> str:
     """
 
 
-def _conversations_assembled_sql() -> str:
-    """DuckDB oracle for conversation assembly.  The transcripts table is
-    generated (deterministically, seed-pinned) rather than a pre-registered
-    view, so the oracle reads the SAME parquet shards the Ray query reads —
-    ensure_transcripts() is idempotent and needs no Ray session.
+def _transcript_oracle(template: str) -> str:
+    """Fill ``{src}`` in an oracle template with the generated transcript
+    shards.  The transcripts table is generated (deterministically,
+    seed-pinned) rather than a pre-registered view, so the oracle reads
+    the SAME parquet shards the Ray query reads — ensure_transcripts() is
+    idempotent and needs no Ray session.
 
     oracle_sql() takes no sf argument, so the transcript SIZE is resolved
     from $GRAFT_ORACLE_SF_DIR (tools/check_queries sets it to the sf under
@@ -2603,13 +2820,116 @@ def _conversations_assembled_sql() -> str:
         # than returning an empty result that reads as a data mismatch
         msg = f"transcript fixture generation failed: {e!r}".replace("'", "")
         return f"SELECT error('{msg}')"
-    return f"""
+    # str.replace, not str.format: scrub templates contain regex braces
+    return template.replace("{src}",
+                            f"read_parquet('{path}/part-*.parquet')")
+
+
+def _conversations_assembled_sql() -> str:
+    return _transcript_oracle("""
         SELECT conv_id,
           CAST(count(*) AS BIGINT) AS n_turns,
           string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text
-        FROM read_parquet('{path}/part-*.parquet')
+        FROM {src}
         GROUP BY conv_id
-    """
+    """)
+
+
+def _transcript_scrub_sql() -> str:
+    return _transcript_oracle(f"""
+    WITH s0 AS (SELECT conv_id, turn_idx, coalesce(text, '') AS t0
+                FROM {{src}}),
+    s1 AS (SELECT conv_id, turn_idx, t0,
+             regexp_replace(t0, '{_EMAIL}', '<EMAIL>', 'g') AS t1 FROM s0),
+    s2 AS (SELECT *, regexp_replace(t1, '{_IP}', '<IP>', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2, '{_SSN}', '<SSN>', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT *, regexp_replace(t3, '{_CC}', '<CC>', 'g') AS t4 FROM s3),
+    s5 AS (SELECT *, regexp_replace(t4, '{_PHONE}', '<PHONE>', 'g') AS t5
+           FROM s4)
+    SELECT conv_id, turn_idx,
+      CAST(length(regexp_extract_all(t0, '{_EMAIL}')) AS INTEGER)
+        AS pii_email,
+      CAST(length(regexp_extract_all(t1, '{_IP}')) AS INTEGER) AS pii_ip,
+      CAST(length(regexp_extract_all(t2, '{_SSN}')) AS INTEGER) AS pii_ssn,
+      CAST(length(regexp_extract_all(t3, '{_CC}')) AS INTEGER) AS pii_cc,
+      CAST(length(regexp_extract_all(t4, '{_PHONE}')) AS INTEGER)
+        AS pii_phone,
+      CAST(length(regexp_extract_all(lower(t5), '{_TOX}')) AS INTEGER)
+        AS tox_count,
+      t5 AS scrubbed_text
+    FROM s5
+    """)
+
+
+def _transcript_role_stats_sql() -> str:
+    return _transcript_oracle("""
+        SELECT role,
+          CAST(count(*) AS BIGINT) AS n_turns,
+          CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+          CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+          CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tool_calls
+        FROM {src} GROUP BY role
+    """)
+
+
+def _transcript_tool_usage_sql() -> str:
+    return _transcript_oracle("""
+        SELECT tool,
+          CAST(count(*) AS BIGINT) AS n_calls,
+          CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+          CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+        FROM {src} WHERE coalesce(tool, '') <> '' GROUP BY tool
+    """)
+
+
+def _transcript_conv_stats_sql() -> str:
+    return _transcript_oracle("""
+        SELECT conv_id,
+          CAST(count(*) AS BIGINT) AS n_turns,
+          CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_user_turns,
+          CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tool_calls,
+          CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+          CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+        FROM {src} GROUP BY conv_id
+    """)
+
+
+def _transcript_role_transitions_sql() -> str:
+    return _transcript_oracle("""
+        WITH t AS (
+          SELECT conv_id, role,
+            lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS prev_role
+          FROM {src})
+        SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev_role IS NOT NULL GROUP BY prev_role, role
+    """)
+
+
+def _transcript_turn_gaps_sql() -> str:
+    return _transcript_oracle("""
+        WITH t AS (
+          SELECT conv_id, turn_idx,
+            epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+          FROM {src})
+        SELECT conv_id, turn_idx, CAST(gap_us AS BIGINT) AS gap_us
+        FROM t WHERE gap_us IS NOT NULL
+    """)
+
+
+def _conv_dedup_sql() -> str:
+    return _transcript_oracle("""
+        WITH a AS (
+          SELECT conv_id,
+            string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS t
+          FROM {src} GROUP BY conv_id)
+        SELECT min(conv_id) AS conv_id FROM a GROUP BY t
+    """)
 
 
 def _sql_stopword_list() -> str:
@@ -2747,6 +3067,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
         """,
         "conversations_assembled": _conversations_assembled_sql(),
+        "transcript_scrub": _transcript_scrub_sql(),
+        "transcript_role_stats": _transcript_role_stats_sql(),
+        "transcript_tool_usage": _transcript_tool_usage_sql(),
+        "transcript_conv_stats": _transcript_conv_stats_sql(),
+        "transcript_role_transitions": _transcript_role_transitions_sql(),
+        "transcript_turn_gaps": _transcript_turn_gaps_sql(),
+        "conv_dedup": _conv_dedup_sql(),
         "orders_price_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_orders,
               CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),
