@@ -295,6 +295,22 @@ def _q_conv_dedup(sf_dir: str):
         {"min(conv_id)": "conv_id"}).select_columns(["conv_id"])
 
 
+def _q_conv_quality_rollup(sf_dir: str):
+    """Conversation-level verdict over the scored transcript turns:
+    dominant language, kept-turn fraction, conversation keep decision
+    (pipelines.quality_filter.conversation_rollup).  [rows-only — inputs
+    are langid model outputs; pandas-oracle tested in test_pipeline.py]"""
+    from lingua_ray.models import ensure_models
+    from lingua_ray.pipelines.quality_filter import (PipelineOptions,
+                                                     apply_stages,
+                                                     conversation_rollup)
+    ensure_models()
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    scored = apply_stages(ds, PipelineOptions(
+        langid_concurrency=_langid_concurrency()))
+    return conversation_rollup(scored)
+
+
 def _langid_concurrency(n_rows: int | None = None,
                         batch_size: int = 2048) -> int:
     """Scale the scorer actor pool with the session's CPUs (~7/8, the
@@ -2739,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         # ---- rows-only (not SQL-expressible; pytest-gated) ----
         "quality_filter_transcripts": _q_quality_filter_transcripts,
+        "conv_quality_rollup": _q_conv_quality_rollup,
         "langid_documents": _q_langid_documents,
         "langid_confidences": _q_langid_confidences,
         "langid_documents_lowacc": _q_langid_documents_lowacc,

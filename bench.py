@@ -136,7 +136,10 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # on this corpus shape — see BASELINE.md)
                      "line_dedup", "events_cumsum", "docs_per_source_cap",
                      "lang_temperature_mix", "weighted_sample",
-                     "embedding_inference"]
+                     "embedding_inference",
+                     # late-round-3 transcript-table operators
+                     "transcript_scrub", "transcript_conv_stats",
+                     "conv_dedup"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -194,6 +194,64 @@ def run_quality_filter(ds: "ray.data.Dataset",
     return ds
 
 
+def conversation_rollup(ds: "ray.data.Dataset",
+                        keep_threshold: float = 0.5) -> "ray.data.Dataset":
+    """Conversation-level verdict from per-turn scores: dominant language
+    (the language of the most turns; ties → lexicographically smallest),
+    kept-turn fraction, and a conversation keep decision
+    (``keep_frac >= keep_threshold``).
+
+    Input: the scored turns Dataset from :func:`apply_stages` /
+    :func:`run_quality_filter` (needs ``conv_id``, ``lang``, ``keep``).
+
+    Scale shape: each block collapses to ≤ one row per (conv_id, lang)
+    BEFORE the exchange, so the shuffle carries per-language partial
+    counts, never turns, and the per-conversation finalize group holds at
+    most one row per language — the mega-conversation finalizes over
+    ≤ #languages rows, not its turns.
+    """
+    import pyarrow.compute as pc
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n_sum": pa.array([], pa.int64()),
+                             "n_keep_sum": pa.array([], pa.int64())})
+        keep = pc.cast(pc.fill_null(batch.column("keep"), False), pa.int64())
+        t = pa.table({"conv_id": batch.column("conv_id"),
+                      "lang": pc.cast(pc.fill_null(batch.column("lang"),
+                                                   "un"), pa.string()),
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "n_keep": keep})
+        return t.group_by(["conv_id", "lang"]).aggregate(
+            [("n", "sum"), ("n_keep", "sum")])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        n = group.column("sum(n_sum)").to_numpy()
+        kept_per_lang = group.column("sum(n_keep_sum)").to_numpy()
+        langs = group.column("lang").to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        kept = int(kept_per_lang.sum())
+        # dominant language; ties broken toward the smallest language
+        # code (ties only span ≤ #languages rows, so the Python min is
+        # O(#ties), never O(turns))
+        cand = np.flatnonzero(n == n.max())
+        best = min(cand, key=lambda i: langs[i])
+        frac = kept / total if total else 0.0
+        return pa.table({
+            "conv_id": group.column("conv_id").slice(0, 1),
+            "lang": pa.array([langs[best]], pa.string()),
+            "n_turns": pa.array([total], pa.int64()),
+            "n_keep": pa.array([kept], pa.int64()),
+            "keep_frac": pa.array([frac], pa.float64()),
+            "conv_keep": pa.array([frac >= keep_threshold])})
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    agg = partials.groupby(["conv_id", "lang"]).sum(["n_sum", "n_keep_sum"])
+    return agg.groupby("conv_id").map_groups(finalize, batch_format="pyarrow")
+
+
 _SORT_KEYS = [("conv_id", "ascending"), ("turn_idx", "ascending")]
 # Above this row count a partition is not loaded whole; it is finalized by
 # external merge: per-fragment sorted runs + streaming k-way batch merge.

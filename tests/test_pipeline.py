@@ -154,3 +154,33 @@ def test_oov_text_gets_worst_perplexity():
     assert ppl[0] < 1e4                  # fluent text: plausible ppl
     assert ppl[1] > 1e8                  # all-OOV: the 1e9 floor
     assert ppl[1] > ppl[0]
+
+
+def test_conversation_rollup_matches_pandas(ray_session, transcripts_dir,
+                                            pipeline_result):
+    """conversation_rollup == a pandas recomputation from the same scored
+    per-turn output: dominant lang (ties → smallest code), kept fraction,
+    threshold verdict."""
+    import pandas as pd
+    from lingua_ray.pipelines.quality_filter import (
+        PipelineOptions, apply_stages, conversation_rollup)
+
+    ray = ray_session
+    ds = ray.data.read_parquet(str(transcripts_dir))
+    scored = apply_stages(ds, PipelineOptions(langid_concurrency=2))
+    got = conversation_rollup(scored, keep_threshold=0.5).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+
+    turns = pipeline_result.select(["conv_id", "lang", "keep"]).to_pandas()
+
+    def roll(g: pd.DataFrame) -> pd.Series:
+        counts = g.groupby("lang").size()
+        top = counts[counts == counts.max()].index.min()
+        frac = float(g["keep"].sum()) / len(g)
+        return pd.Series({"lang": top, "n_turns": len(g),
+                          "n_keep": int(g["keep"].sum()),
+                          "keep_frac": frac, "conv_keep": frac >= 0.5})
+
+    want = turns.groupby("conv_id").apply(roll, include_groups=False) \
+        .reset_index().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
