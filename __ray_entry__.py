@@ -270,6 +270,37 @@ def _q_transcript_turn_gaps(sf_dir: str):
                                             batch_format="pyarrow")
 
 
+def _q_turn_dedup(sf_dir: str):
+    """Repeated-turn flagging within each conversation: a turn is a
+    duplicate if an earlier turn (smaller turn_idx) of the SAME
+    conversation has byte-identical text.  One (conv_id, fp64) keyed
+    shuffle of 24-byte fingerprint rows + conv ids — text never rides
+    the exchange; each group marks all but its min turn_idx.
+    [SQL-verified — min(turn_idx) OVER (PARTITION BY conv_id, text);
+    identical as long as the 64-bit fingerprint is collision-free
+    within a conversation, which the driver compare would catch]"""
+    from lingua_ray.functions.textstats import fingerprint64_array
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pc.fill_null(batch.column("text"), "")
+        h = fingerprint64_array(t).view(np.int64)
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "turn_idx": batch.column("turn_idx"),
+                         "fp64": pa.array(h, type=pa.int64())})
+
+    def flag(group: pa.Table) -> pa.Table:
+        idx = group.column("turn_idx").to_numpy()
+        return pa.table({"conv_id": group.column("conv_id"),
+                         "turn_idx": group.column("turn_idx"),
+                         "is_dup": pa.array(idx != idx.min())})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    pairs = ds.map_batches(fp, batch_format="pyarrow")
+    return pairs.groupby(["conv_id", "fp64"]).map_groups(
+        flag, batch_format="pyarrow")
+
+
 def _q_conv_dedup(sf_dir: str):
     """Whole-conversation exact dedup: assemble each conversation's text
     in turn order, fingerprint the assembled string, keep the smallest
@@ -1864,6 +1895,94 @@ def _q_doc_dup_ngrams(sf_dir: str):
     return ds.map_batches(frac, batch_format="pyarrow")
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Cross-document substring-level duplication (the exact variant of
+    training-data span dedup): per document, how many of its 40-char
+    window OCCURRENCES also appear in at least one OTHER document, plus
+    the round-6 shared fraction.  Boilerplate is planted with the same
+    _pd_plant prep as para_dedup so cross-doc sharing actually exists.
+
+    Shape: the per-block combiner collapses windows to distinct
+    (doc_id, window-hash, occurrence-count) rows before any exchange;
+    the gram bodies never leave the block.  Then (1) a (doc, h) groupby
+    finalizes occurrence counts, (2) an h-keyed count finds grams living
+    in ≥2 docs, (3) one inner hash join + doc-keyed sum counts each
+    doc's shared occurrences, (4) a left join attaches totals.  All
+    exchanges carry 8-16-byte keyed rows.  At 100 TB the exact stride-1
+    window set is the documented cost — a production run samples windows
+    (stride or winnowing), which only changes the combiner.
+    [SQL-verified — DuckDB compares the substrings themselves; identical
+    as long as the 64-bit window hash is collision-free on the input,
+    which the driver compare would catch]"""
+    import ray
+    import pyarrow.compute as pc
+    from lingua_ray.stages.dedup import window_hashes_batch
+
+    K = 40
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = _pd_plant(batch)
+        t = pc.fill_null(batch.column("text"), "")
+        h, offs = window_hashes_batch(t, K)
+        n_w = np.diff(offs)
+        doc = np.repeat(batch.column("doc_id").to_numpy(), n_w)
+        tbl = pa.table({"doc_id": pa.array(doc),
+                        "h": pa.array(h.view(np.int64), type=pa.int64()),
+                        "occ": pa.array(np.ones(len(h), dtype=np.int64))})
+        return tbl.group_by(["doc_id", "h"]).aggregate([("occ", "sum")])
+
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = ds.map_batches(pairs, batch_format="pyarrow") \
+            .groupby(["doc_id", "h"]).sum("occ_sum")       # sum(occ_sum)
+    # two consumers below — spill once instead of recomputing the window
+    # pass per consumer or pinning an O(corpus-chars) table in the object
+    # store (same pattern as the minhash signature / simjoin set spills)
+    spill = tempfile.mkdtemp(prefix="subdedup_pairs_", dir="/tmp")
+    agg.write_parquet(spill)
+    agg = rd.read_parquet(spill)
+
+    def flag_shared(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t.column("count()"), 2))
+        return pa.table({"h": keep.column("h"),
+                         "flag": pa.array(
+                             np.ones(keep.num_rows, dtype=np.int8))})
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    shared_h = agg.groupby("h").count() \
+                  .map_batches(flag_shared, batch_format="pyarrow")
+    joined = agg.join(shared_h, "left_outer", nparts, on=("h",))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        occ = batch.column("sum(occ_sum)").to_numpy(zero_copy_only=False) \
+                                          .astype(np.int64)
+        flag = pc.fill_null(batch.column("flag"), 0) \
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "occ": pa.array(occ),
+                      "shared": pa.array(occ * flag)})
+        return t.group_by(["doc_id"]).aggregate(
+            [("occ", "sum"), ("shared", "sum")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nw = batch.column("sum(occ_sum)").to_numpy(zero_copy_only=False) \
+                                         .astype(np.int64)
+        ns = batch.column("sum(shared_sum)").to_numpy(zero_copy_only=False) \
+                                            .astype(np.int64)
+        frac = np.floor(ns / np.maximum(nw, 1) * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_windows": pa.array(nw),
+                         "n_shared": pa.array(ns),
+                         "shared_frac": pa.array(frac)})
+
+    out = joined.map_batches(per_doc, batch_format="pyarrow") \
+                .groupby("doc_id").sum(["occ_sum", "shared_sum"])
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 _DOC_DUP_NGRAMS_SQL = """
     WITH t AS (SELECT doc_id,
                       CASE WHEN length(lower(coalesce(text, ''))) < 5
@@ -2673,7 +2792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": _q_transcript_conv_stats,
         "transcript_role_transitions": _q_transcript_role_transitions,
         "transcript_turn_gaps": _q_transcript_turn_gaps,
+        "turn_dedup": _q_turn_dedup,
         "conv_dedup": _q_conv_dedup,
+        "substring_dedup": _q_substring_dedup,
         "doc_quality": _q_doc_quality,
         "doc_scrub": _q_doc_scrub,
         "doc_tokens": _q_doc_tokens,
@@ -2939,6 +3060,17 @@ def _transcript_turn_gaps_sql() -> str:
     """)
 
 
+def _turn_dedup_sql() -> str:
+    return _transcript_oracle("""
+        WITH f AS (
+          SELECT conv_id, turn_idx,
+            min(turn_idx) OVER (PARTITION BY conv_id, coalesce(text, ''))
+              AS first_idx
+          FROM {src})
+        SELECT conv_id, turn_idx, turn_idx <> first_idx AS is_dup FROM f
+    """)
+
+
 def _conv_dedup_sql() -> str:
     return _transcript_oracle("""
         WITH a AS (
@@ -3090,7 +3222,32 @@ def oracle_sql() -> dict[str, str]:
         "transcript_conv_stats": _transcript_conv_stats_sql(),
         "transcript_role_transitions": _transcript_role_transitions_sql(),
         "transcript_turn_gaps": _transcript_turn_gaps_sql(),
+        "turn_dedup": _turn_dedup_sql(),
         "conv_dedup": _conv_dedup_sql(),
+        "substring_dedup": f"""
+            WITH prepped AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN coalesce(text, '') || chr(10) || '{_PD_B1}'
+                     ELSE coalesce(text, '') END
+                || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_PD_B2}'
+                        ELSE '' END AS text
+              FROM documents),
+            w AS (
+              SELECT doc_id, substring(text, i, 40) AS g
+              FROM prepped,
+                   unnest(generate_series(1, length(text) - 39)) AS u(i)),
+            c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM w GROUP BY g),
+            per AS (
+              SELECT w.doc_id,
+                CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shared
+              FROM w JOIN c ON w.g = c.g GROUP BY w.doc_id)
+            SELECT doc_id, n_windows, n_shared,
+              round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+            FROM per
+        """,
         "orders_price_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_orders,
               CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),

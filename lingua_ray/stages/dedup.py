@@ -76,6 +76,32 @@ def _shingle_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return h[widx] if tot else np.zeros(0, np.uint64), out_offs
 
 
+def window_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-codepoint window hashes per row over the RAW text — no
+    lowercasing, no padding; a row shorter than k contributes zero
+    windows (matching SQL ``generate_series(1, length - k + 1)``).
+
+    Same shape contract as :func:`_shingle_hashes_batch`: returns
+    ``(hashes uint64, offsets int64)`` with row *i*'s windows at
+    ``hashes[offsets[i]:offsets[i+1]]``.  One codepoint decode for the
+    batch, one rolling-hash pass; boundary-straddling windows dropped by
+    index arithmetic.  Used by cross-document substring dedup, where the
+    window string must equal the SQL ``substring()`` byte-for-byte.
+    """
+    from ..textprep import encode_texts
+    cps, offs = encode_texts(texts)
+    lens = np.diff(offs)
+    n_w = np.maximum(lens - k + 1, 0)
+    tot = int(n_w.sum())
+    out_offs = np.concatenate([[0], np.cumsum(n_w)]).astype(np.int64)
+    if tot == 0:
+        return np.zeros(0, np.uint64), out_offs
+    h = rolling_hashes(cps, k)[k - 1]
+    within = np.arange(tot, dtype=np.int64) - np.repeat(out_offs[:-1], n_w)
+    widx = np.repeat(offs[:-1], n_w) + within
+    return h[widx], out_offs
+
+
 def _mix(h: np.ndarray) -> np.ndarray:
     h = (h ^ (h >> np.uint64(30))) * _MIX
     return h ^ (h >> np.uint64(27))

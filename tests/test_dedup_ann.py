@@ -476,3 +476,22 @@ def test_fuzzy_keep_composition(ray_session):
               .rename_columns({"doc_id": "loser_id"}))
     out = anti_join(docs, losers, on="doc_id", right_on="loser_id")
     assert sorted(r["doc_id"] for r in out.take_all()) == [0, 1, 3, 4, 6]
+
+
+def test_window_hashes_batch_raw_semantics():
+    """Raw (case-sensitive, unpadded) window hashes: per-row counts match
+    generate_series semantics, identical substrings hash identically, and
+    rows shorter than k contribute nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.stages.dedup import window_hashes_batch
+
+    texts = pa.chunked_array([pa.array(
+        ["abcdefg", "xyz", "", "abcdefg", "Abcdefg"])])
+    h, offs = window_hashes_batch(texts, 5)
+    assert list(np.diff(offs)) == [3, 0, 0, 3, 3]
+    a, d, e = h[0:3], h[3:6], h[6:9]
+    assert (a == d).all()           # identical text -> identical windows
+    assert a[0] != e[0]             # case-sensitive: 'a...' != 'A...'
+    assert (a[1:] == e[1:]).all()   # shared suffix windows agree

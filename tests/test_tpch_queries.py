@@ -43,7 +43,7 @@ def oracle_con():
                                   "doc_dup_ngrams",
                                   "lineitem_revenue_filter",
                                   "weighted_sample", "embedding_inference",
-                                  "gopher_filter"])
+                                  "gopher_filter", "substring_dedup"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
