@@ -180,3 +180,32 @@ def test_gopher_signals_equal_scalar_fuzzed(texts):
             {w.lower() for w in words} & set(GOPHER_REQUIRED_STOPWORDS))
         assert out.column("n_symbols")[i].as_py() == (
             txt.count("#") + txt.count("…"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(mixed_text(), min_size=1, max_size=8), st.integers(2, 12))
+def test_window_hashes_equality_structure(texts, k):
+    """window_hashes_batch must mirror substring equality exactly: same
+    k-substring -> same hash, per-row window counts match
+    generate_series(1, len-k+1) semantics, and (on fuzz-sized inputs)
+    different substrings never collide."""
+    import pyarrow as pa
+
+    from lingua_ray.stages.dedup import window_hashes_batch
+
+    h, offs = window_hashes_batch(pa.chunked_array([pa.array(
+        texts, type=pa.string())]), k)
+    subs = []
+    for t in texts:
+        subs.extend(t[i:i + k] for i in range(max(len(t) - k + 1, 0)))
+    assert list(np.diff(offs)) == [max(len(t) - k + 1, 0) for t in texts]
+    assert len(h) == len(subs)
+    by_sub: dict[str, int] = {}
+    by_hash: dict[int, str] = {}
+    for s, hv in zip(subs, h.tolist()):
+        if s in by_sub:
+            assert by_sub[s] == hv, "equal substrings must hash equal"
+        by_sub[s] = hv
+        if hv in by_hash:
+            assert by_hash[hv] == s, "collision on fuzz-sized input"
+        by_hash[hv] = s
