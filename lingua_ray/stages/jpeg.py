@@ -1,0 +1,533 @@
+"""Baseline JPEG codec, pure NumPy + stdlib — no external codecs.
+
+Decoder (:func:`decode_jpeg`): baseline/extended-sequential Huffman JPEG
+(SOF0/SOF1) — marker walk, DQT/DHT/SOS parsing, byte-unstuffing with
+restart-marker segmentation, canonical-Huffman entropy decode through a
+16-bit lookahead table, dequantization, and a batched-matmul 2-D IDCT of
+the LUMA plane (chroma blocks are entropy-decoded to keep the bitstream
+in sync but skip the IDCT: the stage's contract is (width, height,
+mean_luma)).  Progressive (SOF2), arithmetic-coded, hierarchical, 12-bit
+and CMYK streams return ``None`` — an honest boundary, not a crash.
+
+Encoder (:func:`encode_jpeg`): the TEST ORACLE (the same encoder-oracle
+pattern as the GIF-LZW round-trip tests) — grayscale or YCbCr 4:4:4 /
+4:2:0, optional restart intervals, orthonormal FDCT, and self-built
+canonical Huffman tables written into DHT (fixed-length code sets: 12 DC
+categories at 4 bits, the 256 run/size symbols at 9-10 bits — valid Huffman
+tables by construction, so the decoder's canonical-code machinery is
+exercised without transcribing the T.81 Annex K code tables).
+
+The per-symbol entropy loop is Python (Huffman decoding is inherently
+bit-serial); throughput is bounded per payload, which is the documented
+trade for a dependency-free decoder.  Reference: ITU-T T.81 §B (syntax),
+§F (sequential DCT decoding); lingua has no image path — this backs the
+multimodal stage family (SURVEY.md extras).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- tables
+
+
+def _zigzag() -> np.ndarray:
+    """Zigzag scan order, generated (not transcribed): zz[k] = raster
+    index of the k-th coefficient in scan order."""
+    order = sorted(((i + j, (j if (i + j) % 2 else i), i, j)
+                    for i in range(8) for j in range(8)))
+    return np.array([i * 8 + j for (_, _, i, j) in order], dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# Annex-K-style luminance table (any positive table is legal — the
+# encoder writes it into DQT and the decoder reads DQT, so correctness
+# never depends on these exact values).
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QCHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    j = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * j + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0, :] = np.sqrt(1 / 8)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-style quality scaling (50 → base table)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+# ----------------------------------------------------------- huffman core
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(symbol -> (code, length)) per T.81 C.2 canonical assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _lookahead_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    """65536-entry (symbol << 5 | length) lookup keyed by the next 16
+    bits — one table probe per Huffman symbol instead of bit-by-bit
+    tree walking."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        lut[lo:hi] = (sym << 5) | length
+    return lut
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    __slots__ = ("data", "n", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        # 3 bytes always cover a 16-bit window at any bit offset
+        chunk = self.data[byte:byte + 3]
+        v = int.from_bytes(chunk + b"\x00" * (3 - len(chunk)), "big")
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise EOFError("entropy segment exhausted")
+        v = self.peek16() >> (16 - k) if k else 0
+        self.pos += k
+        return v
+
+
+def _split_entropy(p: bytes, start: int):
+    """Unstuff 0xFF00 and split at RSTn markers.  Returns a list of
+    segments (DC predictors reset at each boundary)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(p)
+    while i < n:
+        b = p[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = p[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                       # EOI or any other marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_jpeg(p: bytes):
+    """Decode a baseline Huffman JPEG; returns (width, height, mean_luma
+    in [0,1]) or None for streams outside the supported subset."""
+    try:
+        return _decode_jpeg_inner(p)
+    except (EOFError, IndexError, ValueError, KeyError, struct.error):
+        return None
+
+
+def _decode_jpeg_inner(p: bytes):
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, np.ndarray] = {}
+    hac: dict[int, np.ndarray] = {}
+    frame = None
+    dri = 0
+    i = 2
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m == 0xD9:
+            return None             # EOI before SOS
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
+        seg = p[i + 4:i + 2 + seglen]
+        if m == 0xDB:               # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None     # 16-bit tables out of subset
+                tbl = np.frombuffer(seg[j + 1:j + 65],
+                                    dtype=np.uint8).astype(np.int64)
+                raster = np.zeros(64, dtype=np.int64)
+                raster[_ZZ] = tbl
+                qt[tq] = raster
+                j += 65
+        elif m == 0xC4:             # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                (hdc if tc == 0 else hac)[th] = _lookahead_table(bits, vals)
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):     # SOF0 / SOF1 (both Huffman sequential)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None             # progressive/arithmetic/hierarchical
+        elif m == 0xDD:             # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:             # SOS — decode and finish
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            return _decode_scan(p, i + 2 + seglen, frame, sel, qt,
+                                hdc, hac, dri)
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri):
+    comps = frame["comps"]
+    if len(sel) != len(comps):
+        return None                 # multi-scan out of subset
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["dc_lut"], c["ac_lut"] = (hdc[sel[c["id"]][0]],
+                                    hac[sel[c["id"]][1]])
+        c["q"] = qt[c["tq"]]
+        c["pred"] = 0
+    luma = comps[0]
+    bw, bh = mcux * luma["h"], mcuy * luma["v"]   # luma blocks per axis
+    ycoef = np.zeros((bh * bw, 64), dtype=np.int64)
+
+    segs = _split_entropy(p, start)
+    n_mcu = mcux * mcuy
+    per_seg = dri if dri else n_mcu
+    mcu = 0
+    for seg in segs:
+        if mcu >= n_mcu:
+            break
+        br = _BitReader(seg)
+        for c in comps:
+            c["pred"] = 0
+        end = min(n_mcu, mcu + per_seg)
+        while mcu < end:
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(br, c)
+                        if ci == 0:
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            ycoef[row * bw + col] = blk
+            mcu += 1
+    if mcu < n_mcu:
+        return None                 # truncated stream
+
+    # batched 2-D IDCT of the luma plane only
+    blocks = (ycoef * luma["q"]).reshape(-1, 8, 8).astype(np.float64)
+    pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+    plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8))
+    yw = -(-w * luma["h"] // hmax)
+    yh = -(-h * luma["v"] // vmax)
+    plane = np.clip(plane[:yh, :yw], 0.0, 255.0)
+    return w, h, float(plane.mean() / 255.0)
+
+
+def _decode_block(br: _BitReader, c) -> np.ndarray:
+    coef = np.zeros(64, dtype=np.int64)
+    lut = int(c["dc_lut"][br.peek16()])
+    sym, ln = lut >> 5, lut & 31
+    if ln == 0:
+        raise ValueError("invalid DC code")
+    br.pos += ln
+    diff = _extend(br.take(sym), sym)
+    c["pred"] += diff
+    coef[_ZZ[0]] = c["pred"]
+    k = 1
+    ac = c["ac_lut"]
+    while k < 64:
+        lut = int(ac[br.peek16()])
+        sym, ln = lut >> 5, lut & 31
+        if ln == 0:
+            raise ValueError("invalid AC code")
+        br.pos += ln
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                   # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[_ZZ[k]] = _extend(br.take(s), s)
+        k += 1
+    return coef
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)      # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.put(0x7F >> (7 - ((8 - self.nbits) % 8)), (-self.nbits) % 8)
+
+
+def _fixed_tables():
+    """Self-built canonical Huffman tables (see module docstring):
+    DC categories 0-11 at 4 bits, all 256 AC run/size symbols at 9
+    bits."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    # DHT stores one count byte per code length, so 256 symbols cannot
+    # share one length: 255 nine-bit codes + 1 ten-bit code (canonical,
+    # and the max code is never the all-ones pattern)
+    ac_bits = [0] * 8 + [255, 1] + [0] * 6
+    ac_vals = list(range(256))
+    return (dc_bits, dc_vals, _canonical_codes(dc_bits, dc_vals),
+            ac_bits, ac_vals, _canonical_codes(ac_bits, ac_vals))
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    zz = coef[_ZZ]
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """plane (H,W) multiple of 8 → (n_blocks_y, n_blocks_x, 64) quantized
+    coefficients (raster order within block)."""
+    h, w = plane.shape
+    blocks = (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+                   .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+    coef = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T).reshape(-1, 64)
+    qc = np.round(coef / q).astype(np.int64)
+    return qc.reshape(h // 8, w // 8, 64)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Encode (H,W) grayscale or (H,W,3) RGB uint8 to baseline JPEG.
+    ``subsample=True`` uses 4:2:0 chroma (multi-block interleaved MCUs);
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    qy = _scaled_q(_QLUM, quality).astype(np.float64)
+    qc = _scaled_q(_QCHROM, quality).astype(np.float64)
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = img.astype(np.float64)
+        y = rgb @ np.array([0.299, 0.587, 0.114])
+        cb = (rgb @ np.array([-0.168736, -0.331264, 0.5])) + 128.0
+        cr = (rgb @ np.array([0.5, -0.418688, -0.081312])) + 128.0
+        if subsample:
+            pe = _pad_to(cb, 2, 2)
+            cb = pe.reshape(pe.shape[0] // 2, 2,
+                            pe.shape[1] // 2, 2).mean(axis=(1, 3))
+            pe = _pad_to(cr, 2, 2)
+            cr = pe.reshape(pe.shape[0] // 2, 2,
+                            pe.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for pl, (sh, sv), qs in zip(planes, samp, qsel):
+        pl = _pad_to(np.clip(pl, 0, 255), mcuy * sv * 8, mcux * sh * 8)
+        coefs.append(_fdct_quant(pl, qy if qs == 0 else qc))
+
+    dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes = _fixed_tables()
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) +
+        _scaled_q(_QLUM, quality)[_ZZ].astype(np.uint8).tobytes())
+    if not gray:
+        seg(0xDB, bytes([0x01]) +
+            _scaled_q(_QCHROM, quality)[_ZZ].astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for c, (sh, sv) in enumerate(samp):
+        sof += bytes([c + 1, (sh << 4) | sv, qsel[c]])
+    seg(0xC0, sof)
+    for tc_th, (bits, vals) in ((0x00, (dc_bits, dc_vals)),
+                                (0x10, (ac_bits, ac_vals))):
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for c in range(len(planes)):
+        sos += bytes([c + 1, 0x00])   # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    n_mcu = mcux * mcuy
+    rst = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+            rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    blk = coefs[ci][my * sv + by, mx * sh + bx]
+                    raster = np.zeros(64, dtype=np.int64)
+                    raster[:] = blk
+                    preds[ci] = _encode_block(bw, raster, preds[ci],
+                                              dc_codes, ac_codes)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -405,9 +405,11 @@ def decode_image(p: bytes):
     """REAL pure-NumPy decode — PNG (stdlib-zlib inflate + numpy
     unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
-    binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width,
-    height, mean_luma in [0,1]) or None when the payload needs an
-    external codec (JPEG/WEBP/16-bit-or-interlaced PNG/...)."""
+    baseline Huffman JPEG (marker/DQT/DHT parse, canonical-Huffman
+    entropy decode, luma-plane IDCT — :mod:`.jpeg`), binary netpbm
+    (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width, height,
+    mean_luma in [0,1]) or None when the payload needs an external codec
+    (progressive JPEG/WEBP/16-bit-or-interlaced PNG/...)."""
     import struct
     png = _decode_png(p)
     if png is not None:
@@ -415,6 +417,11 @@ def decode_image(p: bytes):
     gif = _decode_gif(p)
     if gif is not None:
         return gif
+    if len(p) >= 2 and p[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        jp = decode_jpeg(p)
+        if jp is not None:
+            return jp
     if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
         hdr = _parse_pnm_header(p)
         if hdr is None:
@@ -456,11 +463,12 @@ class ImageDecoder:
 
     real=True decodes the formats a pure-NumPy + stdlib decoder can
     handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering), GIF
-    first frame (LZW), binary netpbm (P5/P6) and uncompressed 8/24-bit
-    BMP — via :func:`decode_image`, and raises NotImplementedError per
-    payload for the remaining codecs (JPEG/WEBP entropy coding needs
-    PIL/opencv, not installed here; that boundary is the ONLY stubbed
-    part).
+    first frame (LZW), baseline Huffman JPEG (canonical-Huffman entropy
+    decode + luma IDCT, :mod:`.jpeg`), binary netpbm (P5/P6) and
+    uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
+    NotImplementedError per payload for the remaining codecs
+    (progressive/arithmetic JPEG and WEBP need PIL/opencv, not installed
+    here; that boundary is the ONLY stubbed part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
@@ -482,8 +490,8 @@ class ImageDecoder:
                     raise NotImplementedError(
                         f"decoding '{fmt}' payloads needs PIL/opencv "
                         "(unavailable in this environment); only PNG, "
-                        "GIF, netpbm and uncompressed BMP decode "
-                        "without external codecs")
+                        "GIF, baseline JPEG, netpbm and uncompressed "
+                        "BMP decode without external codecs")
                 w[i], h[i], luma[i] = dec
             else:
                 d = hashlib.sha256(p or b"").digest()

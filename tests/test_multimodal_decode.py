@@ -515,3 +515,73 @@ def test_gif_decode_rejects_malformed():
     # frame overflowing the logical screen
     bad = _gif_pixels(idx, palette, frame=(3, 3, 2, 2))
     assert decode_image(bad) is None
+
+
+# ------------------------------------------------------------ JPEG decode
+
+def _jpeg_luma(img: np.ndarray) -> float:
+    f = img.astype(np.float64)
+    if img.ndim == 3:
+        f = f @ np.array([0.299, 0.587, 0.114])
+    return float(f.mean() / 255.0)
+
+
+def test_jpeg_roundtrip_matrix():
+    """Encoder-oracle round trip: gray + RGB, 4:4:4 + 4:2:0, with and
+    without restart intervals, odd (non-MCU-aligned) sizes."""
+    from lingua_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(0)
+    cases = [
+        np.full((16, 16), 200, np.uint8),
+        np.tile(np.linspace(0, 255, 37, dtype=np.uint8), (23, 1)),
+        rng.randint(0, 256, (24, 31, 3)).astype(np.uint8),
+        np.full((10, 7, 3), (30, 180, 90), np.uint8),
+    ]
+    for img in cases:
+        for sub in ([False, True] if img.ndim == 3 else [False]):
+            for ri in (0, 2):
+                p = encode_jpeg(img, quality=90, subsample=sub,
+                                restart_interval=ri)
+                out = decode_image(p)
+                assert out is not None
+                w, h, luma = out
+                assert (w, h) == (img.shape[1], img.shape[0])
+                assert abs(luma - _jpeg_luma(img)) < 0.02
+
+
+def test_jpeg_flat_gray_luma_near_exact():
+    from lingua_ray.stages.jpeg import encode_jpeg
+
+    p = encode_jpeg(np.full((16, 16), 200, np.uint8), quality=90)
+    w, h, luma = decode_image(p)
+    assert (w, h) == (16, 16)
+    assert abs(luma - 200 / 255) < 1e-9
+
+
+def test_jpeg_rejects_out_of_subset():
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    assert decode_jpeg(good) is not None
+    # truncated entropy stream
+    assert decode_jpeg(good[:-20]) is None
+    # progressive (SOF2) marker
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    # not a JPEG at all
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_image_decoder_real_mode_jpeg():
+    from lingua_ray.stages.jpeg import encode_jpeg
+    from lingua_ray.stages.multimodal import ImageDecoder
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    payload = encode_jpeg(img, quality=85, subsample=True)
+    batch = pa.table({"payload": pa.array([payload], pa.binary())})
+    out = ImageDecoder(real=True)(batch)
+    assert out.column("width")[0].as_py() == 13
+    assert out.column("height")[0].as_py() == 17
+    assert abs(out.column("mean_luma")[0].as_py() - _jpeg_luma(img)) < 0.02
