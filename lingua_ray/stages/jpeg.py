@@ -231,6 +231,10 @@ def _decode_jpeg_inner(p: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
+            if w * h > 64_000_000:
+                return None         # same 64 MP guard as the PNG path —
+                                    # reject before allocating coefficient
+                                    # planes for a crafted SOF
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -585,3 +585,29 @@ def test_image_decoder_real_mode_jpeg():
     assert out.column("width")[0].as_py() == 13
     assert out.column("height")[0].as_py() == 17
     assert abs(out.column("mean_luma")[0].as_py() - _jpeg_luma(img)) < 0.02
+
+
+def test_jpeg_fuzz_never_raises():
+    """decode_jpeg returns None (never raises) on garbage, truncations,
+    and bit-flipped corruptions of a valid stream — including a crafted
+    SOF whose dimensions would allocate gigabytes if honored."""
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    for n in (0, 1, 2, 16, 300):
+        decode_jpeg(bytes(rng.randint(0, 256, n, dtype=np.uint8)))
+        decode_jpeg(b"\xff\xd8" + bytes(rng.randint(0, 256, n,
+                                                    dtype=np.uint8)))
+    good = encode_jpeg(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    for cut in range(0, len(good), 37):
+        decode_jpeg(good[:cut])
+    for _ in range(60):
+        b = bytearray(good)
+        b[rng.randint(2, len(b))] ^= 1 << rng.randint(8)
+        decode_jpeg(bytes(b))
+    # 65535x65535 SOF: must reject, not allocate
+    import struct as _s
+    huge = bytearray(good)
+    sof = huge.find(b"\xff\xc0")
+    huge[sof + 5:sof + 9] = _s.pack(">HH", 65535, 65535)
+    assert decode_jpeg(bytes(huge)) is None

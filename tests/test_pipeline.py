@@ -184,3 +184,33 @@ def test_conversation_rollup_matches_pandas(ray_session, transcripts_dir,
     want = turns.groupby("conv_id").apply(roll, include_groups=False) \
         .reset_index().sort_values("conv_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_conversation_rollup_mega_conversation_skew(ray_session):
+    """A conversation far larger than any single block must roll up
+    correctly through the per-block partial path (no whole-group
+    materialization) — the mega-conversation skew case."""
+    import pyarrow as pa
+
+    from lingua_ray.pipelines.quality_filter import conversation_rollup
+
+    ray = ray_session
+    n = 60_000
+    langs = np.where(np.arange(n) % 3 == 0, "de", "en")
+    keep = (np.arange(n) % 4) != 0
+    t = pa.table({
+        "conv_id": pa.array(["mega"] * n + ["tiny"]),
+        "lang": pa.array(list(langs) + ["fr"]),
+        "keep": pa.array(list(keep) + [False]),
+    })
+    ds = ray.data.from_arrow(t).repartition(32)
+    out = conversation_rollup(ds, keep_threshold=0.5).to_pandas() \
+        .set_index("conv_id").sort_index()
+    mega = out.loc["mega"]
+    assert mega["lang"] == "en"            # 2/3 of turns
+    assert mega["n_turns"] == n
+    assert mega["n_keep"] == int(keep.sum())
+    assert bool(mega["conv_keep"]) is True     # 3/4 kept
+    tiny = out.loc["tiny"]
+    assert tiny["lang"] == "fr" and tiny["n_turns"] == 1
+    assert bool(tiny["conv_keep"]) is False
