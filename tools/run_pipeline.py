@@ -36,6 +36,10 @@ def main() -> None:
                     help="hash(conv_id) output partitions")
     ap.add_argument("--skip-order", action="store_true",
                     help="skip the final order-restoring pass")
+    ap.add_argument("--conv-rollup", metavar="DIR", default=None,
+                    help="also write conversation-level verdicts "
+                         "(dominant lang, kept fraction, keep decision) "
+                         "as parquet under DIR")
     args = ap.parse_args()
 
     import ray
@@ -65,6 +69,14 @@ def main() -> None:
     summary = run.run(wave_size=args.wave_size)
     if not args.skip_order:
         summary["ordered_rows"] = run.finalize_ordered()
+    if args.conv_rollup:
+        import ray.data
+
+        from lingua_ray.pipelines.quality_filter import conversation_rollup
+        scored = ray.data.read_parquet(
+            str(run.data_dir), columns=["conv_id", "lang", "keep"])
+        conversation_rollup(scored).write_parquet(args.conv_rollup)
+        summary["conv_rollup_dir"] = args.conv_rollup
     summary["metrics"] = run.metrics_table().to_pylist()
     print(json.dumps(summary, indent=2))
 
