@@ -1931,7 +1931,8 @@ def _q_substring_dedup(sf_dir: str):
                         "occ": pa.array(np.ones(len(h), dtype=np.int64))})
         return tbl.group_by(["doc_id", "h"]).aggregate([("occ", "sum")])
 
-    import tempfile
+    import os
+    import shutil
 
     import ray.data as rd
 
@@ -1940,8 +1941,14 @@ def _q_substring_dedup(sf_dir: str):
             .groupby(["doc_id", "h"]).sum("occ_sum")       # sum(occ_sum)
     # two consumers below — spill once instead of recomputing the window
     # pass per consumer or pinning an O(corpus-chars) table in the object
-    # store (same pattern as the minhash signature / simjoin set spills)
-    spill = tempfile.mkdtemp(prefix="subdedup_pairs_", dir="/tmp")
+    # store.  Per-(sf, pid) path cleared up front, NOT a fresh mkdtemp per
+    # invocation (which would leak a window table into /tmp on every
+    # bench/correctness round — same reasoning as the minhash signature
+    # spill above; the pid suffix keeps concurrent runs apart).
+    spill = (f"/tmp/lingua_ray/subdedup-pairs-{Path(sf_dir).name}"
+             f"-pid{os.getpid()}")
+    shutil.rmtree(spill, ignore_errors=True)
+    os.makedirs(spill, exist_ok=True)
     agg.write_parquet(spill)
     agg = rd.read_parquet(spill)
 

@@ -213,11 +213,6 @@ def conversation_rollup(ds: "ray.data.Dataset",
     import pyarrow.compute as pc
 
     def part(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"conv_id": pa.array([], pa.string()),
-                             "lang": pa.array([], pa.string()),
-                             "n_sum": pa.array([], pa.int64()),
-                             "n_keep_sum": pa.array([], pa.int64())})
         keep = pc.cast(pc.fill_null(batch.column("keep"), False), pa.int64())
         t = pa.table({"conv_id": batch.column("conv_id"),
                       "lang": pc.cast(pc.fill_null(batch.column("lang"),

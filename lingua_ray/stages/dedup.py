@@ -96,7 +96,13 @@ def window_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     out_offs = np.concatenate([[0], np.cumsum(n_w)]).astype(np.int64)
     if tot == 0:
         return np.zeros(0, np.uint64), out_offs
-    h = rolling_hashes(cps, k)[k - 1]
+    # Horner recurrence keeping only the length-k array: at the K=40 this
+    # caller uses, rolling_hashes() would retain all 40 intermediate
+    # arrays (~320 B/codepoint transient) for a single-length lookup.
+    u = cps.astype(np.uint64)
+    h = u
+    for kk in range(2, k + 1):
+        h = h[: len(u) - kk + 1] * HASH_MULT + u[kk - 1:]
     within = np.arange(tot, dtype=np.int64) - np.repeat(out_offs[:-1], n_w)
     widx = np.repeat(offs[:-1], n_w) + within
     return h[widx], out_offs

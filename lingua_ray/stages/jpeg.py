@@ -238,6 +238,9 @@ def _decode_jpeg_inner(p: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    return None     # zero sampling factor: an empty luma
+                                    # plane would yield mean-of-[] = NaN
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}

@@ -62,3 +62,21 @@ def test_cli_multi_language_sections():
     assert "en[0:21]" in lines[0] and "ja[21:32]" in lines[0]
     assert "'日本語のテキストです'" in lines[0]
     assert lines[1].startswith("fr[0:16]")
+
+
+def test_run_pipeline_rejects_keep_only_with_conv_rollup():
+    """--conv-rollup over a keep-filtered output would report
+    keep_frac=1.0 for every surviving conversation; the entry refuses the
+    combination with a clean argparse error (no traceback, no Ray)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    r = subprocess.run(
+        [sys.executable, "tools/run_pipeline.py", "--input", "/tmp/x",
+         "--output", "/tmp/y", "--keep-only", "--conv-rollup", "/tmp/z"],
+        capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parent.parent, timeout=60)
+    assert r.returncode == 2
+    assert "keep-only" in r.stderr
+    assert "Traceback" not in r.stderr

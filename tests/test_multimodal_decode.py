@@ -611,3 +611,19 @@ def test_jpeg_fuzz_never_raises():
     sof = huge.find(b"\xff\xc0")
     huge[sof + 5:sof + 9] = _s.pack(">HH", 65535, 65535)
     assert decode_jpeg(bytes(huge)) is None
+
+
+def test_jpeg_zero_sampling_factor_rejected():
+    """A corrupt SOF with h/v sampling factor 0 must return None, not
+    decode to an empty luma plane whose mean is NaN."""
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    good = encode_jpeg(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    b = bytearray(good)
+    sof = b.find(b"\xff\xc0")
+    b[sof + 11] = 0x00              # luma component h=0, v=0
+    assert decode_jpeg(bytes(b)) is None
+    b2 = bytearray(good)
+    b2[sof + 11] = 0x10             # v=0 only
+    assert decode_jpeg(bytes(b2)) is None

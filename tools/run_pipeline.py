@@ -41,6 +41,13 @@ def main() -> None:
                          "(dominant lang, kept fraction, keep decision) "
                          "as parquet under DIR")
     args = ap.parse_args()
+    if args.conv_rollup and args.keep_only:
+        # the checkpointed output holds only kept rows under --keep-only,
+        # so a rollup over it would report keep_frac=1.0 for every
+        # surviving conversation — refuse instead of emitting nonsense
+        ap.error("--conv-rollup needs the dropped turns' keep flags; "
+                 "run without --keep-only (filter downstream on "
+                 "keep=true instead)")
 
     import ray
     if not ray.is_initialized():
