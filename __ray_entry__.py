@@ -270,6 +270,21 @@ def _q_transcript_turn_gaps(sf_dir: str):
                                             batch_format="pyarrow")
 
 
+def _q_conv_lookup(sf_dir: str):
+    """Point lookup of the mega-conversation's turns — the indexed-access
+    pattern: a pyarrow filter expression pushed into the parquet read, so
+    row groups without the key never leave storage (every other query
+    here scans; a resume/debug workflow reads one conversation).
+    [SQL-verified]"""
+    import pyarrow.dataset as pads
+    import ray.data
+    ds = ray.data.read_parquet(
+        str(_transcripts_for_sf(sf_dir)),
+        columns=["conv_id", "turn_idx", "text"],
+        filter=(pads.field("conv_id") == "conv00000000"))
+    return ds
+
+
 def _q_turn_dedup(sf_dir: str):
     """Repeated-turn flagging within each conversation: a turn is a
     duplicate if an earlier turn (smaller turn_idx) of the SAME
@@ -2799,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": _q_transcript_conv_stats,
         "transcript_role_transitions": _q_transcript_role_transitions,
         "transcript_turn_gaps": _q_transcript_turn_gaps,
+        "conv_lookup": _q_conv_lookup,
         "turn_dedup": _q_turn_dedup,
         "conv_dedup": _q_conv_dedup,
         "substring_dedup": _q_substring_dedup,
@@ -3229,6 +3245,10 @@ def oracle_sql() -> dict[str, str]:
         "transcript_conv_stats": _transcript_conv_stats_sql(),
         "transcript_role_transitions": _transcript_role_transitions_sql(),
         "transcript_turn_gaps": _transcript_turn_gaps_sql(),
+        "conv_lookup": _transcript_oracle("""
+            SELECT conv_id, turn_idx, text FROM {src}
+            WHERE conv_id = 'conv00000000'
+        """),
         "turn_dedup": _turn_dedup_sql(),
         "conv_dedup": _conv_dedup_sql(),
         "substring_dedup": f"""

@@ -16,6 +16,7 @@ NAMES = [
     "transcript_conv_stats",
     "transcript_role_transitions",
     "transcript_turn_gaps",
+    "conv_lookup",
     "turn_dedup",
     "conv_dedup",
 ]
