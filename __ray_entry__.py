@@ -2140,7 +2140,11 @@ def _q_doc_length_minmax_by_lang(sf_dir: str):
         rng = hi - lo
         norm = np.where(rng > 0, (v - lo) / np.where(rng > 0, rng, 1.0),
                         0.0)
-        return batch.append_column("norm", pa.array(np.round(norm, 6)))
+        # half-AWAY rounding to match DuckDB round(): np.round is half-to-
+        # even and diverges on exactly-representable x.xxxxxx5 values
+        # (e.g. 97/128 — caught by the sf0.1 gate, invisible at sf0.01)
+        return batch.append_column(
+            "norm", pa.array(np.floor(norm * 1e6 + 0.5) / 1e6))
 
     return ds.map_batches(attach, batch_format="pyarrow")
 

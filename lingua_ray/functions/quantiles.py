@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..stages.util import round_half_away
+
 
 def quantile_hist_batch(batch: pa.Table, key_col: str,
                         value_col: str) -> pa.Table:
@@ -184,7 +186,7 @@ def percent_rank_column(ds, value_col: str, out_col: str = "pct"):
     def attach(batch: pa.Table) -> pa.Table:
         v_arr, b_arr = ray.get(ref)
         x = batch.column(value_col).to_numpy().astype(np.int64)
-        pct = np.round(b_arr[np.searchsorted(v_arr, x)] / denom, 6)
+        pct = round_half_away(b_arr[np.searchsorted(v_arr, x)] / denom)
         return batch.append_column(out_col, pa.array(pct))
 
     return ds.map_batches(attach, batch_format="pyarrow")

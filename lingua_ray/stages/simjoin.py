@@ -81,7 +81,7 @@ import pyarrow as pa
 import ray
 
 from .dedup import _shingle_hashes_batch
-from .util import set_column
+from .util import round_half_away, set_column
 
 __all__ = ["jaccard_similarity_join", "shingle_set_batch"]
 
@@ -345,7 +345,7 @@ def _verify_broadcast(sets_ref, threshold: float, id_col: str):
         return pa.table({         # round only the reported column
             id_col: pa.array(doc[keep], type=pa.int64()),
             "dup_of": pa.array(dup_of[keep], type=pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 6),
+            "jaccard": pa.array(round_half_away(jac[keep]),
                                 type=pa.float64())})
     return verify
 
@@ -493,7 +493,7 @@ def jaccard_similarity_join(docs, threshold: float = 0.8, k: int = 5,
     out = out.filter(expr=f"jaccard >= {threshold!r}")
 
     def round_report(batch: pa.Table) -> pa.Table:
-        jac = np.round(batch.column("jaccard").to_numpy(), 6)
+        jac = round_half_away(batch.column("jaccard").to_numpy())
         return set_column(batch, "jaccard",
                           pa.array(jac, type=pa.float64()))
 

@@ -15,6 +15,19 @@ def md5_hex_ranks(ids) -> list[str]:
     return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
 
 
+def round_half_away(x, ndigits: int = 6):
+    """DuckDB ``round()`` parity: half AWAY from zero.  ``np.round`` is
+    half-to-even and silently diverges from every [SQL-verified] oracle
+    whenever the unrounded value is an exactly-representable
+    x.xxxxxx5 — which ratios with small power-of-two denominators
+    (97/128, i/2^k unions, b/2^k ranks) actually produce (caught live by
+    the sf0.1 gate on min-max normalization)."""
+    import numpy as np
+    s = 10.0 ** ndigits
+    v = np.asarray(x, dtype=np.float64) * s
+    return np.sign(v) * np.floor(np.abs(v) + 0.5) / s
+
+
 def utf8_filled(col) -> pa.Array:
     """Text column with nulls as '' — tolerating the NULL-TYPED blocks
     Ray Data emits when every value in a block is null (fill_null has no
