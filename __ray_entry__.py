@@ -1944,7 +1944,14 @@ def _q_substring_dedup(sf_dir: str):
         tbl = pa.table({"doc_id": pa.array(doc),
                         "h": pa.array(h.view(np.int64), type=pa.int64()),
                         "occ": pa.array(np.ones(len(h), dtype=np.int64))})
-        return tbl.group_by(["doc_id", "h"]).aggregate([("occ", "sum")])
+        # one row per doc in the source table, so this per-block group_by
+        # IS the global (doc_id, h) occurrence count — a pair can never
+        # span blocks and there is no cross-block merge to do.  (The Ray
+        # groupby that used to follow shuffled 1.3M nearly-all-distinct
+        # keys and cost 169 s at sf0.1 for work this Arrow kernel
+        # finishes in 0.2 s.)
+        g = tbl.group_by(["doc_id", "h"]).aggregate([("occ", "sum")])
+        return g.rename_columns(["doc_id", "h", "occ"])
 
     import os
     import shutil
@@ -1952,8 +1959,7 @@ def _q_substring_dedup(sf_dir: str):
     import ray.data as rd
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    agg = ds.map_batches(pairs, batch_format="pyarrow") \
-            .groupby(["doc_id", "h"]).sum("occ_sum")       # sum(occ_sum)
+    agg = ds.map_batches(pairs, batch_format="pyarrow")
     # two consumers below — spill once instead of recomputing the window
     # pass per consumer or pinning an O(corpus-chars) table in the object
     # store.  Per-(sf, pid) path cleared up front, NOT a fresh mkdtemp per
@@ -1979,8 +1985,8 @@ def _q_substring_dedup(sf_dir: str):
     joined = agg.join(shared_h, "left_outer", nparts, on=("h",))
 
     def per_doc(batch: pa.Table) -> pa.Table:
-        occ = batch.column("sum(occ_sum)").to_numpy(zero_copy_only=False) \
-                                          .astype(np.int64)
+        occ = batch.column("occ").to_numpy(zero_copy_only=False) \
+                                 .astype(np.int64)
         flag = pc.fill_null(batch.column("flag"), 0) \
                  .to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table({"doc_id": batch.column("doc_id"),
