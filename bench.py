@@ -139,7 +139,7 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "embedding_inference",
                      # late-round-3 transcript-table operators
                      "transcript_scrub", "transcript_conv_stats",
-                     "conv_dedup"]
+                     "conv_dedup", "turn_dedup", "substring_dedup"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
