@@ -1286,6 +1286,34 @@ def _q_dedup_incremental(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def _q_dedup_indexed(sf_dir: str):
+    """Persistent-index variant of dedup_incremental — the CROSS-RUN
+    production shape: the base half's fingerprints are built ONCE into a
+    bucket-partitioned on-disk index (stages/dedup_index.py) and the new
+    half dedups against it with a partition-pruned read; the base corpus
+    is never rescanned (or re-fingerprinted) per increment.  Identical
+    output and oracle as dedup_incremental.  [SQL-verified]"""
+    import os
+
+    from lingua_ray.stages.dedup_index import (build_fingerprint_index,
+                                               dedup_against_index)
+
+    def _parity(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "parity", pa.array((did % 2).astype("int32")))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    planted = docs.map_batches(_di_plant, batch_format="pyarrow") \
+                  .map_batches(_parity, batch_format="pyarrow")
+    index_dir = (f"/tmp/lingua_ray/fp-index-{Path(sf_dir).name}"
+                 f"-pid{os.getpid()}")
+    build_fingerprint_index(planted.filter(expr="parity == 0"), index_dir)
+    out = dedup_against_index(planted.filter(expr="parity == 1"),
+                              index_dir)
+    return out.select_columns(["doc_id"])
+
+
 def _dedup_incremental_sql() -> str:
     return f"""
     WITH prepped AS (
@@ -2852,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "dedup_indexed": _q_dedup_indexed,
         "dedup_jaccard": _q_dedup_jaccard,
         "lang_hist": _q_lang_hist,
         "source_stats": _q_source_stats,
@@ -3200,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": _PRICE_BANDS_SQL,
         "orders_price_bands_bucketed": _PRICE_BANDS_SQL,
         "dedup_incremental": _dedup_incremental_sql(),
+        "dedup_indexed": _dedup_incremental_sql(),
         "dedup_incremental_bloom": _dedup_incremental_sql(),
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_top_spenders": _EVENTS_TOP_SPENDERS_SQL,
