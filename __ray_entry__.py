@@ -1314,6 +1314,33 @@ def _q_dedup_indexed(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_neardup_indexed(sf_dir: str):
+    """Near-duplicate probe against the persisted MinHash-LSH index: the
+    even half's band/signature index is built once on disk; the odd half
+    probes it reading only touched band + signature buckets (directory
+    pruning twice) — cross-run NEAR-dedup without rescanning history.
+    [rows-only — MinHash estimation is not SQL; planted-edit pytest
+    oracle in test_dedup_index.py; the exact-threshold twin semantics
+    are SQL-verified via dedup_jaccard]"""
+    import os
+
+    from lingua_ray.stages.dedup_index import (build_minhash_index,
+                                               neardup_against_index)
+
+    def _parity(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "parity", pa.array((did % 2).astype("int32")))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_parity, batch_format="pyarrow")
+    index_dir = (f"/tmp/lingua_ray/mh-index-{Path(sf_dir).name}"
+                 f"-pid{os.getpid()}")
+    build_minhash_index(docs.filter(expr="parity == 0"), index_dir)
+    return neardup_against_index(docs.filter(expr="parity == 1"),
+                                 index_dir, threshold=0.5)
+
+
 def _dedup_incremental_sql() -> str:
     return f"""
     WITH prepped AS (
@@ -2948,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": _q_seq_packing,
         "seq_packing_by_lang": _q_seq_packing_by_lang,
         "dedup_minhash": _q_dedup_minhash,
+        "neardup_indexed": _q_neardup_indexed,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
         "simhash": _q_simhash,

@@ -90,6 +90,167 @@ def dedup_against_index(ds, index_dir: str, n_buckets: int = 64,
     return out.drop_columns(["fp64", "bucket"])
 
 
+def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
+                        num_bands: int = 16, n_buckets: int = 64,
+                        k: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Persist a NEAR-duplicate lookup index: MinHash signatures (hive-
+    partitioned by ``sbucket = id mod n_buckets``) plus LSH band rows
+    (partitioned by ``bucket = band_hash mod n_buckets``).  One signature
+    pass; the band expansion re-reads the persisted signatures instead of
+    recomputing or pinning them.  Replaces any existing index."""
+    import shutil
+    from pathlib import Path
+
+    import ray.data
+
+    from .dedup import lsh_band_batch, minhash_signature_batch
+
+    out = Path(index_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    (out / "sigs").mkdir(parents=True, exist_ok=True)
+
+    def tag_sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sb = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        from .util import set_column
+        return set_column(batch, "sbucket", pa.array(sb))
+
+    sig = ds.map_batches(
+        minhash_signature_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "num_perm": num_perm, "k": k})
+    sig.map_batches(tag_sig, batch_format="pyarrow") \
+       .select_columns([id_col, "minhash", "sbucket"]) \
+       .write_parquet(str(out / "sigs"), partition_cols=["sbucket"])
+
+    def band_bucket(batch: pa.Table) -> pa.Table:
+        b = lsh_band_batch(batch, id_col=id_col, num_bands=num_bands)
+        bh = b.column("band_hash").to_numpy().astype(np.int64)
+        bk = (bh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bk))
+
+    ray.data.read_parquet(str(out / "sigs"),
+                          columns=[id_col, "minhash"]) \
+        .map_batches(band_bucket, batch_format="pyarrow") \
+        .write_parquet(str(out / "bands"), partition_cols=["bucket"])
+
+
+def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
+                          num_perm: int = 64, num_bands: int = 16,
+                          n_buckets: int = 64, k: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Near-duplicate pairs between a (small) probe batch and the indexed
+    history: (id, dup_of, est_jaccard) with estimated Jaccard — the
+    fraction of equal minhash components — ≥ ``threshold``.
+
+    The historical corpus is never rescanned: only the band buckets the
+    probe's band hashes touch and the signature buckets of surviving
+    candidates are read (directory pruning both times).  The probe
+    batch's signatures are collected and broadcast via ``ray.put`` — it
+    is the bounded small side by assumption, exactly like the broadcast
+    path of ``verify_minhash_candidates``."""
+    from pathlib import Path
+
+    import ray
+    import ray.data
+
+    from .dedup import lsh_band_batch, minhash_signature_batch
+
+    out = Path(index_dir)
+    new_sig = ds.map_batches(
+        minhash_signature_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "num_perm": num_perm, "k": k}) \
+        .select_columns([id_col, "minhash"]).materialize()
+
+    new_ids, new_mat = [], []
+    for t in new_sig.iter_batches(batch_format="pyarrow"):
+        new_ids.extend(t.column(id_col).to_pylist())
+        if t.num_rows:
+            flat = t.column("minhash").combine_chunks().flatten()
+            new_mat.append(flat.to_numpy(zero_copy_only=False)
+                           .astype(np.uint64).reshape(-1, num_perm))
+    if not new_ids:
+        return _empty_pairs(id_col)
+    new_mat = np.concatenate(new_mat)
+    pos_of = {i: j for j, i in enumerate(new_ids)}
+    sig_ref = ray.put((pos_of, new_mat))
+
+    bands = new_sig.map_batches(
+        lsh_band_batch, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "num_bands": num_bands})
+    touched = set()
+    for t in bands.select_columns(["band_hash"]).iter_batches(
+            batch_format="pyarrow"):
+        bh = t.column("band_hash").to_numpy().astype(np.int64)
+        touched.update(
+            (bh.view(np.uint64) % np.uint64(n_buckets)).tolist())
+    paths = [str(f) for b in sorted(touched)
+             for f in sorted((out / "bands"
+                              / f"bucket={int(b)}").glob("*.parquet"))]
+    if not paths:
+        return _empty_pairs(id_col)
+    idx_bands = ray.data.read_parquet(paths,
+                                      columns=["band", "band_hash", id_col])
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    cand = bands.join(idx_bands, "inner", nparts,
+                      on=("band", "band_hash"), right_suffix="_old")
+    old_col = f"{id_col}_old"
+    # distinct candidate pairs; volume is bounded by the probe batch's
+    # bucket collisions, so this groupby is small by construction
+    cand = cand.select_columns([id_col, old_col]) \
+               .groupby([id_col, old_col]).count() \
+               .select_columns([id_col, old_col])
+
+    old_ids = set()
+    for t in cand.select_columns([old_col]).iter_batches(
+            batch_format="pyarrow"):
+        old_ids.update(t.column(old_col).to_pylist())
+    if not old_ids:
+        return _empty_pairs(id_col)
+    sbuckets = sorted({int(np.uint64(np.int64(i)) % np.uint64(n_buckets))
+                       for i in old_ids})
+    sig_paths = [str(f) for b in sbuckets
+                 for f in sorted((out / "sigs"
+                                  / f"sbucket={b}").glob("*.parquet"))]
+    from .dedup import sig_to_binary_batch
+
+    # large_binary re-encode: Acero joins reject fixed_size_list payloads
+    old_sigs = ray.data.read_parquet(sig_paths,
+                                     columns=[id_col, "minhash"]) \
+        .map_batches(sig_to_binary_batch, batch_format="pyarrow") \
+        .rename_columns({id_col: old_col, "minhash": "minhash_old"})
+    joined = cand.join(old_sigs, "inner", nparts,
+                       on=(old_col,))
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        from .dedup import _sig_matrix
+        pos, mat = ray.get(sig_ref)
+        new_idx = np.array([pos[i] for i in
+                            batch.column(id_col).to_pylist()])
+        old_mat = _sig_matrix(batch.column("minhash_old"))
+        est = (mat[new_idx] == old_mat).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            "dup_of": batch.column(old_col).filter(pa.array(keep)),
+            "est_jaccard": pa.array(est[keep])})
+
+    return joined.map_batches(estimate, batch_format="pyarrow")
+
+
+def _empty_pairs(id_col: str):
+    import ray.data
+    return ray.data.from_arrow(pa.table(
+        {id_col: pa.array([], pa.int64()),
+         "dup_of": pa.array([], pa.int64()),
+         "est_jaccard": pa.array([], pa.float64())}))
+
+
 def append_to_index(ds, index_dir: str, n_buckets: int = 64,
                     text_col: str = "text") -> None:
     """Add new documents' fingerprints to an existing index — new files

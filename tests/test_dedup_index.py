@@ -78,3 +78,54 @@ def test_probe_reads_only_touched_buckets(corpus, monkeypatch):
     buckets = {p.split("bucket=")[1].split("/")[0]
                for p in read if "bucket=" in p}
     assert len(buckets) == 1        # one doc -> one touched bucket
+
+
+@pytest.fixture()
+def minhash_index(ray_session, tmp_path):
+    from lingua_ray.stages.dedup_index import build_minhash_index
+
+    ray = ray_session
+    rng = np.random.RandomState(11)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+             "adipiscing", "elit", "sed", "do", "eiusmod", "tempor"]
+    base_texts = [" ".join(rng.choice(words, 30)) for _ in range(120)]
+    base = ray.data.from_arrow(_table(range(120), base_texts))
+    idx_dir = str(tmp_path / "mh-index")
+    build_minhash_index(base, idx_dir, num_perm=64, num_bands=16,
+                        n_buckets=32)
+    return ray, base_texts, idx_dir
+
+
+def test_neardup_probe_finds_planted_edits(minhash_index):
+    """Probe docs that are one-word edits of indexed docs must surface as
+    (probe, base) pairs with high estimated Jaccard; fresh docs must
+    not match anything."""
+    from lingua_ray.stages.dedup_index import neardup_against_index
+
+    ray, base_texts, idx_dir = minhash_index
+    edited = [t.replace(t.split()[0], "EDITED", 1) for t in base_texts[:5]]
+    fresh = [f"totally new probe content number {i} xyzzy" for i in range(5)]
+    probe = ray.data.from_arrow(_table(range(500, 510), edited + fresh))
+    out = neardup_against_index(probe, idx_dir, threshold=0.5,
+                                num_perm=64, num_bands=16,
+                                n_buckets=32).to_pandas()
+    got = {(r.doc_id, r.dup_of) for r in out.itertuples()}
+    for i in range(5):
+        assert (500 + i, i) in got, (i, sorted(got))
+    assert all(d < 505 for d, _ in got), "fresh probes must not match"
+    assert (out["est_jaccard"] >= 0.5).all()
+
+
+def test_neardup_probe_empty_and_no_match_paths(minhash_index):
+    from lingua_ray.stages.dedup_index import neardup_against_index
+
+    ray, _, idx_dir = minhash_index
+    none = ray.data.from_arrow(_table([], []))
+    assert neardup_against_index(none, idx_dir, num_perm=64,
+                                 num_bands=16, n_buckets=32).count() == 0
+    unrelated = ray.data.from_arrow(_table(
+        [900], ["qwerty uiop asdf ghjkl zxcv bnm unrelated probe"]))
+    out = neardup_against_index(unrelated, idx_dir, threshold=0.5,
+                                num_perm=64, num_bands=16,
+                                n_buckets=32)
+    assert out.count() == 0
