@@ -43,7 +43,8 @@ def oracle_con():
                                   "doc_dup_ngrams",
                                   "lineitem_revenue_filter",
                                   "weighted_sample", "embedding_inference",
-                                  "gopher_filter", "substring_dedup"])
+                                  "gopher_filter", "substring_dedup",
+                                  "dedup_indexed"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
