@@ -243,6 +243,43 @@ def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
     return joined.map_batches(estimate, batch_format="pyarrow")
 
 
+def append_to_minhash_index(ds, index_dir: str, num_perm: int = 64,
+                            num_bands: int = 16, n_buckets: int = 64,
+                            k: int = 5, text_col: str = "text",
+                            id_col: str = "doc_id") -> None:
+    """Add new documents to an existing MinHash index: one signature
+    pass, new files appended inside the existing sig/band bucket
+    directories.  Same crash-retry contract as :func:`append_to_index`
+    — duplicate rows only add redundant candidates, never wrong ones."""
+    from pathlib import Path
+
+    from .dedup import lsh_band_batch, minhash_signature_batch
+    from .util import set_column
+
+    out = Path(index_dir)
+    sig = ds.map_batches(
+        minhash_signature_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "num_perm": num_perm, "k": k}) \
+        .select_columns([id_col, "minhash"]).materialize()
+
+    def tag_sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sb = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return set_column(batch, "sbucket", pa.array(sb))
+
+    sig.map_batches(tag_sig, batch_format="pyarrow") \
+       .write_parquet(str(out / "sigs"), partition_cols=["sbucket"])
+
+    def band_bucket(batch: pa.Table) -> pa.Table:
+        b = lsh_band_batch(batch, id_col=id_col, num_bands=num_bands)
+        bh = b.column("band_hash").to_numpy().astype(np.int64)
+        bk = (bh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bk))
+
+    sig.map_batches(band_bucket, batch_format="pyarrow") \
+       .write_parquet(str(out / "bands"), partition_cols=["bucket"])
+
+
 def _empty_pairs(id_col: str):
     import ray.data
     return ray.data.from_arrow(pa.table(

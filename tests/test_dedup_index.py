@@ -129,3 +129,23 @@ def test_neardup_probe_empty_and_no_match_paths(minhash_index):
                                 num_perm=64, num_bands=16,
                                 n_buckets=32)
     assert out.count() == 0
+
+
+def test_minhash_append_then_probe_finds_new_history(minhash_index):
+    """Appending an increment to the MinHash index makes later probes
+    match near-copies of the APPENDED docs too."""
+    from lingua_ray.stages.dedup_index import (append_to_minhash_index,
+                                               neardup_against_index)
+
+    ray, _, idx_dir = minhash_index
+    inc = ["purple monkey dishwasher random increment doc " * 3 + str(i)
+           for i in range(3)]
+    append_to_minhash_index(
+        ray.data.from_arrow(_table(range(600, 603), inc)),
+        idx_dir, num_perm=64, num_bands=16, n_buckets=32)
+    probe_text = inc[1].replace("purple", "EDITED", 1)
+    out = neardup_against_index(
+        ray.data.from_arrow(_table([700], [probe_text])),
+        idx_dir, threshold=0.5, num_perm=64, num_bands=16,
+        n_buckets=32).to_pandas()
+    assert 601 in set(out["dup_of"])
