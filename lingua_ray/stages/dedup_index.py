@@ -90,6 +90,25 @@ def dedup_against_index(ds, index_dir: str, n_buckets: int = 64,
     return out.drop_columns(["fp64", "bucket"])
 
 
+def _tag_sig_batch(batch: pa.Table, n_buckets: int,
+                   id_col: str) -> pa.Table:
+    """Append ``sbucket = id mod n_buckets`` to a signature batch."""
+    from .util import set_column
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    sb = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+    return set_column(batch, "sbucket", pa.array(sb))
+
+
+def _band_bucket_batch(batch: pa.Table, num_bands: int, n_buckets: int,
+                       id_col: str) -> pa.Table:
+    """LSH band expansion + ``bucket = band_hash mod n_buckets``."""
+    from .dedup import lsh_band_batch
+    b = lsh_band_batch(batch, id_col=id_col, num_bands=num_bands)
+    bh = b.column("band_hash").to_numpy().astype(np.int64)
+    bk = (bh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+    return b.append_column("bucket", pa.array(bk))
+
+
 def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
                         num_bands: int = 16, n_buckets: int = 64,
                         k: int = 5, text_col: str = "text",
@@ -104,34 +123,26 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
 
     import ray.data
 
-    from .dedup import lsh_band_batch, minhash_signature_batch
+    from .dedup import minhash_signature_batch
 
     out = Path(index_dir)
     shutil.rmtree(out, ignore_errors=True)
     (out / "sigs").mkdir(parents=True, exist_ok=True)
 
-    def tag_sig(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy().astype(np.int64)
-        sb = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        from .util import set_column
-        return set_column(batch, "sbucket", pa.array(sb))
-
     sig = ds.map_batches(
         minhash_signature_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "num_perm": num_perm, "k": k})
-    sig.map_batches(tag_sig, batch_format="pyarrow") \
+    sig.map_batches(_tag_sig_batch, batch_format="pyarrow",
+                    fn_kwargs={"n_buckets": n_buckets, "id_col": id_col}) \
        .select_columns([id_col, "minhash", "sbucket"]) \
        .write_parquet(str(out / "sigs"), partition_cols=["sbucket"])
 
-    def band_bucket(batch: pa.Table) -> pa.Table:
-        b = lsh_band_batch(batch, id_col=id_col, num_bands=num_bands)
-        bh = b.column("band_hash").to_numpy().astype(np.int64)
-        bk = (bh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        return b.append_column("bucket", pa.array(bk))
-
     ray.data.read_parquet(str(out / "sigs"),
                           columns=[id_col, "minhash"]) \
-        .map_batches(band_bucket, batch_format="pyarrow") \
+        .map_batches(_band_bucket_batch, batch_format="pyarrow",
+                     fn_kwargs={"num_bands": num_bands,
+                                "n_buckets": n_buckets,
+                                "id_col": id_col}) \
         .write_parquet(str(out / "bands"), partition_cols=["bucket"])
 
 
@@ -253,8 +264,7 @@ def append_to_minhash_index(ds, index_dir: str, num_perm: int = 64,
     — duplicate rows only add redundant candidates, never wrong ones."""
     from pathlib import Path
 
-    from .dedup import lsh_band_batch, minhash_signature_batch
-    from .util import set_column
+    from .dedup import minhash_signature_batch
 
     out = Path(index_dir)
     sig = ds.map_batches(
@@ -262,21 +272,14 @@ def append_to_minhash_index(ds, index_dir: str, num_perm: int = 64,
         fn_kwargs={"text_col": text_col, "num_perm": num_perm, "k": k}) \
         .select_columns([id_col, "minhash"]).materialize()
 
-    def tag_sig(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy().astype(np.int64)
-        sb = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        return set_column(batch, "sbucket", pa.array(sb))
-
-    sig.map_batches(tag_sig, batch_format="pyarrow") \
+    sig.map_batches(_tag_sig_batch, batch_format="pyarrow",
+                    fn_kwargs={"n_buckets": n_buckets, "id_col": id_col}) \
        .write_parquet(str(out / "sigs"), partition_cols=["sbucket"])
 
-    def band_bucket(batch: pa.Table) -> pa.Table:
-        b = lsh_band_batch(batch, id_col=id_col, num_bands=num_bands)
-        bh = b.column("band_hash").to_numpy().astype(np.int64)
-        bk = (bh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        return b.append_column("bucket", pa.array(bk))
-
-    sig.map_batches(band_bucket, batch_format="pyarrow") \
+    sig.map_batches(_band_bucket_batch, batch_format="pyarrow",
+                    fn_kwargs={"num_bands": num_bands,
+                               "n_buckets": n_buckets,
+                               "id_col": id_col}) \
        .write_parquet(str(out / "bands"), partition_cols=["bucket"])
 
 
