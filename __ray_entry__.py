@@ -2419,6 +2419,45 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
+def _q_linear_probe_stats(sf_dir: str):
+    """Distributed model-fitting sufficient statistics: each block of the
+    embeddings table collapses to X^T X (i, j, v) + X^T y (i, -1, v)
+    rows; the global exchange sums ~d² keys.  The rounded aggregate is
+    hash-checked against DuckDB's unnest self-join — the distributed
+    PART of training a linear quality probe; the (d × d) driver solve is
+    the rows-only twin (linear_probe_train).  [SQL-verified]"""
+    from lingua_ray.stages.inference import linear_stats_batch
+    from lingua_ray.stages.util import round_half_away
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    agg = ds.map_batches(linear_stats_batch, batch_format="pyarrow") \
+            .groupby(["i", "j"]).sum("v")
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "i": batch.column("i"), "j": batch.column("j"),
+            "v": pa.array(round_half_away(
+                batch.column("sum(v)").to_numpy(zero_copy_only=False)))})
+
+    return agg.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_linear_probe_train(sf_dir: str):
+    """End-to-end distributed ridge fit over the embeddings table:
+    sufficient statistics aggregated cluster-wide, normal equations
+    solved once on the driver, weights returned as (i, weight) rows.
+    [rows-only — the matrix solve is not SQL; numpy closed-form oracle
+    in test_inference.py; the aggregation feeding it IS SQL-verified via
+    linear_probe_stats]"""
+    from lingua_ray.stages.inference import fit_ridge
+
+    dim = len(_query_vector(sf_dir))
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    w = fit_ridge(ds, dim, l2=1.0)
+    return pa.table({"i": pa.array(np.arange(dim, dtype=np.int32)),
+                     "weight": pa.array(np.round(w, 6))})
+
+
 def _q_accuracy_report(sf_dir: str):
     """The reference's accuracyReport batch job as a Ray pipeline over the
     FULL 79-language × 3-category corpus in BOTH accuracy modes: one row
@@ -2919,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _q_corpus_mix,
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_centroid_by_label": _q_embedding_centroid_by_label,
+        "linear_probe_stats": _q_linear_probe_stats,
         "events_last_per_user": _q_events_last_per_user,
         "events_value_salted": _q_events_value_salted,
         "orders_price_quantiles": _q_orders_price_quantiles,
@@ -2976,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing_by_lang": _q_seq_packing_by_lang,
         "dedup_minhash": _q_dedup_minhash,
         "neardup_indexed": _q_neardup_indexed,
+        "linear_probe_train": _q_linear_probe_train,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
         "simhash": _q_simhash,
@@ -3307,6 +3348,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
         """,
         "conversations_assembled": _conversations_assembled_sql(),
+        "linear_probe_stats": """
+            WITH flat AS (
+              SELECT vec_id, label,
+                     CAST(unnest(embedding) AS DOUBLE) AS e,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS i
+              FROM embeddings)
+            SELECT a.i AS i, b.i AS j, round(SUM(a.e * b.e), 6) AS v
+            FROM flat a JOIN flat b USING (vec_id)
+            GROUP BY a.i, b.i
+            UNION ALL
+            SELECT i, CAST(-1 AS INTEGER) AS j,
+                   round(SUM(e * label), 6) AS v
+            FROM flat GROUP BY i
+        """,
         "transcript_scrub": _transcript_scrub_sql(),
         "transcript_role_stats": _transcript_role_stats_sql(),
         "transcript_tool_usage": _transcript_tool_usage_sql(),

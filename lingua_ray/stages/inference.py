@@ -85,3 +85,53 @@ def score_embeddings(ds, dim: int, bias: float = 0.1,
                                            keep_above))
         out = out.map_batches(keep, batch_format="pyarrow")
     return out
+
+
+def linear_stats_batch(batch: pa.Table, col: str = "embedding",
+                       label_col: str = "label") -> pa.Table:
+    """Per-block sufficient statistics for a linear least-squares fit:
+    (i, j, v) rows of the block's X^T X plus (i, j=-1, v) rows of
+    X^T y.
+
+    This is how model FITTING distributes at corpus scale: each block
+    collapses to d^2 + d numbers no matter how many rows it holds, the
+    global exchange is a (i, j)-keyed sum over ~d^2 keys, and the solve
+    happens once on the driver (:func:`fit_ridge`).  At 100 TB the
+    training pass is one streaming map + a KB-sized aggregation.
+    """
+    if batch.num_rows == 0:
+        return pa.table({"i": pa.array([], pa.int32()),
+                         "j": pa.array([], pa.int32()),
+                         "v": pa.array([], pa.float64())})
+    x = _embedding_matrix(batch, col)
+    y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+    d = x.shape[1]
+    xtx = x.T @ x
+    xty = x.T @ y
+    i = np.concatenate([np.repeat(np.arange(d, dtype=np.int32), d),
+                        np.arange(d, dtype=np.int32)])
+    j = np.concatenate([np.tile(np.arange(d, dtype=np.int32), d),
+                        np.full(d, -1, dtype=np.int32)])
+    v = np.concatenate([xtx.ravel(), xty])
+    return pa.table({"i": pa.array(i), "j": pa.array(j),
+                     "v": pa.array(v)})
+
+
+def fit_ridge(ds, dim: int, l2: float = 0.0, col: str = "embedding",
+              label_col: str = "label") -> np.ndarray:
+    """Distributed ridge regression via the normal equations:
+    ``w = (X^T X + l2·I)^-1 X^T y`` with the sufficient statistics
+    aggregated across the cluster (see :func:`linear_stats_batch`) and
+    the (d × d) solve on the driver.  Returns the weight vector."""
+    stats = ds.map_batches(linear_stats_batch, batch_format="pyarrow",
+                           fn_kwargs={"col": col, "label_col": label_col}) \
+              .groupby(["i", "j"]).sum("v").take_all()
+    xtx = np.zeros((dim, dim), dtype=np.float64)
+    xty = np.zeros(dim, dtype=np.float64)
+    for r in stats:
+        if r["j"] < 0:
+            xty[r["i"]] = r["sum(v)"]
+        else:
+            xtx[r["i"], r["j"]] = r["sum(v)"]
+    return np.linalg.solve(xtx + l2 * np.eye(dim), xty)

@@ -52,3 +52,29 @@ def test_score_embeddings_broadcast_and_filter(ray_session):
     assert kept and all(r["score"] > 0.5 for r in kept)
     assert {r["vec_id"] for r in kept} == {
         v for v, s in by_id.items() if s > 0.5}
+
+
+def test_fit_ridge_matches_closed_form(ray_session):
+    """Distributed sufficient-statistics ridge == numpy closed form on
+    the same data, independent of partitioning."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.stages.inference import fit_ridge
+
+    ray = ray_session
+    rng = np.random.RandomState(4)
+    n, d = 300, 8
+    X = rng.randn(n, d)
+    w_true = rng.randn(d)
+    y = (X @ w_true + 0.1 * rng.randn(n) > 0).astype(np.int32)
+    t = pa.table({
+        "embedding": pa.array([row.tolist() for row in X.astype(np.float32)],
+                              pa.list_(pa.float32())),
+        "label": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = fit_ridge(ds, d, l2=0.5)
+    Xd = X.astype(np.float32).astype(np.float64)
+    want = np.linalg.solve(Xd.T @ Xd + 0.5 * np.eye(d),
+                           Xd.T @ y.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
