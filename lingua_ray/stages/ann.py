@@ -381,6 +381,26 @@ def ivf_build_index(ds, out_dir: str, n_list: int = 16,
     return c
 
 
+def ivf_append_index(ds, index_dir: str, col: str = "embedding") -> None:
+    """Add new vectors to a persisted IVF index: assign with the SAVED
+    centroids (the quantizer is frozen at build time — the standard IVF
+    contract) and append files inside the existing list partitions.
+    Nothing is rewritten; a crash mid-append leaves a smaller-but-valid
+    index, and re-appending the same vectors only duplicates candidates
+    for the exact re-scoring stage, never corrupts results."""
+    from pathlib import Path
+
+    import ray
+
+    out = Path(index_dir)
+    c = np.load(str(out / "centroids.npy"))
+    assigned = ds.map_batches(
+        IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids": ray.put(c), "col": col})
+    assigned.write_parquet(str(out / "lists"),
+                           partition_cols=["list_id"])
+
+
 def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
                     n_probe: int = 4, id_col: str = "vec_id",
                     col: str = "embedding") -> pa.Table:

@@ -52,3 +52,25 @@ def test_ivf_probe_reads_subset(ray_session, tmp_path):
     ivf_build_index(_dataset(x), idx, n_list=8)
     got = ivf_query_index(idx, x[5], k=5, n_probe=1)
     assert got.num_rows == 5
+
+
+def test_ivf_append_makes_new_vectors_findable(ray_session, tmp_path):
+    """Vectors appended to a persisted IVF index (assigned with the
+    frozen build-time centroids) must be returned by later probes."""
+    from lingua_ray.stages.ann import ivf_append_index
+
+    x = _clustered()
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(_dataset(x), idx, n_list=8)
+    # the appended vector sits exactly on a probe point
+    probe = x[42]
+    extra = probe + 1e-4
+    import ray.data
+    inc = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([999_999], pa.int64()),
+        "embedding": pa.array([list(extra)]),
+    }))
+    ivf_append_index(inc, idx)
+    got = ivf_query_index(idx, probe, k=3, n_probe=2)
+    ids = got.column("vec_id").to_pylist()
+    assert 999_999 in ids
