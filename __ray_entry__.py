@@ -1286,6 +1286,15 @@ def _q_dedup_incremental(sf_dir: str):
             .select_columns(["doc_id"]))
 
 
+def _parity_batch(batch: pa.Table) -> pa.Table:
+    """parity = doc_id % 2 — the even/odd base-vs-increment split shared
+    by dedup_incremental_bloom / dedup_indexed / neardup_indexed AND
+    their oracles; one copy so the contract cannot diverge."""
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "parity", pa.array((did % 2).astype("int32")))
+
+
 def _q_dedup_indexed(sf_dir: str):
     """Persistent-index variant of dedup_incremental — the CROSS-RUN
     production shape: the base half's fingerprints are built ONCE into a
@@ -1298,14 +1307,9 @@ def _q_dedup_indexed(sf_dir: str):
     from lingua_ray.stages.dedup_index import (build_fingerprint_index,
                                                dedup_against_index)
 
-    def _parity(batch: pa.Table) -> pa.Table:
-        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "parity", pa.array((did % 2).astype("int32")))
-
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     planted = docs.map_batches(_di_plant, batch_format="pyarrow") \
-                  .map_batches(_parity, batch_format="pyarrow")
+                  .map_batches(_parity_batch, batch_format="pyarrow")
     index_dir = (f"/tmp/lingua_ray/fp-index-{Path(sf_dir).name}"
                  f"-pid{os.getpid()}")
     build_fingerprint_index(planted.filter(expr="parity == 0"), index_dir)
@@ -1327,13 +1331,8 @@ def _q_neardup_indexed(sf_dir: str):
     from lingua_ray.stages.dedup_index import (build_minhash_index,
                                                neardup_against_index)
 
-    def _parity(batch: pa.Table) -> pa.Table:
-        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "parity", pa.array((did % 2).astype("int32")))
-
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(_parity, batch_format="pyarrow")
+        .map_batches(_parity_batch, batch_format="pyarrow")
     index_dir = (f"/tmp/lingua_ray/mh-index-{Path(sf_dir).name}"
                  f"-pid{os.getpid()}")
     build_minhash_index(docs.filter(expr="parity == 0"), index_dir)
@@ -1396,12 +1395,7 @@ def _q_dedup_incremental_bloom(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     planted = docs.map_batches(_di_plant, batch_format="pyarrow")
 
-    def _parity(batch: pa.Table) -> pa.Table:
-        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "parity", pa.array((did % 2).astype("int32")))
-
-    both = planted.map_batches(_parity, batch_format="pyarrow")
+    both = planted.map_batches(_parity_batch, batch_format="pyarrow")
     base = both.filter(expr="parity == 0")
     new = both.filter(expr="parity == 1")
     bitmap, k = bloom_from_text(base)
@@ -2006,7 +2000,11 @@ def _q_substring_dedup(sf_dir: str):
         # keys and cost 169 s at sf0.1 for work this Arrow kernel
         # finishes in 0.2 s.)
         g = tbl.group_by(["doc_id", "h"]).aggregate([("occ", "sum")])
-        return g.rename_columns(["doc_id", "h", "occ"])
+        # reconstruct by NAME: positional rename would silently mislabel
+        # if pyarrow's group_by output order (keys-first today) changed
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "h": g.column("h"),
+                         "occ": g.column("occ_sum")})
 
     import os
     import shutil

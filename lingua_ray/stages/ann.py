@@ -373,12 +373,22 @@ def ivf_build_index(ds, out_dir: str, n_list: int = 16,
         train_sample, batch_format="pyarrow")
     c = spherical_kmeans(_embedding_matrix(sample_tab, col), n_list)
     np.save(str(out / "centroids.npy"), c)
+    _ivf_assign_and_write(ds, out, c, col)
+    return c
+
+
+def _ivf_assign_and_write(ds, out, centroids: np.ndarray,
+                          col: str) -> None:
+    """The single copy of the index write layout — build and append both
+    route through it so the partition scheme can never diverge."""
+    import ray
+
     assigned = ds.map_batches(
         IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs={"centroids": ray.put(c), "col": col})
+        fn_constructor_kwargs={"centroids": ray.put(centroids),
+                               "col": col})
     assigned.write_parquet(str(out / "lists"),
                            partition_cols=["list_id"])
-    return c
 
 
 def ivf_append_index(ds, index_dir: str, col: str = "embedding") -> None:
@@ -390,15 +400,9 @@ def ivf_append_index(ds, index_dir: str, col: str = "embedding") -> None:
     for the exact re-scoring stage, never corrupts results."""
     from pathlib import Path
 
-    import ray
-
     out = Path(index_dir)
     c = np.load(str(out / "centroids.npy"))
-    assigned = ds.map_batches(
-        IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs={"centroids": ray.put(c), "col": col})
-    assigned.write_parquet(str(out / "lists"),
-                           partition_cols=["list_id"])
+    _ivf_assign_and_write(ds, out, c, col)
 
 
 def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
@@ -425,4 +429,14 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
                          "query_id": pa.array([], pa.int32()),
                          "cos": pa.array([], pa.float64())})
     ds = ray.data.read_parquet(paths)
-    return knn_bruteforce(ds, query, k, id_col, col=col)
+    # fetch 2k then dedup per id: a crash-retry ivf_append_index can
+    # leave a vector's row twice in a list partition, and duplicate ids
+    # must not consume top-k slots (2k covers the retry case's <=2
+    # copies; dedup volume is the driver-side top-k table, tiny)
+    t = knn_bruteforce(ds, query, 2 * k, id_col, col=col)
+    df = t.to_pandas().sort_values(
+        ["query_id", "cos", id_col], ascending=[True, False, True])
+    df = df.drop_duplicates(["query_id", id_col]) \
+           .groupby("query_id", sort=True).head(k)
+    return pa.Table.from_pandas(df[[c_ for c_ in t.column_names]],
+                                preserve_index=False)

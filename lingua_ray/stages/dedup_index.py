@@ -35,22 +35,48 @@ def fingerprint_bucket_batch(batch: pa.Table, n_buckets: int = 64,
     return set_column(batch, "bucket", pa.array(bucket))
 
 
+_META_FILE = "_index_meta.json"
+
+
+def _write_meta(index_dir, **params) -> None:
+    import json
+    from pathlib import Path
+    (Path(index_dir) / _META_FILE).write_text(json.dumps(params))
+
+
+def _check_meta(index_dir, **params) -> None:
+    """Refuse to probe/append with hyperparameters that differ from the
+    build: a mismatched n_buckets (or MinHash num_perm/num_bands/k)
+    would not error — it would silently probe the wrong buckets / hash
+    to disjoint bands and let every duplicate leak through."""
+    import json
+    from pathlib import Path
+    p = Path(index_dir) / _META_FILE
+    if not p.exists():
+        raise FileNotFoundError(
+            f"{index_dir} has no {_META_FILE}: not a fingerprint index "
+            "built by this module")
+    stored = json.loads(p.read_text())
+    if stored != params:
+        raise ValueError(
+            f"index hyperparameters differ from build time: built with "
+            f"{stored}, called with {params} — a silent mismatch would "
+            "miss duplicates, not error")
+
+
 def build_fingerprint_index(ds, index_dir: str, n_buckets: int = 64,
                             text_col: str = "text") -> None:
     """One streaming fingerprint pass + a bucket-partitioned write.
-    Replaces any existing index at ``index_dir``."""
+    Replaces any existing index at ``index_dir``.  Build == clear +
+    append, so layout logic exists exactly once."""
     import shutil
     from pathlib import Path
 
     out = Path(index_dir)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True, exist_ok=True)
-    tagged = ds.map_batches(fingerprint_bucket_batch,
-                            batch_format="pyarrow",
-                            fn_kwargs={"n_buckets": n_buckets,
-                                       "text_col": text_col})
-    tagged.select_columns(["fp64", "bucket"]).write_parquet(
-        str(out), partition_cols=["bucket"])
+    _write_meta(out, kind="exact", n_buckets=n_buckets)
+    append_to_index(ds, index_dir, n_buckets=n_buckets, text_col=text_col)
 
 
 def dedup_against_index(ds, index_dir: str, n_buckets: int = 64,
@@ -70,6 +96,7 @@ def dedup_against_index(ds, index_dir: str, n_buckets: int = 64,
 
     from .sets import anti_join
 
+    _check_meta(index_dir, kind="exact", n_buckets=n_buckets)
     tagged = ds.map_batches(fingerprint_bucket_batch,
                             batch_format="pyarrow",
                             fn_kwargs={"n_buckets": n_buckets,
@@ -128,6 +155,8 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
     out = Path(index_dir)
     shutil.rmtree(out, ignore_errors=True)
     (out / "sigs").mkdir(parents=True, exist_ok=True)
+    _write_meta(out, kind="minhash", num_perm=num_perm,
+                num_bands=num_bands, n_buckets=n_buckets, k=k)
 
     sig = ds.map_batches(
         minhash_signature_batch, batch_format="pyarrow",
@@ -168,6 +197,8 @@ def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
 
     from .dedup import lsh_band_batch, minhash_signature_batch
 
+    _check_meta(index_dir, kind="minhash", num_perm=num_perm,
+                num_bands=num_bands, n_buckets=n_buckets, k=k)
     out = Path(index_dir)
     new_sig = ds.map_batches(
         minhash_signature_batch, batch_format="pyarrow",
@@ -187,9 +218,11 @@ def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
     pos_of = {i: j for j, i in enumerate(new_ids)}
     sig_ref = ray.put((pos_of, new_mat))
 
+    # materialized: consumed twice (bucket discovery + the join) and
+    # bounded by the probe batch size
     bands = new_sig.map_batches(
         lsh_band_batch, batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "num_bands": num_bands})
+        fn_kwargs={"id_col": id_col, "num_bands": num_bands}).materialize()
     touched = set()
     for t in bands.select_columns(["band_hash"]).iter_batches(
             batch_format="pyarrow"):
@@ -251,7 +284,12 @@ def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
             "dup_of": batch.column(old_col).filter(pa.array(keep)),
             "est_jaccard": pa.array(est[keep])})
 
-    return joined.map_batches(estimate, batch_format="pyarrow")
+    est = joined.map_batches(estimate, batch_format="pyarrow")
+    # distinct pairs even if a crash-retry append duplicated signature
+    # rows (the join would emit the pair once per copy); pair volume is
+    # probe-bounded, so the keyed max is small
+    return est.groupby([id_col, "dup_of"]).max("est_jaccard") \
+              .rename_columns({"max(est_jaccard)": "est_jaccard"})
 
 
 def append_to_minhash_index(ds, index_dir: str, num_perm: int = 64,
@@ -266,6 +304,8 @@ def append_to_minhash_index(ds, index_dir: str, num_perm: int = 64,
 
     from .dedup import minhash_signature_batch
 
+    _check_meta(index_dir, kind="minhash", num_perm=num_perm,
+                num_bands=num_bands, n_buckets=n_buckets, k=k)
     out = Path(index_dir)
     sig = ds.map_batches(
         minhash_signature_batch, batch_format="pyarrow",
@@ -298,6 +338,7 @@ def append_to_index(ds, index_dir: str, n_buckets: int = 64,
     mid-append leaves a smaller-but-valid index (re-appending the same
     docs is harmless: duplicate fp64 rows only make the anti-join's
     right side redundant, never wrong)."""
+    _check_meta(index_dir, kind="exact", n_buckets=n_buckets)
     tagged = ds.map_batches(fingerprint_bucket_batch,
                             batch_format="pyarrow",
                             fn_kwargs={"n_buckets": n_buckets,

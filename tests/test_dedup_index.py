@@ -149,3 +149,26 @@ def test_minhash_append_then_probe_finds_new_history(minhash_index):
         idx_dir, threshold=0.5, num_perm=64, num_bands=16,
         n_buckets=32).to_pandas()
     assert 601 in set(out["dup_of"])
+
+
+def test_mismatched_hyperparameters_refused(corpus, minhash_index):
+    """Probing or appending with different hyperparameters than the
+    build must raise, not silently miss duplicates."""
+    from lingua_ray.stages.dedup_index import (append_to_index,
+                                               append_to_minhash_index,
+                                               dedup_against_index,
+                                               neardup_against_index)
+
+    ray, _, idx_dir = corpus
+    probe = ray.data.from_arrow(_table([1], ["x"]))
+    with pytest.raises(ValueError, match="hyperparameters"):
+        dedup_against_index(probe, idx_dir, n_buckets=128)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        append_to_index(probe, idx_dir, n_buckets=32)
+    _, _, mh_dir = minhash_index
+    with pytest.raises(ValueError, match="hyperparameters"):
+        neardup_against_index(probe, mh_dir, num_perm=64, num_bands=8,
+                              n_buckets=32)
+    with pytest.raises(ValueError, match="hyperparameters"):
+        append_to_minhash_index(probe, mh_dir, num_perm=128,
+                                num_bands=16, n_buckets=32)
