@@ -76,10 +76,21 @@ def _shingle_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return h[widx] if tot else np.zeros(0, np.uint64), out_offs
 
 
-def window_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All k-codepoint window hashes per row over the RAW text — no
+def window_hashes_batch(texts, k: int,
+                        stride: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """k-codepoint window hashes per row over the RAW text — no
     lowercasing, no padding; a row shorter than k contributes zero
     windows (matching SQL ``generate_series(1, length - k + 1)``).
+
+    ``stride`` samples every stride-th window START (0-based positions
+    0, stride, 2·stride, … within each row — SQL 1-based positions where
+    ``(i - 1) % stride = 0``).  stride=1 is the exact census; stride=S
+    cuts the emitted window table by ~S× for large-scale runs, at the
+    cost of only detecting shared spans of length ≥ k + S - 1 with
+    certainty (a shared span shorter than that may not contain a sampled
+    start in both documents).  Deterministic and position-based, so the
+    sampled set is a pure function of the text — partitioning- and
+    resume-independent, and expressible in SQL for the oracle.
 
     Same shape contract as :func:`_shingle_hashes_batch`: returns
     ``(hashes uint64, offsets int64)`` with row *i*'s windows at
@@ -91,7 +102,8 @@ def window_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     from ..textprep import encode_texts
     cps, offs = encode_texts(texts)
     lens = np.diff(offs)
-    n_w = np.maximum(lens - k + 1, 0)
+    n_full = np.maximum(lens - k + 1, 0)
+    n_w = -(-n_full // stride) if stride > 1 else n_full
     tot = int(n_w.sum())
     out_offs = np.concatenate([[0], np.cumsum(n_w)]).astype(np.int64)
     if tot == 0:
@@ -104,6 +116,8 @@ def window_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     for kk in range(2, k + 1):
         h = h[: len(u) - kk + 1] * HASH_MULT + u[kk - 1:]
     within = np.arange(tot, dtype=np.int64) - np.repeat(out_offs[:-1], n_w)
+    if stride > 1:
+        within = within * stride
     widx = np.repeat(offs[:-1], n_w) + within
     return h[widx], out_offs
 

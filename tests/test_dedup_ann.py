@@ -495,3 +495,45 @@ def test_window_hashes_batch_raw_semantics():
     assert (a == d).all()           # identical text -> identical windows
     assert a[0] != e[0]             # case-sensitive: 'a...' != 'A...'
     assert (a[1:] == e[1:]).all()   # shared suffix windows agree
+
+
+def test_window_hashes_batch_stride_sampling():
+    """stride=S keeps exactly the windows starting at 0, S, 2S, ... per
+    row — same hashes as slicing the stride-1 output, per-row counts
+    match ceil((len-k+1)/S), and stride never changes a hash value."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.stages.dedup import window_hashes_batch
+
+    texts = pa.chunked_array([pa.array(
+        ["abcdefghijklmnop", "xy", "", "qrstuvwxyz012", "abcde"])])
+    k, s = 5, 3
+    h1, o1 = window_hashes_batch(texts, k)
+    hs, os_ = window_hashes_batch(texts, k, stride=s)
+    n1 = np.diff(o1)
+    assert list(np.diff(os_)) == [-(-int(n) // s) for n in n1]
+    for i in range(len(n1)):
+        exact = h1[o1[i]:o1[i + 1]]
+        sampled = hs[os_[i]:os_[i + 1]]
+        assert (sampled == exact[::s]).all()
+
+
+def test_spill_stale_pid_sweep(tmp_path, monkeypatch):
+    """sweep_stale removes sibling spill dirs owned by dead pids, keeps
+    this process's dir and unrelated tags; spill_path reserves a clean
+    per-pid dir."""
+    import os
+
+    from lingua_ray.stages import spill as sp
+
+    monkeypatch.setattr(sp, "_ROOT", str(tmp_path))
+    dead = str(tmp_path / "tag-sf-pid999999999")
+    live = str(tmp_path / f"tag-sf-pid{os.getpid()}")
+    other = str(tmp_path / "othertag-sf-pid999999999")
+    for d in (dead, live, other):
+        os.makedirs(d)
+    path = sp.spill_path("tag", "sf")
+    assert path == live and os.path.isdir(live)
+    assert not os.path.exists(dead)      # dead pid swept
+    assert os.path.isdir(other)          # other tags untouched
