@@ -215,59 +215,65 @@ def _q_transcript_conv_stats(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+# Turns per adjacency bucket for the transcript lag/transition queries:
+# bounds every shuffle group at B+1 rows regardless of conversation
+# size, so the mega-conversation (>5% of all turns) never lands in one
+# task.  Small here so the sf0.01 gate exercises the multi-bucket path
+# (mega conv = 360 turns → 6 buckets); production sizes ~1e5 (group
+# memory stays tiny, and larger B amortizes per-group Python overhead).
+_TURN_BUCKET = 64
+
+
 def _q_transcript_role_transitions(sf_dir: str):
     """Global (previous role → role) transition counts within each
     conversation's stable turn order — the role-alternation validation a
-    transcript QA pass runs.  Per-conversation adjacency needs the
-    conversation's own turns adjacent, so this is one conv-keyed
-    map_groups (sort by turn_idx, shift, count pairs locally) followed
-    by a tiny (prev_role, role) groupby of per-conv partial counts.  At
-    scale the mega-conversation group is bounded by the same salting
-    treatment quality_filter uses; here a group is one conversation's
-    turns.  [SQL-verified — LAG OVER (PARTITION BY conv_id)]"""
-
-    def trans_group(group: pa.Table) -> pa.Table:
-        idx = group.column("turn_idx").to_numpy()
-        order = np.argsort(idx, kind="stable")
-        roles = group.column("role").take(pa.array(order))
-        if len(roles) < 2:
-            return pa.table({"prev_role": pa.array([], pa.string()),
-                             "role": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        t = pa.table({"prev_role": roles.slice(0, len(roles) - 1),
-                      "role": roles.slice(1),
-                      "n": pa.array(np.ones(len(roles) - 1, dtype=np.int64))})
-        g = t.group_by(["prev_role", "role"]).aggregate([("n", "sum")])
-        return pa.table({"prev_role": g.column("prev_role"),
-                         "role": g.column("role"),
-                         "n": g.column("n_sum")})
+    transcript QA pass runs.  Adjacency via the skew-bounded
+    stages/adjacency.py primitive (one (conv, turn_idx // B)-keyed
+    shuffle, bucket-start clones recover cross-boundary pairs, no group
+    exceeds B+1 turns), then a per-block partial count and a tiny
+    (prev_role, role) groupby.  [SQL-verified — LAG OVER (PARTITION BY
+    conv_id)]"""
+    from lingua_ray.stages.adjacency import adjacent_pairs
 
     ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role"])
-    out = ds.groupby("conv_id").map_groups(trans_group,
-                                           batch_format="pyarrow")
-    return out.groupby(["prev_role", "role"]).sum("n") \
-              .rename_columns({"sum(n)": "n"})
+    pairs = adjacent_pairs(ds, "conv_id", "turn_idx", ["role"],
+                           bucket_size=_TURN_BUCKET)
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"prev_role": batch.column("prev_role"),
+                      "role": batch.column("role"),
+                      "n": pa.array(np.ones(batch.num_rows,
+                                            dtype=np.int64))})
+        g = t.group_by(["prev_role", "role"]).aggregate([("n", "sum")])
+        return g.rename_columns(["prev_role", "role", "n"])
+
+    return pairs.map_batches(part, batch_format="pyarrow") \
+        .groupby(["prev_role", "role"]).sum("n") \
+        .rename_columns({"sum(n)": "n"})
 
 
 def _q_transcript_turn_gaps(sf_dir: str):
     """Per-turn gap (µs) to the previous turn of the same conversation in
-    stable turn order — the transcript counterpart of events_lag.  One
-    conv-keyed shuffle, vectorized sort+diff inside map_groups; turns
-    with no predecessor are dropped (SQL's LAG IS NOT NULL).
-    [SQL-verified]"""
-
-    def lag_group(group: pa.Table) -> pa.Table:
-        idx = group.column("turn_idx").to_numpy()
-        order = np.argsort(idx, kind="stable")
-        ts = group.column("ts").cast(pa.int64()).to_numpy()[order]
-        conv = group.column("conv_id").take(pa.array(order))
-        return pa.table({"conv_id": conv.slice(1),
-                         "turn_idx": pa.array(idx[order][1:]),
-                         "gap_us": pa.array(np.diff(ts))})
+    stable turn order — the transcript counterpart of events_lag.  Same
+    skew-bounded adjacency primitive as role_transitions (no group
+    exceeds _TURN_BUCKET+1 turns, mega-conversation-proof); turns with
+    no predecessor are dropped (SQL's LAG IS NOT NULL).  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.adjacency import adjacent_pairs
 
     ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "ts"])
-    return ds.groupby("conv_id").map_groups(lag_group,
-                                            batch_format="pyarrow")
+    pairs = adjacent_pairs(ds, "conv_id", "turn_idx", ["ts"],
+                           bucket_size=_TURN_BUCKET)
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "gap_us": pc.subtract(batch.column("ts").cast(pa.int64()),
+                                  batch.column("prev_ts").cast(pa.int64())),
+        })
+
+    return pairs.map_batches(gaps, batch_format="pyarrow")
 
 
 def _q_conv_lookup(sf_dir: str):
@@ -797,12 +803,24 @@ def _q_clean_corpus_stats(sf_dir: str):
         {"count()": "n_docs"})
 
 
+# Docs per posting-list shard: the skew bound for the inverted index.
+# A stopword appears in ~every document, so a plain groupby("word")
+# hands one task a group of df(word) rows — O(n_docs) for stopwords.
+# Sharding the shuffle key to (word, doc_id // SHARD) caps every
+# stage-1 group at SHARD distinct docs regardless of df; stage 2 then
+# touches <= n_docs/SHARD pre-sorted shard rows per word.  Small here so
+# the test corpora exercise the multi-shard path; production sets ~1e6.
+_INVIDX_DOC_SHARD = 128
+
+
 def _q_inverted_index(sf_dir: str):
-    """Search-index build: distinct (word, doc_id) pairs in the combiner
-    → ONE word-keyed shuffle → per-word sorted posting list (emitted as
-    a comma-joined string so both engines hash it identically) + df.
-    At corpus scale a stopword's posting list is the skew risk — shard
-    hot words by doc-range and concatenate shards at read time.
+    """Search-index build, two-level to kill stopword skew: distinct
+    (word, doc_id) pairs in the combiner → ONE (word, doc-range-shard)
+    keyed shuffle where every group is ≤ _INVIDX_DOC_SHARD docs → ONE
+    word-keyed concat over the ≤ n_docs/SHARD shard rows per word
+    (shards are disjoint doc ranges, so shard-ordered concat IS the
+    globally sorted posting list and dfs add exactly).  Emitted as a
+    comma-joined string so both engines hash it identically.
     [SQL-verified]"""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -816,18 +834,34 @@ def _q_inverted_index(sf_dir: str):
             pa.array(np.repeat(np.arange(batch.num_rows), n_per)))
         t = pa.table({"word": flat, "doc_id": ids})
         g = pa.TableGroupBy(t, ["word", "doc_id"]).aggregate([])
-        return g
+        shard = pc.divide(g.column("doc_id"),
+                          pa.scalar(_INVIDX_DOC_SHARD, pa.int64()))
+        return g.append_column("shard", shard)
 
-    def postings(group: pa.Table) -> pa.Table:
+    def shard_postings(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy())
         return pa.table({
             "word": group.column("word").slice(0, 1),
+            "shard": group.column("shard").slice(0, 1),
             "df": pa.array([len(ids)], pa.int64()),
             "postings": pa.array([",".join(map(str, ids))], pa.string()),
         })
 
+    def concat_shards(group: pa.Table) -> pa.Table:
+        g = group.sort_by("shard")
+        return pa.table({
+            "word": g.column("word").slice(0, 1),
+            "df": pa.array([int(pc.sum(g.column("df")).as_py())],
+                           pa.int64()),
+            "postings": pa.array(
+                [",".join(g.column("postings").to_pylist())], pa.string()),
+        })
+
+    import pyarrow.compute as pc
     return ds.map_batches(pairs, batch_format="pyarrow") \
-        .groupby("word").map_groups(postings, batch_format="pyarrow")
+        .groupby(["word", "shard"]).map_groups(shard_postings,
+                                               batch_format="pyarrow") \
+        .groupby("word").map_groups(concat_shards, batch_format="pyarrow")
 
 
 def _q_word_counts_by_lang(sf_dir: str):
