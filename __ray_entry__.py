@@ -422,17 +422,23 @@ def _q_langid_confidences(sf_dir: str):
 
     def flatten(batch: pa.Table) -> pa.Table:
         # nested list<struct> flattened to scalar columns for the driver's
-        # sorted-value compare (same pattern as multilang_documents)
+        # sorted-value compare — all-Arrow: per-rank gather from the list
+        # child via offset arithmetic, masked where the list is shorter
         cols = {"doc_id": batch.column("doc_id"),
                 "lang": batch.column("lang")}
-        vals = batch.column("confidences").to_pylist()
+        conf = batch.column("confidences").combine_chunks()
+        # .values + raw offsets are the always-consistent pair (flatten()
+        # would rebase under slices); null lists are masked out below
+        child = conf.values
+        offs = conf.offsets.to_numpy().astype(np.int64)
+        n = np.diff(offs)
+        valid = np.asarray(conf.is_valid())
+        langs, scores = child.field("lang"), child.field("score")
         for rank in range(3):
-            cols[f"lang_{rank + 1}"] = pa.array(
-                [r[rank]["lang"] if r and len(r) > rank else None
-                 for r in vals], type=pa.string())
-            cols[f"score_{rank + 1}"] = pa.array(
-                [r[rank]["score"] if r and len(r) > rank else None
-                 for r in vals], type=pa.float64())
+            ok = (n > rank) & valid
+            idx = pa.array(offs[:-1] + rank, mask=~ok)
+            cols[f"lang_{rank + 1}"] = langs.take(idx)
+            cols[f"score_{rank + 1}"] = scores.take(idx).cast(pa.float64())
         return pa.table(cols)
 
     return ds.map_batches(flatten, batch_format="pyarrow")
@@ -1325,16 +1331,17 @@ def _q_dedup_indexed(sf_dir: str):
     half dedups against it with a partition-pruned read; the base corpus
     is never rescanned (or re-fingerprinted) per increment.  Identical
     output and oracle as dedup_incremental.  [SQL-verified]"""
-    import os
-
     from lingua_ray.stages.dedup_index import (build_fingerprint_index,
                                                dedup_against_index)
+    from lingua_ray.stages.spill import spill_path
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     planted = docs.map_batches(_di_plant, batch_format="pyarrow") \
                   .map_batches(_parity_batch, batch_format="pyarrow")
-    index_dir = (f"/tmp/lingua_ray/fp-index-{Path(sf_dir).name}"
-                 f"-pid{os.getpid()}")
+    # per-(sf, pid) dir with the spill lifecycle (cleared up front,
+    # stale-pid sweep) so repeated bench/correctness processes don't
+    # accumulate index trees under /tmp
+    index_dir = spill_path("fp-index", Path(sf_dir).name)
     build_fingerprint_index(planted.filter(expr="parity == 0"), index_dir)
     out = dedup_against_index(planted.filter(expr="parity == 1"),
                               index_dir)
@@ -1349,15 +1356,14 @@ def _q_neardup_indexed(sf_dir: str):
     [rows-only — MinHash estimation is not SQL; planted-edit pytest
     oracle in test_dedup_index.py; the exact-threshold twin semantics
     are SQL-verified via dedup_jaccard]"""
-    import os
-
     from lingua_ray.stages.dedup_index import (build_minhash_index,
                                                neardup_against_index)
+    from lingua_ray.stages.spill import spill_path
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(_parity_batch, batch_format="pyarrow")
-    index_dir = (f"/tmp/lingua_ray/mh-index-{Path(sf_dir).name}"
-                 f"-pid{os.getpid()}")
+    # same spill-lifecycle dir management as dedup_indexed above
+    index_dir = spill_path("mh-index", Path(sf_dir).name)
     build_minhash_index(docs.filter(expr="parity == 0"), index_dir)
     return neardup_against_index(docs.filter(expr="parity == 1"),
                                  index_dir, threshold=0.5)

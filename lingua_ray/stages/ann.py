@@ -429,14 +429,25 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
                          "query_id": pa.array([], pa.int32()),
                          "cos": pa.array([], pa.float64())})
     ds = ray.data.read_parquet(paths)
-    # fetch 2k then dedup per id: a crash-retry ivf_append_index can
-    # leave a vector's row twice in a list partition, and duplicate ids
-    # must not consume top-k slots (2k covers the retry case's <=2
-    # copies; dedup volume is the driver-side top-k table, tiny)
-    t = knn_bruteforce(ds, query, 2 * k, id_col, col=col)
-    df = t.to_pandas().sort_values(
-        ["query_id", "cos", id_col], ascending=[True, False, True])
-    df = df.drop_duplicates(["query_id", id_col]) \
-           .groupby("query_id", sort=True).head(k)
+    # over-fetch then dedup per id: crash-retry (or repeated) appends can
+    # leave a vector's row 2+ times in a list partition, and duplicate
+    # ids must not crowd unique ids out of the top-k.  2k covers the
+    # single-retry case; unbounded re-appends are covered by doubling the
+    # fetch until every query has k unique ids or its probed lists are
+    # exhausted (a query with fewer candidate rows than `fetch` has no
+    # more ids to find).  Dedup volume is the driver-side top-k table.
+    fetch = 2 * k
+    while True:
+        t = knn_bruteforce(ds, query, fetch, id_col, col=col)
+        df = t.to_pandas().sort_values(
+            ["query_id", "cos", id_col], ascending=[True, False, True])
+        n_rows = df.groupby("query_id").size()
+        dd = df.drop_duplicates(["query_id", id_col])
+        n_unique = dd.groupby("query_id").size()
+        starved = (n_unique < k) & (n_rows >= fetch)
+        if not starved.any():
+            break
+        fetch *= 2
+    df = dd.groupby("query_id", sort=True).head(k)
     return pa.Table.from_pandas(df[[c_ for c_ in t.column_names]],
                                 preserve_index=False)

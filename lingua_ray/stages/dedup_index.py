@@ -68,15 +68,20 @@ def build_fingerprint_index(ds, index_dir: str, n_buckets: int = 64,
                             text_col: str = "text") -> None:
     """One streaming fingerprint pass + a bucket-partitioned write.
     Replaces any existing index at ``index_dir``.  Build == clear +
-    append, so layout logic exists exactly once."""
+    append, so layout logic exists exactly once.  The meta file is
+    written LAST: it doubles as the build's commit marker, so a crash
+    mid-build leaves a metaless directory that ``_check_meta`` rejects
+    (a partial build is otherwise indistinguishable from a complete one
+    and would silently miss duplicates — append-path partiality, by
+    contrast, is documented-safe)."""
     import shutil
     from pathlib import Path
 
     out = Path(index_dir)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True, exist_ok=True)
+    _append_fps(ds, index_dir, n_buckets=n_buckets, text_col=text_col)
     _write_meta(out, kind="exact", n_buckets=n_buckets)
-    append_to_index(ds, index_dir, n_buckets=n_buckets, text_col=text_col)
 
 
 def dedup_against_index(ds, index_dir: str, n_buckets: int = 64,
@@ -155,8 +160,6 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
     out = Path(index_dir)
     shutil.rmtree(out, ignore_errors=True)
     (out / "sigs").mkdir(parents=True, exist_ok=True)
-    _write_meta(out, kind="minhash", num_perm=num_perm,
-                num_bands=num_bands, n_buckets=n_buckets, k=k)
 
     sig = ds.map_batches(
         minhash_signature_batch, batch_format="pyarrow",
@@ -173,6 +176,11 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
                                 "n_buckets": n_buckets,
                                 "id_col": id_col}) \
         .write_parquet(str(out / "bands"), partition_cols=["bucket"])
+    # meta last: the build's commit marker — a crash above leaves a
+    # metaless dir that _check_meta rejects instead of a silent
+    # partial index (see build_fingerprint_index)
+    _write_meta(out, kind="minhash", num_perm=num_perm,
+                num_bands=num_bands, n_buckets=n_buckets, k=k)
 
 
 def neardup_against_index(ds, index_dir: str, threshold: float = 0.5,
@@ -339,6 +347,11 @@ def append_to_index(ds, index_dir: str, n_buckets: int = 64,
     docs is harmless: duplicate fp64 rows only make the anti-join's
     right side redundant, never wrong)."""
     _check_meta(index_dir, kind="exact", n_buckets=n_buckets)
+    _append_fps(ds, index_dir, n_buckets=n_buckets, text_col=text_col)
+
+
+def _append_fps(ds, index_dir: str, n_buckets: int,
+                text_col: str) -> None:
     tagged = ds.map_batches(fingerprint_bucket_batch,
                             batch_format="pyarrow",
                             fn_kwargs={"n_buckets": n_buckets,

@@ -326,6 +326,12 @@ def _decode_block(br: _BitReader, c) -> np.ndarray:
     if ln == 0:
         raise ValueError("invalid DC code")
     br.pos += ln
+    if br.pos > br.n:
+        # peek16 zero-pads past EOF, so a truncated final MCU could
+        # otherwise decode 1-2 phantom DC-only blocks from the padding
+        # and return a slightly-wrong mean instead of None — mirror the
+        # bounds check in take()
+        raise EOFError("entropy segment exhausted")
     diff = _extend(br.take(sym), sym)
     c["pred"] += diff
     coef[_ZZ[0]] = c["pred"]
@@ -337,6 +343,8 @@ def _decode_block(br: _BitReader, c) -> np.ndarray:
         if ln == 0:
             raise ValueError("invalid AC code")
         br.pos += ln
+        if br.pos > br.n:
+            raise EOFError("entropy segment exhausted")
         r, s = sym >> 4, sym & 15
         if s == 0:
             if r == 15:

@@ -172,3 +172,51 @@ def test_mismatched_hyperparameters_refused(corpus, minhash_index):
     with pytest.raises(ValueError, match="hyperparameters"):
         append_to_minhash_index(probe, mh_dir, num_perm=128,
                                 num_bands=16, n_buckets=32)
+
+
+def test_interrupted_build_leaves_rejectable_index(ray_session, tmp_path,
+                                                   monkeypatch):
+    """The meta file is the build's commit marker: if the partitioned
+    write crashes mid-build, no meta exists and every probe/append
+    refuses the directory instead of silently missing duplicates."""
+    import lingua_ray.stages.dedup_index as di
+
+    ray = ray_session
+    base = ray.data.from_arrow(_table(range(10),
+                                      [f"doc {i}" for i in range(10)]))
+    idx_dir = str(tmp_path / "crashed-fp")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-build crash")
+
+    monkeypatch.setattr(di, "_append_fps", boom)
+    with pytest.raises(RuntimeError):
+        build_fingerprint_index(base, idx_dir, n_buckets=16)
+    monkeypatch.undo()
+    with pytest.raises(FileNotFoundError):
+        dedup_against_index(base, idx_dir, n_buckets=16)
+    with pytest.raises(FileNotFoundError):
+        append_to_index(base, idx_dir, n_buckets=16)
+    # a completed build writes the marker and probes fine
+    build_fingerprint_index(base, idx_dir, n_buckets=16)
+    assert dedup_against_index(base, idx_dir, n_buckets=16).count() == 0
+
+
+def test_interrupted_minhash_build_rejected(ray_session, tmp_path,
+                                            monkeypatch):
+    import lingua_ray.stages.dedup_index as di
+
+    ray = ray_session
+    base = ray.data.from_arrow(_table(range(10),
+                                      [f"some text {i}" for i in range(10)]))
+    idx_dir = str(tmp_path / "crashed-mh")
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-build crash")
+
+    monkeypatch.setattr(di, "_band_bucket_batch", boom)
+    with pytest.raises(Exception):
+        di.build_minhash_index(base, idx_dir, n_buckets=8)
+    monkeypatch.undo()
+    with pytest.raises(FileNotFoundError):
+        di.neardup_against_index(base, idx_dir, n_buckets=8)

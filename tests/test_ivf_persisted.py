@@ -74,3 +74,28 @@ def test_ivf_append_makes_new_vectors_findable(ray_session, tmp_path):
     got = ivf_query_index(idx, probe, k=3, n_probe=2)
     ids = got.column("vec_id").to_pylist()
     assert 999_999 in ids
+
+
+def test_ivf_repeated_appends_never_starve_topk(ray_session, tmp_path):
+    """4x re-appending the same near-query vectors (blessed crash-retry
+    behavior) must not crowd unique ids out of the top-k: the query
+    over-fetch doubles until k UNIQUE ids are returned."""
+    from lingua_ray.stages.ann import ivf_append_index
+
+    x = _clustered(n=300, n_clusters=2)
+    idx = str(tmp_path / "ivf-dups")
+    ivf_build_index(_dataset(x), idx, n_list=2)
+    probe = x[7]
+    import ray.data
+    inc = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(500, 508, dtype=np.int64)),
+        "embedding": pa.array([list(probe + 1e-5 * (i + 1))
+                               for i in range(8)]),
+    }))
+    for _ in range(4):          # >= 3 copies of each appended vector
+        ivf_append_index(inc, idx)
+    got = ivf_query_index(idx, probe, k=10, n_probe=2)
+    ids = got.column("vec_id").to_pylist()
+    assert len(ids) == 10
+    assert len(set(ids)) == 10, "duplicate ids crowded out unique ones"
+    assert set(range(500, 508)) <= set(ids)

@@ -627,3 +627,24 @@ def test_jpeg_zero_sampling_factor_rejected():
     b2 = bytearray(good)
     b2[sof + 11] = 0x10             # v=0 only
     assert decode_jpeg(bytes(b2)) is None
+
+
+def test_jpeg_truncated_entropy_returns_none_every_cut():
+    """Truncating the entropy stream at ANY byte boundary must yield
+    None, never a phantom-block decode from peek16's zero padding (the
+    old fuzz only asserted no exception; a cut inside the final MCU
+    could complete the scan with fabricated DC-only blocks)."""
+    import numpy as np
+
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    p = encode_jpeg(img, quality=90)
+    assert decode_jpeg(p) is not None
+    # locate SOS; cut everywhere between scan start and EOI
+    sos = p.find(b"\xff\xda")
+    assert sos > 0
+    scan_start = sos + 2 + int.from_bytes(p[sos + 2:sos + 4], "big")
+    for cut in range(scan_start + 1, len(p) - 2):
+        assert decode_jpeg(p[:cut]) is None, f"cut at {cut} decoded"
