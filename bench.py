@@ -139,7 +139,12 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "embedding_inference",
                      # late-round-3 transcript-table operators
                      "transcript_scrub", "transcript_conv_stats",
-                     "conv_dedup", "turn_dedup", "substring_dedup"]
+                     "conv_dedup", "turn_dedup", "substring_dedup",
+                     # round-4 operators: the stride-7 scale path for
+                     # substring dedup (same plan, ~7x smaller window
+                     # table), plus the skew-bounded adjacency queries
+                     "substring_dedup_sampled", "transcript_turn_gaps",
+                     "transcript_role_transitions", "inverted_index"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
