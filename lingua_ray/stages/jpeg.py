@@ -1,13 +1,16 @@
 """Baseline JPEG codec, pure NumPy + stdlib — no external codecs.
 
-Decoder (:func:`decode_jpeg`): baseline/extended-sequential Huffman JPEG
-(SOF0/SOF1) — marker walk, DQT/DHT/SOS parsing, byte-unstuffing with
-restart-marker segmentation, canonical-Huffman entropy decode through a
-16-bit lookahead table, dequantization, and a batched-matmul 2-D IDCT of
-the LUMA plane (chroma blocks are entropy-decoded to keep the bitstream
-in sync but skip the IDCT: the stage's contract is (width, height,
-mean_luma)).  Progressive (SOF2), arithmetic-coded, hierarchical, 12-bit
-and CMYK streams return ``None`` — an honest boundary, not a crash.
+Decoder: baseline/extended-sequential Huffman JPEG (SOF0/SOF1) — marker
+walk, DQT/DHT/SOS parsing, byte-unstuffing with restart-marker
+segmentation, canonical-Huffman entropy decode through a 16-bit
+lookahead table, dequantization, and batched-matmul 2-D IDCTs.
+:func:`decode_jpeg` keeps the cheap (width, height, mean_luma) contract
+(luma IDCT only; chroma blocks are entropy-decoded to keep the
+bitstream in sync); :func:`decode_jpeg_pixels` is the FULL decode —
+chroma IDCT, replication upsampling to the luma grid, BT.601 YCbCr→RGB
+— returning the uint8 pixel array.  Progressive (SOF2),
+arithmetic-coded, hierarchical, 12-bit and CMYK streams return ``None``
+— an honest boundary, not a crash.
 
 Encoder (:func:`encode_jpeg`): the TEST ORACLE (the same encoder-oracle
 pattern as the GIF-LZW round-trip tests) — grayscale or YCbCr 4:4:4 /
@@ -181,12 +184,26 @@ def decode_jpeg(p: bytes):
     """Decode a baseline Huffman JPEG; returns (width, height, mean_luma
     in [0,1]) or None for streams outside the supported subset."""
     try:
-        return _decode_jpeg_inner(p)
+        return _decode_jpeg_inner(p, pixels=False)
     except (EOFError, IndexError, ValueError, KeyError, struct.error):
         return None
 
 
-def _decode_jpeg_inner(p: bytes):
+def decode_jpeg_pixels(p: bytes):
+    """FULL pixel decode of a baseline Huffman JPEG: every component's
+    coefficients are dequantized and IDCTed (not just luma), chroma is
+    upsampled by replication to the luma grid, and YCbCr converts back
+    to RGB (ITU-R BT.601, the T.81 Annex companion transform).  Returns
+    uint8 (H, W) for grayscale or (H, W, 3) RGB, or None outside the
+    supported subset (incl. sampling factors that don't divide the max —
+    never seen from real encoders)."""
+    try:
+        return _decode_jpeg_inner(p, pixels=True)
+    except (EOFError, IndexError, ValueError, KeyError, struct.error):
+        return None
+
+
+def _decode_jpeg_inner(p: bytes, pixels: bool = False):
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -258,12 +275,23 @@ def _decode_jpeg_inner(p: bytes):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
             return _decode_scan(p, i + 2 + seglen, frame, sel, qt,
-                                hdc, hac, dri)
+                                hdc, hac, dri, pixels=pixels)
         i += 2 + seglen
     return None
 
 
-def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri):
+def _idct_plane(coef: np.ndarray, q: np.ndarray, bw: int,
+                bh: int) -> np.ndarray:
+    """Batched-matmul dequantize + 2-D IDCT: (n_blocks, 64) coefficients
+    → (bh*8, bw*8) float plane, level-shifted but unclipped."""
+    blocks = (coef * q).reshape(-1, 8, 8).astype(np.float64)
+    pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+    return (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(bh * 8, bw * 8))
+
+
+def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri,
+                 pixels: bool = False):
     comps = frame["comps"]
     if len(sel) != len(comps):
         return None                 # multi-scan out of subset
@@ -274,14 +302,16 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri):
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    for c in comps:
+    for ci, c in enumerate(comps):
         c["dc_lut"], c["ac_lut"] = (hdc[sel[c["id"]][0]],
                                     hac[sel[c["id"]][1]])
         c["q"] = qt[c["tq"]]
         c["pred"] = 0
-    luma = comps[0]
-    bw, bh = mcux * luma["h"], mcuy * luma["v"]   # luma blocks per axis
-    ycoef = np.zeros((bh * bw, 64), dtype=np.int64)
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+        # mean-luma mode stores (and later IDCTs) luma only; pixel mode
+        # keeps every component's coefficients for the chroma IDCT
+        c["coef"] = (np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                     if pixels or ci == 0 else None)
 
     segs = _split_entropy(p, start)
     n_mcu = mcux * mcuy
@@ -296,27 +326,47 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri):
         end = min(n_mcu, mcu + per_seg)
         while mcu < end:
             my, mx = divmod(mcu, mcux)
-            for ci, c in enumerate(comps):
+            for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         blk = _decode_block(br, c)
-                        if ci == 0:
+                        if c["coef"] is not None:
                             row = my * c["v"] + by
                             col = mx * c["h"] + bx
-                            ycoef[row * bw + col] = blk
+                            c["coef"][row * c["bw"] + col] = blk
             mcu += 1
     if mcu < n_mcu:
         return None                 # truncated stream
 
-    # batched 2-D IDCT of the luma plane only
-    blocks = (ycoef * luma["q"]).reshape(-1, 8, 8).astype(np.float64)
-    pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
-    plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
-                .reshape(bh * 8, bw * 8))
-    yw = -(-w * luma["h"] // hmax)
-    yh = -(-h * luma["v"] // vmax)
-    plane = np.clip(plane[:yh, :yw], 0.0, 255.0)
-    return w, h, float(plane.mean() / 255.0)
+    if not pixels:
+        luma = comps[0]
+        plane = _idct_plane(luma["coef"], luma["q"], luma["bw"],
+                            luma["bh"])
+        yw = -(-w * luma["h"] // hmax)
+        yh = -(-h * luma["v"] // vmax)
+        plane = np.clip(plane[:yh, :yw], 0.0, 255.0)
+        return w, h, float(plane.mean() / 255.0)
+
+    planes = []
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            return None     # non-divisor sampling: legal per T.81 but
+                            # emitted by no real encoder; upsampling
+                            # would need fractional interpolation
+        plane = _idct_plane(c["coef"], c["q"], c["bw"], c["bh"])
+        fx, fy = hmax // c["h"], vmax // c["v"]
+        if fy > 1:
+            plane = plane.repeat(fy, axis=0)
+        if fx > 1:
+            plane = plane.repeat(fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = (planes[0], planes[1] - 128.0, planes[2] - 128.0)
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_block(br: _BitReader, c) -> np.ndarray:

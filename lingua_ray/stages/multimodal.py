@@ -209,11 +209,13 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int):
     return out
 
 
-def _decode_png(p: bytes):
+def _decode_png(p: bytes, pixels: bool = False):
     """REAL PNG decode — zlib (stdlib) inflate + numpy unfiltering.
     Supports the universal web subset: bit depth 8, color types 0 (gray),
     2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-    Returns (width, height, mean_luma) or None (not PNG / unsupported)."""
+    Returns (width, height, mean_luma) — or, with ``pixels=True``, the
+    uint8 pixel array ((H, W) gray or (H, W, 3) RGB, alpha dropped) —
+    or None (not PNG / unsupported)."""
     import struct
     import zlib
     if not p.startswith(_PNG_SIG) or len(p) < 33:
@@ -256,12 +258,18 @@ def _decode_png(p: bytes):
         idx = px[:, :, 0].reshape(-1)
         if idx.max(initial=0) >= len(plte):
             return None  # index past the palette: malformed, not a codec gap
+        if pixels:
+            return plte[idx].reshape(h, w, 3).copy()
         rgb = plte[idx].astype(np.float64)
         luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
     elif ctype in (2, 6):
+        if pixels:
+            return np.ascontiguousarray(px[:, :, :3])
         rgb = px[:, :, :3].reshape(-1, 3).astype(np.float64)
         luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
     else:  # 0, 4: first channel is gray
+        if pixels:
+            return np.ascontiguousarray(px[:, :, 0])
         luma = float(px[:, :, 0].mean()) / 255.0
     return int(w), int(h), float(luma)
 
@@ -308,13 +316,14 @@ def _lzw_decode(data: bytes, mcs: int, max_pixels: int):
     return bytes(out[:max_pixels])
 
 
-def _decode_gif(p: bytes):
+def _decode_gif(p: bytes, pixels: bool = False):
     """REAL GIF pixel decode of the FIRST frame — pure block walk +
     LZW inflate, no codec library.  Handles global/local palettes,
     interlacing (row-reorder) and GCE transparency (transparent pixels
     take the background color); a frame smaller than the logical screen
     is composed onto the background-filled screen, matching what a
-    viewer shows for frame 1.  Returns (width, height, mean_luma) or
+    viewer shows for frame 1.  Returns (width, height, mean_luma) — or,
+    with ``pixels=True``, the composed uint8 (H, W, 3) RGB screen — or
     None (not a GIF / malformed / frame overflows the screen)."""
     if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
         return None
@@ -394,6 +403,12 @@ def _decode_gif(p: bytes):
         rgb = pal[a.reshape(-1)].astype(np.float64)
         if transparent is not None:
             rgb[a.reshape(-1) == transparent] = bg_rgb
+        if pixels:
+            screen = np.empty((sh, sw, 3), dtype=np.uint8)
+            screen[:] = np.round(bg_rgb).astype(np.uint8)
+            screen[fy:fy + fh, fx:fx + fw] = \
+                np.round(rgb).astype(np.uint8).reshape(fh, fw, 3)
+            return screen
         frame_sum = float((rgb @ _LUMA_W).sum())
         bg_luma = float(bg_rgb @ _LUMA_W)
         total = frame_sum + bg_luma * (sw * sh - fw * fh)
@@ -458,6 +473,60 @@ def decode_image(p: bytes):
     return None
 
 
+def decode_image_pixels(p: bytes):
+    """FULL pixel decode across the same codec subset as
+    :func:`decode_image`: uint8 (H, W) gray or (H, W, 3) RGB for PNG,
+    GIF first frame, baseline Huffman JPEG (chroma IDCT + BT.601
+    YCbCr→RGB, :func:`..jpeg.decode_jpeg_pixels`), binary netpbm and
+    uncompressed BMP (rows returned top-down); 16-bit netpbm is scaled
+    to 8.  None outside the subset."""
+    import struct
+    px = _decode_png(p, pixels=True)
+    if px is not None:
+        return px
+    px = _decode_gif(p, pixels=True)
+    if px is not None:
+        return px
+    if len(p) >= 2 and p[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+        px = decode_jpeg_pixels(p)
+        if px is not None:
+            return px
+    if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
+        hdr = _parse_pnm_header(p)
+        if hdr is None:
+            return None
+        w, h, maxval, off = hdr
+        ch = 1 if p[:2] == b"P5" else 3
+        need = w * h * ch * (2 if maxval > 255 else 1)
+        if maxval <= 0 or len(p) - off < need:
+            return None
+        dt = np.dtype(">u2") if maxval > 255 else np.uint8
+        px = np.frombuffer(p, dtype=dt, count=w * h * ch, offset=off)
+        px = np.round(px.astype(np.float64) * (255.0 / maxval))
+        px = px.astype(np.uint8)
+        return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+    if len(p) >= 54 and p[:2] == b"BM":
+        data_off = struct.unpack("<I", p[10:14])[0]
+        w, hraw = struct.unpack("<ii", p[18:26])
+        bpp, comp = struct.unpack("<HI", p[28:34])
+        h = abs(hraw)
+        if comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+            return None
+        stride = (w * bpp // 8 + 3) & ~3
+        if len(p) - data_off < stride * h:
+            return None
+        rows = np.frombuffer(p, dtype=np.uint8, count=stride * h,
+                             offset=data_off).reshape(h, stride)
+        if hraw > 0:        # bottom-up storage → top-down pixels
+            rows = rows[::-1]
+        if bpp == 24:
+            return np.ascontiguousarray(
+                rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1])
+        return np.ascontiguousarray(rows[:, :w])
+    return None
+
+
 class ImageDecoder:
     """Actor-pool decode/feature stage.
 
@@ -472,35 +541,61 @@ class ImageDecoder:
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
+
+    rgb_stats=True runs the FULL pixel decode (:func:`decode_image_pixels`
+    — chroma IDCT for JPEG, composed screens for GIF) and adds
+    mean_r/mean_g/mean_b columns; every stat then derives from the one
+    pixel array (grayscale payloads report r=g=b=gray, and mean_luma is
+    the BT.601 dot product of the channel means).
     """
 
-    def __init__(self, real: bool = False):
+    def __init__(self, real: bool = False, rgb_stats: bool = False):
         self.real = real
+        self.rgb_stats = rgb_stats
+
+    def _unsupported(self, p: bytes):
+        fmt = _parse_image_dims(p)[0] or "unknown"
+        raise NotImplementedError(
+            f"decoding '{fmt}' payloads needs PIL/opencv "
+            "(unavailable in this environment); only PNG, "
+            "GIF, baseline JPEG, netpbm and uncompressed "
+            "BMP decode without external codecs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        w = np.empty(len(payloads), dtype=np.int32)
-        h = np.empty(len(payloads), dtype=np.int32)
-        luma = np.empty(len(payloads), dtype=np.float64)
+        n = len(payloads)
+        w = np.empty(n, dtype=np.int32)
+        h = np.empty(n, dtype=np.int32)
+        luma = np.empty(n, dtype=np.float64)
+        rgb = np.empty((n, 3), dtype=np.float64) if self.rgb_stats else None
         for i, p in enumerate(payloads):
-            if self.real:
-                dec = decode_image(p or b"")
+            p = p or b""
+            if self.real and self.rgb_stats:
+                px = decode_image_pixels(p)
+                if px is None:
+                    self._unsupported(p)
+                h[i], w[i] = px.shape[:2]
+                rgb[i] = (px.reshape(-1, 3).mean(axis=0) / 255.0
+                          if px.ndim == 3 else px.mean() / 255.0)
+                luma[i] = float(rgb[i] @ _LUMA_W)
+            elif self.real:
+                dec = decode_image(p)
                 if dec is None:
-                    fmt = _parse_image_dims(p or b"")[0] or "unknown"
-                    raise NotImplementedError(
-                        f"decoding '{fmt}' payloads needs PIL/opencv "
-                        "(unavailable in this environment); only PNG, "
-                        "GIF, baseline JPEG, netpbm and uncompressed "
-                        "BMP decode without external codecs")
+                    self._unsupported(p)
                 w[i], h[i], luma[i] = dec
             else:
-                d = hashlib.sha256(p or b"").digest()
+                d = hashlib.sha256(p).digest()
                 w[i] = 64 + d[0] * 4
                 h[i] = 64 + d[1] * 4
                 luma[i] = d[2] / 255.0
+                if rgb is not None:
+                    rgb[i] = [d[3] / 255.0, d[4] / 255.0, d[5] / 255.0]
         batch = set_column(batch, "width", pa.array(w))
         batch = set_column(batch, "height", pa.array(h))
         batch = set_column(batch, "mean_luma", pa.array(luma))
+        if rgb is not None:
+            for j, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                batch = set_column(batch, name, pa.array(rgb[:, j]))
         return batch
 
 

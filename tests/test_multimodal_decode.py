@@ -648,3 +648,141 @@ def test_jpeg_truncated_entropy_returns_none_every_cut():
     scan_start = sos + 2 + int.from_bytes(p[sos + 2:sos + 4], "big")
     for cut in range(scan_start + 1, len(p) - 2):
         assert decode_jpeg(p[:cut]) is None, f"cut at {cut} decoded"
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 / max(w - 1, 1))
+    g = (yy * 255 / max(h - 1, 1))
+    b = ((xx + yy) * 255 / max(h + w - 2, 1))
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_pixels_flat_color_near_exact():
+    """DC-only content: full RGB decode must reproduce a flat color to
+    within the DC quantization step, for 4:4:4, 4:2:0 and restarts, at
+    non-multiple-of-16 sizes (crop path)."""
+    import numpy as np
+
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    img = np.empty((17, 13, 3), np.uint8)
+    img[:] = (180, 90, 40)
+    for sub in (False, True):
+        for rst in (0, 3):
+            p = encode_jpeg(img, quality=90, subsample=sub,
+                            restart_interval=rst)
+            out = decode_jpeg_pixels(p)
+            assert out is not None and out.shape == (17, 13, 3)
+            assert out.dtype == np.uint8
+            err = np.abs(out.astype(int) - img.astype(int))
+            assert err.max() <= 6, (sub, rst, err.max())
+
+
+def test_jpeg_pixels_gradient_roundtrip():
+    """Smooth content survives quality-95 4:4:4 with small per-pixel
+    error; 4:2:0 adds chroma replication error but channel means must
+    still track."""
+    import numpy as np
+
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    img = _gradient_rgb(40, 56)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() < 24
+    out420 = decode_jpeg_pixels(encode_jpeg(img, quality=95,
+                                            subsample=True))
+    for ch in range(3):
+        assert abs(out420[..., ch].mean() - img[..., ch].mean()) < 3
+
+
+def test_jpeg_pixels_grayscale_and_luma_consistency():
+    import numpy as np
+
+    from lingua_ray.stages.jpeg import (decode_jpeg, decode_jpeg_pixels,
+                                        encode_jpeg)
+
+    rng = np.random.RandomState(9)
+    gray = np.clip(rng.normal(128, 20, (24, 24)), 0, 255).astype(np.uint8)
+    p = encode_jpeg(gray, quality=92)
+    out = decode_jpeg_pixels(p)
+    assert out.shape == (24, 24) and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - gray.astype(int)).mean() < 6
+    # the cheap mean-luma contract and the full decode must agree
+    w, h, luma = decode_jpeg(p)
+    assert abs(luma - out.mean() / 255.0) < 0.01
+
+
+def test_jpeg_pixels_rejects_out_of_subset():
+    import numpy as np
+
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    assert decode_jpeg_pixels(good) is not None
+    assert decode_jpeg_pixels(good[:-10]) is None
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog) is None
+    assert decode_jpeg_pixels(b"\x89PNG") is None
+
+
+def test_decode_image_pixels_all_formats():
+    """Unified pixel decode: PNG/GIF/JPEG/PNM/BMP must all return the
+    actual pixel array (exact for the lossless formats, near for JPEG),
+    with BMP returned top-down and BGR swapped to RGB."""
+    from lingua_ray.stages.jpeg import encode_jpeg
+    from lingua_ray.stages.multimodal import decode_image_pixels
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    got = decode_image_pixels(_png(img, 2))
+    assert got.shape == (9, 7, 3) and (got == img).all()
+
+    palette = rng.randint(0, 256, (32, 3), dtype=np.uint8)
+    idx = rng.randint(0, 32, (6, 5), dtype=np.uint8)
+    got = decode_image_pixels(_gif_pixels(idx, palette))
+    assert got.shape == (6, 5, 3) and (got == palette[idx]).all()
+
+    flat = np.empty((10, 12, 3), np.uint8)
+    flat[:] = (30, 200, 120)
+    got = decode_image_pixels(encode_jpeg(flat, quality=90))
+    assert got.shape == (10, 12, 3)
+    assert np.abs(got.astype(int) - flat.astype(int)).max() <= 6
+
+    got = decode_image_pixels(_ppm(3, 2, (10, 20, 30)))
+    assert got.shape == (2, 3, 3) and (got == [10, 20, 30]).all()
+    got = decode_image_pixels(_pgm(4, 3, 77))
+    assert got.shape == (3, 4) and (got == 77).all()
+
+    got = decode_image_pixels(_bmp24(2, 2, (5, 6, 7)))  # bgr input
+    assert got.shape == (2, 2, 3) and (got == [7, 6, 5]).all()
+
+    assert decode_image_pixels(_webp_lossy(8, 8)) is None
+    assert decode_image_pixels(b"") is None
+
+
+def test_image_decoder_rgb_stats_mode():
+    """rgb_stats=True adds channel means derived from the full pixel
+    decode — exact for lossless payloads, and r=g=b for grayscale."""
+    from lingua_ray.stages.multimodal import ImageDecoder
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    t = pa.table({"payload": pa.array(
+        [_png(img, 2), _pgm(2, 2, 51)], type=pa.large_binary())})
+    out = ImageDecoder(real=True, rgb_stats=True)(t)
+    assert out.column("width").to_pylist() == [6, 2]
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    for j, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        vals = out.column(name).to_pylist()
+        assert abs(vals[0] - means[j]) < 1e-12
+        assert abs(vals[1] - 51 / 255) < 1e-12
+    luma = out.column("mean_luma").to_pylist()
+    assert abs(luma[0] - _luma(img)) < 1e-12
+    # fake mode stays deterministic and gains the same columns
+    fake = ImageDecoder(real=False, rgb_stats=True)(t)
+    fake2 = ImageDecoder(real=False, rgb_stats=True)(t)
+    assert fake.column("mean_r").to_pylist() == \
+        fake2.column("mean_r").to_pylist()
