@@ -421,10 +421,12 @@ def decode_image(p: bytes):
     unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
     baseline Huffman JPEG (marker/DQT/DHT parse, canonical-Huffman
-    entropy decode, luma-plane IDCT — :mod:`.jpeg`), binary netpbm
-    (P5/P6) and uncompressed 8/24-bit BMP.  Returns (width, height,
-    mean_luma in [0,1]) or None when the payload needs an external codec
-    (progressive JPEG/WEBP/16-bit-or-interlaced PNG/...)."""
+    entropy decode, luma-plane IDCT — :mod:`.jpeg`), lossless WebP
+    (full VP8L: LZ77 + color cache + all four transforms —
+    :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
+    Returns (width, height, mean_luma in [0,1]) or None when the
+    payload needs an external codec (progressive JPEG / lossy VP8 /
+    16-bit-or-interlaced PNG / ...)."""
     import struct
     png = _decode_png(p)
     if png is not None:
@@ -437,6 +439,11 @@ def decode_image(p: bytes):
         jp = decode_jpeg(p)
         if jp is not None:
             return jp
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+        wp = decode_webp(p)     # lossless VP8L; lossy VP8 stays None
+        if wp is not None:
+            return wp
     if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
         hdr = _parse_pnm_header(p)
         if hdr is None:
@@ -477,7 +484,8 @@ def decode_image_pixels(p: bytes):
     """FULL pixel decode across the same codec subset as
     :func:`decode_image`: uint8 (H, W) gray or (H, W, 3) RGB for PNG,
     GIF first frame, baseline Huffman JPEG (chroma IDCT + BT.601
-    YCbCr→RGB, :func:`..jpeg.decode_jpeg_pixels`), binary netpbm and
+    YCbCr→RGB, :func:`..jpeg.decode_jpeg_pixels`), lossless WebP
+    (:func:`..vp8l.decode_webp_pixels`), binary netpbm and
     uncompressed BMP (rows returned top-down); 16-bit netpbm is scaled
     to 8.  None outside the subset."""
     import struct
@@ -490,6 +498,11 @@ def decode_image_pixels(p: bytes):
     if len(p) >= 2 and p[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_pixels
         px = decode_jpeg_pixels(p)
+        if px is not None:
+            return px
+    if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        from .vp8l import decode_webp_pixels
+        px = decode_webp_pixels(p)
         if px is not None:
             return px
     if len(p) >= 2 and p[:2] in (b"P5", b"P6"):
@@ -533,11 +546,12 @@ class ImageDecoder:
     real=True decodes the formats a pure-NumPy + stdlib decoder can
     handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering), GIF
     first frame (LZW), baseline Huffman JPEG (canonical-Huffman entropy
-    decode + luma IDCT, :mod:`.jpeg`), binary netpbm (P5/P6) and
-    uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
-    NotImplementedError per payload for the remaining codecs
-    (progressive/arithmetic JPEG and WEBP need PIL/opencv, not installed
-    here; that boundary is the ONLY stubbed part).
+    decode + luma IDCT, :mod:`.jpeg`), lossless WebP (full VP8L,
+    :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP
+    — via :func:`decode_image`, and raises NotImplementedError per
+    payload for the remaining codecs (progressive/arithmetic JPEG and
+    lossy VP8 need PIL/opencv, not installed here; that boundary is the
+    ONLY stubbed part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
@@ -557,8 +571,8 @@ class ImageDecoder:
         fmt = _parse_image_dims(p)[0] or "unknown"
         raise NotImplementedError(
             f"decoding '{fmt}' payloads needs PIL/opencv "
-            "(unavailable in this environment); only PNG, "
-            "GIF, baseline JPEG, netpbm and uncompressed "
+            "(unavailable in this environment); only PNG, GIF, "
+            "baseline JPEG, lossless WebP, netpbm and uncompressed "
             "BMP decode without external codecs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
