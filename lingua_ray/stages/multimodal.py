@@ -613,12 +613,98 @@ class ImageDecoder:
         return batch
 
 
+# IMA/DVI ADPCM constants (public IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility" / RFC 3551 app-profile tables)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred, idx, nib):
+    """One IMA ADPCM step, vectorized across parallel block streams:
+    (predictor, step-index, nibble) arrays → updated (predictor,
+    index).  The feedback loop runs per sample; numpy runs per block."""
+    step = _IMA_STEPS[idx]
+    vpdiff = (step >> 3) + np.where(nib & 4, step, 0) \
+        + np.where(nib & 2, step >> 1, 0) + np.where(nib & 1, step >> 2, 0)
+    pred = np.where(nib & 8, pred - vpdiff, pred + vpdiff)
+    pred = np.clip(pred, -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, idx
+
+
+def _decode_ima_adpcm(body: bytes, nch: int, block_align: int):
+    """IMA ADPCM 'data' payload → int16 interleaved samples.  Blocks are
+    independent, so the sequential predictor loop is vectorized ACROSS
+    blocks (numpy lane per block) — per-sample Python cost is O(samples
+    per block), not O(total samples)."""
+    if block_align < 4 * nch or block_align % 4:
+        return None
+    nblk = len(body) // block_align
+    if nblk == 0:
+        return None
+    raw = np.frombuffer(body[:nblk * block_align],
+                        dtype=np.uint8).reshape(nblk, block_align)
+    spb = (block_align - 4 * nch) * 2 // nch   # data samples/chan/block
+    out = np.empty((nblk, spb + 1, nch), dtype=np.int16)
+    preds = []
+    idxs = []
+    for c in range(nch):
+        hdr = raw[:, 4 * c:4 * c + 4]
+        pred = (hdr[:, 0].astype(np.int64)
+                | hdr[:, 1].astype(np.int64) << 8)
+        pred = np.where(pred >= 1 << 15, pred - (1 << 16), pred)
+        idx = np.clip(hdr[:, 2].astype(np.int64), 0, 88)
+        out[:, 0, c] = pred
+        preds.append(pred)
+        idxs.append(idx)
+    # after the headers, nibbles come in 4-byte-per-channel groups of
+    # 8 samples; even nibble (low) first
+    data = raw[:, 4 * nch:]
+    for t in range(spb):
+        grp, within = divmod(t, 8)
+        for c in range(nch):
+            byte = data[:, grp * 4 * nch + 4 * c + within // 2]
+            nib = ((byte >> 4) if within % 2 else (byte & 0x0F)) \
+                .astype(np.int64)
+            preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+            out[:, t + 1, c] = preds[c]
+    return out.reshape(-1)
+
+
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    u = (~u) & 0xFF
+    sign = u >> 7
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) | 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int64)
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    a = (a ^ 0x55) & 0xFF
+    sign = a >> 7
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, -mag, mag).astype(np.int64)
+
+
 def decode_wav(p: bytes):
-    """REAL pure-NumPy decode of RIFF/WAVE payloads — PCM 8/16/24/32-bit
-    and IEEE float32/64.  Returns (sample_rate, n_channels, samples) with
-    samples as float64 in [-1, 1] (channel-interleaved, flattened), or
-    None when the payload is not an uncompressed WAV (mp3/ogg/flac need
-    codec libraries)."""
+    """REAL pure-NumPy decode of RIFF/WAVE payloads — PCM 8/16/24/32-bit,
+    IEEE float32/64, A-law / µ-law (G.711 expansion tables) and IMA/DVI
+    ADPCM (block-vectorized predictor loop).  Returns (sample_rate,
+    n_channels, samples) with samples as float64 in [-1, 1]
+    (channel-interleaved, flattened), or None when the payload needs a
+    real codec library (mp3/ogg/flac)."""
     import struct
     if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
@@ -629,11 +715,11 @@ def decode_wav(p: bytes):
         size = struct.unpack("<I", p[i + 4:i + 8])[0]
         body = p[i + 8:i + 8 + size]
         if cid == b"fmt " and size >= 16:
-            tag, nch, sr, _br, _ba, bits = struct.unpack("<HHIIHH",
-                                                         body[:16])
-            fmt = (tag, nch, sr, bits)
+            tag, nch, sr, _br, ba, bits = struct.unpack("<HHIIHH",
+                                                        body[:16])
+            fmt = (tag, nch, sr, bits, ba)
         elif cid == b"data" and fmt is not None:
-            tag, nch, sr, bits = fmt
+            tag, nch, sr, bits, ba = fmt
             if nch == 0 or sr == 0:
                 return None
             if tag == 1 and bits == 8:        # PCM unsigned 8-bit
@@ -661,6 +747,17 @@ def decode_wav(p: bytes):
             elif tag == 3 and bits == 64:
                 s = np.frombuffer(body[: len(body) & ~7],
                                   dtype="<f8").copy()
+            elif tag == 6 and bits == 8:      # A-law
+                s = _alaw_expand(np.frombuffer(body, dtype=np.uint8)
+                                 .astype(np.int64)) / 32768.0
+            elif tag == 7 and bits == 8:      # µ-law
+                s = _mulaw_expand(np.frombuffer(body, dtype=np.uint8)
+                                  .astype(np.int64)) / 32768.0
+            elif tag == 0x11 and bits == 4:   # IMA/DVI ADPCM
+                dec = _decode_ima_adpcm(body, nch, ba)
+                if dec is None:
+                    return None
+                s = dec.astype(np.float64) / 32768.0
             else:
                 return None                   # compressed / exotic tag
             return sr, nch, s
@@ -671,11 +768,12 @@ def decode_wav(p: bytes):
 class AudioFeaturizer:
     """Actor-pool audio feature stage.
 
-    real=True decodes uncompressed RIFF/WAVE payloads (PCM and IEEE
-    float) with :func:`decode_wav` — no codec library needed — emitting
-    real ``duration_s`` and ``rms``; compressed codecs (mp3/ogg/flac)
-    raise NotImplementedError per payload (torchaudio/ffmpeg are not in
-    this environment; that boundary is the only stubbed part).
+    real=True decodes RIFF/WAVE payloads (PCM, IEEE float, G.711
+    A-law/µ-law, IMA ADPCM) with :func:`decode_wav` — no codec library
+    needed — emitting real ``duration_s`` and ``rms``; transform codecs
+    (mp3/ogg/flac) raise NotImplementedError per payload
+    (torchaudio/ffmpeg are not in this environment; that boundary is
+    the only stubbed part).
     real=False emits a deterministic sha256-derived fake so the Ray
     plumbing is exercised when no decodable payloads exist."""
 

@@ -786,3 +786,126 @@ def test_image_decoder_rgb_stats_mode():
     fake2 = ImageDecoder(real=False, rgb_stats=True)(t)
     assert fake.column("mean_r").to_pylist() == \
         fake2.column("mean_r").to_pylist()
+
+
+def _wav_container(tag, nch, sr, bits, block_align, data):
+    import struct
+    fmt = struct.pack("<HHIIHH", tag, nch, sr,
+                      sr * block_align, block_align, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_g711_expansion_anchors_and_roundtrip():
+    """µ-law / A-law: canonical anchor values from G.711 (µ-law full
+    scale 32124, A-law full scale 32256, min step 8), idempotence over
+    every code point, and nearest-code round-trip within the local
+    quantization gap."""
+    from lingua_ray.stages.multimodal import (_alaw_expand, _mulaw_expand,
+                                              decode_wav)
+
+    codes = np.arange(256, dtype=np.int64)
+    mu, al = _mulaw_expand(codes), _alaw_expand(codes)
+    assert mu.max() == 32124 and mu.min() == -32124
+    assert int(mu[0xFF]) == 0 and int(mu[0x7F]) == 0
+    assert al.max() == 32256 and al.min() == -32256
+    assert np.abs(al).min() == 8              # A-law has no zero level
+    # nearest-code compressor as the independent oracle
+    rng = np.random.RandomState(3)
+    x = rng.randint(-32768, 32768, 400).astype(np.int64)
+    for table, tag in ((mu, 7), (al, 6)):
+        enc = np.abs(x[:, None] - table[None, :]).argmin(axis=1)
+        dec = table[enc]
+        gap = np.abs(x - dec)
+        # error bounded by the largest step at that magnitude (~1/16th)
+        assert (gap <= np.maximum(np.abs(x) // 14, 16)).all()
+        sr, nch, s = decode_wav(_wav_container(
+            tag, 1, 8000, 8, 1, enc.astype(np.uint8).tobytes()))
+        assert sr == 8000 and nch == 1
+        assert np.allclose(s * 32768.0, dec)
+        # idempotence: decoded levels re-encode to themselves
+        enc2 = np.abs(dec[:, None] - table[None, :]).argmin(axis=1)
+        assert (table[enc2] == dec).all()
+
+
+def _ima_encode(samples, nch, block_align):
+    """Independent IMA ADPCM encoder (standard quantizer); predictor
+    tracking reuses the module's decode step so encoder quantization
+    choices — the part under test — stay independent."""
+    from lingua_ray.stages.multimodal import _IMA_STEPS, _ima_step
+
+    spb = (block_align - 4 * nch) * 2 // nch
+    x = samples.reshape(-1, nch)
+    n_blocks = len(x) // (spb + 1)
+    out = bytearray()
+    # step index carries across blocks via the header; start mid-table
+    # so the first block isn't dominated by the adaptation ramp (real
+    # encoders pick the block's initial index to match the signal)
+    run_idx = [60] * nch
+    for b in range(n_blocks):
+        blk = x[b * (spb + 1):(b + 1) * (spb + 1)]
+        nibs = [[] for _ in range(nch)]
+        for c in range(nch):
+            pred, idx = int(blk[0, c]), run_idx[c]
+            out += int(pred & 0xFFFF).to_bytes(2, "little")
+            out += bytes([idx, 0])
+            p, i = np.array([pred]), np.array([idx])
+            for t in range(1, spb + 1):
+                step = int(_IMA_STEPS[i[0]])
+                diff = int(blk[t, c]) - int(p[0])
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                p, i = _ima_step(p, i, np.array([nib]))
+                nibs[c].append(nib)
+            run_idx[c] = int(i[0])
+        for g in range(spb // 8):
+            for c in range(nch):
+                for k in range(4):
+                    lo = nibs[c][g * 8 + 2 * k]
+                    hi = nibs[c][g * 8 + 2 * k + 1]
+                    out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_wav_ima_adpcm_sine_roundtrip(nch):
+    from lingua_ray.stages.multimodal import decode_wav
+
+    block_align = 72 * nch                    # spb = 64 * 2 ... per chan
+    spb = (block_align - 4 * nch) * 2 // nch
+    n = 3 * (spb + 1)                         # 3 full blocks
+    t = np.arange(n)
+    chans = [np.round(20000 * np.sin(2 * np.pi * (220 * (c + 1)) * t
+                                     / 8000)).astype(np.int64)
+             for c in range(nch)]
+    x = np.stack(chans, axis=-1).reshape(-1)
+    data = _ima_encode(x, nch, block_align)
+    sr, ch, s = decode_wav(_wav_container(0x11, nch, 8000, 4,
+                                          block_align, data))
+    assert (sr, ch) == (8000, nch)
+    y = s * 32768.0
+    assert len(y) == n * nch
+    err = x - y
+    snr = 10 * np.log10((x.astype(np.float64) ** 2).mean()
+                        / max((err ** 2).mean(), 1e-9))
+    assert snr > 25, snr
+
+
+def test_wav_ima_adpcm_malformed():
+    from lingua_ray.stages.multimodal import decode_wav
+
+    assert decode_wav(_wav_container(0x11, 1, 8000, 4, 2, b"\0" * 8)) \
+        is None                               # block < header
+    assert decode_wav(_wav_container(0x11, 1, 8000, 4, 8, b"")) is None
+    # mp3-ish tag stays the documented boundary
+    assert decode_wav(_wav_container(0x55, 1, 8000, 0, 1, b"x" * 8)) \
+        is None
