@@ -1,15 +1,18 @@
 """Baseline JPEG codec, pure NumPy + stdlib — no external codecs.
 
-Decoder: baseline/extended-sequential Huffman JPEG (SOF0/SOF1) — marker
-walk, DQT/DHT/SOS parsing, byte-unstuffing with restart-marker
+Decoder: Huffman JPEG, sequential (SOF0/SOF1) AND progressive (SOF2) —
+marker walk, DQT/DHT/SOS parsing, byte-unstuffing with restart-marker
 segmentation, canonical-Huffman entropy decode through a 16-bit
 lookahead table, dequantization, and batched-matmul 2-D IDCTs.
-:func:`decode_jpeg` keeps the cheap (width, height, mean_luma) contract
-(luma IDCT only; chroma blocks are entropy-decoded to keep the
-bitstream in sync); :func:`decode_jpeg_pixels` is the FULL decode —
-chroma IDCT, replication upsampling to the luma grid, BT.601 YCbCr→RGB
-— returning the uint8 pixel array.  Progressive (SOF2),
-arithmetic-coded, hierarchical, 12-bit and CMYK streams return ``None``
+Progressive streams accumulate coefficients scan by scan (spectral
+selection + successive approximation per T.81 §G.2: DC first/refine,
+AC first with EOBn end-of-band runs, AC refinement with correction
+bits) and assemble at EOI.  :func:`decode_jpeg` keeps the cheap
+(width, height, mean_luma) contract (luma IDCT only; chroma blocks are
+entropy-decoded to keep the bitstream in sync); :func:`decode_jpeg_pixels`
+is the FULL decode — chroma IDCT, replication upsampling to the luma
+grid, BT.601 YCbCr→RGB — returning the uint8 pixel array.
+Arithmetic-coded, hierarchical, 12-bit and CMYK streams return ``None``
 — an honest boundary, not a crash.
 
 Encoder (:func:`encode_jpeg`): the TEST ORACLE (the same encoder-oracle
@@ -19,6 +22,12 @@ canonical Huffman tables written into DHT (fixed-length code sets: 12 DC
 categories at 4 bits, the 256 run/size symbols at 9-10 bits — valid Huffman
 tables by construction, so the decoder's canonical-code machinery is
 exercised without transcribing the T.81 Annex K code tables).
+``progressive=True`` emits a 9-scan SOF2 stream (interleaved DC at Al=1
++ refinement, split luma spectral bands with two successive-approximation
+levels, per-chroma AC bands) mirroring libjpeg's emission discipline —
+EOB-run folding, ZRL inside refinement, buffered correction bits — so the
+decoder's §G.2 paths are all exercised by round-trip against the
+sequential decode of the same image.
 
 The per-symbol entropy loop is Python (Huffman decoding is inherently
 bit-serial); throughput is bounded per payload, which is the documented
@@ -149,8 +158,10 @@ class _BitReader:
 
 
 def _split_entropy(p: bytes, start: int):
-    """Unstuff 0xFF00 and split at RSTn markers.  Returns a list of
-    segments (DC predictors reset at each boundary)."""
+    """Unstuff 0xFF00 and split at RSTn markers.  Returns (segments,
+    stop) — DC predictors and EOB runs reset at each segment boundary;
+    ``stop`` is the offset of the marker that ended the scan, so a
+    progressive decoder can resume the marker walk there."""
     segs = []
     cur = bytearray()
     i = start
@@ -174,15 +185,16 @@ def _split_entropy(p: bytes, start: int):
         else:                       # EOI or any other marker ends the scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 # ---------------------------------------------------------------- decoder
 
 
 def decode_jpeg(p: bytes):
-    """Decode a baseline Huffman JPEG; returns (width, height, mean_luma
-    in [0,1]) or None for streams outside the supported subset."""
+    """Decode a Huffman JPEG (sequential SOF0/SOF1 or progressive SOF2);
+    returns (width, height, mean_luma in [0,1]) or None for streams
+    outside the supported subset."""
     try:
         return _decode_jpeg_inner(p, pixels=False)
     except (EOFError, IndexError, ValueError, KeyError, struct.error):
@@ -190,8 +202,9 @@ def decode_jpeg(p: bytes):
 
 
 def decode_jpeg_pixels(p: bytes):
-    """FULL pixel decode of a baseline Huffman JPEG: every component's
-    coefficients are dequantized and IDCTed (not just luma), chroma is
+    """FULL pixel decode of a Huffman JPEG (sequential or progressive):
+    every component's coefficients are dequantized and IDCTed (not just
+    luma), chroma is
     upsampled by replication to the luma grid, and YCbCr converts back
     to RGB (ITU-R BT.601, the T.81 Annex companion transform).  Returns
     uint8 (H, W) for grayscale or (H, W, 3) RGB, or None outside the
@@ -212,15 +225,20 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
     frame = None
     dri = 0
     i = 2
-    while i + 4 <= len(p):
+    prog_started = False
+    while i + 2 <= len(p):
         if p[i] != 0xFF:
             return None
         m = p[i + 1]
-        if m == 0xD9:
-            return None             # EOI before SOS
+        if m == 0xD9:               # EOI
+            if prog_started:        # all progressive scans accumulated
+                return _assemble(frame, pixels)
+            return None             # EOI before any SOS
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if i + 4 > len(p):
+            return None
         seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
         seg = p[i + 4:i + 2 + seglen]
         if m == 0xDB:               # DQT
@@ -244,7 +262,7 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 vals = list(seg[j + 17:j + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = _lookahead_table(bits, vals)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):     # SOF0 / SOF1 (both Huffman sequential)
+        elif m in (0xC0, 0xC1, 0xC2):   # Huffman sequential / progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -260,22 +278,34 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                                     # plane would yield mean-of-[] = NaN
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps, "qt": qt,
+                     "prog": m == 0xC2, "pixels": pixels}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None             # progressive/arithmetic/hierarchical
+            return None             # arithmetic/lossless/hierarchical
         elif m == 0xDD:             # DRI
             dri = struct.unpack(">H", seg[:2])[0]
-        elif m == 0xDA:             # SOS — decode and finish
+        elif m == 0xDA:             # SOS
             if frame is None:
                 return None
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
-            return _decode_scan(p, i + 2 + seglen, frame, sel, qt,
-                                hdc, hac, dri, pixels=pixels)
+                order.append(cid)
+            if not frame["prog"]:   # sequential: one scan and done
+                return _decode_scan(p, i + 2 + seglen, frame, sel, qt,
+                                    hdc, hac, dri, pixels=pixels)
+            if not prog_started:
+                _init_prog_state(frame)
+                prog_started = True
+            band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15)
+            i = _progressive_scan(p, i + 2 + seglen, frame, order, sel,
+                                  qt, hdc, hac, dri, band)
+            continue
         i += 2 + seglen
     return None
 
@@ -305,7 +335,6 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri,
     for ci, c in enumerate(comps):
         c["dc_lut"], c["ac_lut"] = (hdc[sel[c["id"]][0]],
                                     hac[sel[c["id"]][1]])
-        c["q"] = qt[c["tq"]]
         c["pred"] = 0
         c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
         # mean-luma mode stores (and later IDCTs) luma only; pixel mode
@@ -313,7 +342,7 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri,
         c["coef"] = (np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
                      if pixels or ci == 0 else None)
 
-    segs = _split_entropy(p, start)
+    segs, _ = _split_entropy(p, start)
     n_mcu = mcux * mcuy
     per_seg = dri if dri else n_mcu
     mcu = 0
@@ -337,10 +366,21 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri,
             mcu += 1
     if mcu < n_mcu:
         return None                 # truncated stream
+    return _assemble(frame, pixels)
 
+
+def _assemble(frame, pixels: bool):
+    """Dequantize + IDCT + (pixel mode) chroma upsample + YCbCr→RGB —
+    shared by the sequential one-scan path and the progressive
+    accumulate-until-EOI path."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    qt = frame["qt"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     if not pixels:
         luma = comps[0]
-        plane = _idct_plane(luma["coef"], luma["q"], luma["bw"],
+        plane = _idct_plane(luma["coef"], qt[luma["tq"]], luma["bw"],
                             luma["bh"])
         yw = -(-w * luma["h"] // hmax)
         yh = -(-h * luma["v"] // vmax)
@@ -353,7 +393,7 @@ def _decode_scan(p, start, frame, sel, qt, hdc, hac, dri,
             return None     # non-divisor sampling: legal per T.81 but
                             # emitted by no real encoder; upsampling
                             # would need fractional interpolation
-        plane = _idct_plane(c["coef"], c["q"], c["bw"], c["bh"])
+        plane = _idct_plane(c["coef"], qt[c["tq"]], c["bw"], c["bh"])
         fx, fy = hmax // c["h"], vmax // c["v"]
         if fy > 1:
             plane = plane.repeat(fy, axis=0)
@@ -407,6 +447,209 @@ def _decode_block(br: _BitReader, c) -> np.ndarray:
         coef[_ZZ[k]] = _extend(br.take(s), s)
         k += 1
     return coef
+
+
+# ------------------------------------------------------ progressive scans
+
+
+def _init_prog_state(frame) -> None:
+    """Allocate per-component coefficient planes once, before the first
+    progressive scan; every later scan accumulates into them.  All
+    components are stored even in mean-luma mode — chroma refinement
+    bits must be consumed to keep the stream in sync, which needs the
+    chroma coefficient history."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["mcux"] = -(-frame["w"] // (8 * hmax))
+    frame["mcuy"] = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"], c["bh"] = frame["mcux"] * c["h"], frame["mcuy"] * c["v"]
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        # non-interleaved scans cover only the useful block grid, not
+        # the MCU-padded grid (T.81 A.2.2)
+        c["nw"], c["nh"] = -(-cw // 8), -(-ch // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["pred"] = 0
+
+
+def _progressive_scan(p, start, frame, order, sel, qt, hdc, hac, dri,
+                      band) -> int:
+    """One progressive SOS (spectral band Ss..Se at successive-
+    approximation Ah→Al); returns the stream offset where the marker
+    walk resumes.  T.81 §G.2."""
+    ss, se, ah, al = band
+    if se > 63 or al > 13 or ah > 13 or (ah and ah != al + 1):
+        raise ValueError("bad progressive scan parameters")
+    byid = {c["id"]: c for c in frame["comps"]}
+    scomps = [byid[cid] for cid in order]
+    segs, end = _split_entropy(p, start)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _prog_dc_scan(segs, frame, scomps, sel, hdc, dri, ah, al)
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        _prog_ac_scan(segs, scomps[0], sel, hac, dri, ss, se, ah, al)
+    return end
+
+
+def _dc_unit(br: _BitReader, c, idx: int, ah: int, al: int) -> None:
+    if ah == 0:
+        lut = int(c["dc_lut"][br.peek16()])
+        sym, ln = lut >> 5, lut & 31
+        if ln == 0:
+            raise ValueError("invalid DC code")
+        br.pos += ln
+        if br.pos > br.n:
+            raise EOFError("entropy segment exhausted")
+        c["pred"] += _extend(br.take(sym), sym)
+        c["coef"][idx, 0] = c["pred"] << al
+    elif br.take(1):
+        # two's complement makes |= correct for negative DCs too:
+        # the bit is bit Al of the true signed value
+        c["coef"][idx, 0] |= 1 << al
+
+
+def _prog_dc_scan(segs, frame, scomps, sel, hdc, dri, ah, al) -> None:
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcux = frame["mcux"]
+        units = mcux * frame["mcuy"]
+    else:
+        units = scomps[0]["nw"] * scomps[0]["nh"]
+    if ah == 0:
+        for c in scomps:
+            c["dc_lut"] = hdc[sel[c["id"]][0]]
+    per_seg = dri if dri else units
+    u = 0
+    for seg in segs:
+        if u >= units:
+            break
+        br = _BitReader(seg)
+        for c in scomps:
+            c["pred"] = 0
+        endu = min(units, u + per_seg)
+        while u < endu:
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = ((my * c["v"] + by) * c["bw"]
+                                   + mx * c["h"] + bx)
+                            _dc_unit(br, c, idx, ah, al)
+            else:
+                c = scomps[0]
+                my, mx = divmod(u, c["nw"])
+                _dc_unit(br, c, my * c["bw"] + mx, ah, al)
+            u += 1
+    if u < units:
+        raise EOFError("truncated progressive DC scan")
+
+
+def _ac_sym(br: _BitReader, ac) -> int:
+    lut = int(ac[br.peek16()])
+    sym, ln = lut >> 5, lut & 31
+    if ln == 0:
+        raise ValueError("invalid AC code")
+    br.pos += ln
+    if br.pos > br.n:
+        raise EOFError("entropy segment exhausted")
+    return sym
+
+
+def _ac_first(br, ac, coef, ss, se, al, eobrun) -> int:
+    """AC first scan for one block (T.81 G.1.2.2): sequential RS coding
+    plus EOBn end-of-band runs; values enter shifted by Al."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _ac_sym(br, ac)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            return (1 << r) - 1 + br.take(r)
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[_ZZ[k]] = _extend(br.take(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, ac, coef, ss, se, al, eobrun) -> int:
+    """AC refinement for one block (T.81 G.1.2.3): newly-significant
+    coefficients arrive as ±2^Al; every already-nonzero coefficient
+    crossed on the way contributes one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _ac_sym(br, ac)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # full run count incl. the current block — the tail
+                    # walk below handles this block, then returns run-1
+                    eobrun = (1 << r) + br.take(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude > 1")
+                val = p1 if br.take(1) else -p1
+            while k <= se:
+                z = _ZZ[k]
+                if coef[z] != 0:
+                    if br.take(1) and not (coef[z] & p1):
+                        coef[z] += p1 if coef[z] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_ZZ[k]] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            z = _ZZ[k]
+            if coef[z] != 0:
+                if br.take(1) and not (coef[z] & p1):
+                    coef[z] += p1 if coef[z] > 0 else -p1
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _prog_ac_scan(segs, c, sel, hac, dri, ss, se, ah, al) -> None:
+    ac = hac[sel[c["id"]][1]]
+    units = c["nw"] * c["nh"]
+    per_seg = dri if dri else units
+    u = 0
+    for seg in segs:
+        if u >= units:
+            break
+        br = _BitReader(seg)
+        eobrun = 0
+        endu = min(units, u + per_seg)
+        while u < endu:
+            my, mx = divmod(u, c["nw"])
+            coef = c["coef"][my * c["bw"] + mx]
+            if ah == 0:
+                eobrun = _ac_first(br, ac, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, ac, coef, ss, se, al, eobrun)
+            u += 1
+    if u < units:
+        raise EOFError("truncated progressive AC scan")
 
 
 # ---------------------------------------------------------------- encoder
@@ -497,6 +740,151 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return qc.reshape(h // 8, w // 8, 64)
 
 
+# ------------------------------------------------- progressive encoder
+# (test oracle for the §G.2 decode path: spectral selection +
+# successive approximation, incl. EOB runs and buffered correction
+# bits, mirroring the emission order the decoder must consume)
+
+
+def _enc_dc_scan(coefs, samp, mcux, mcuy, dc_codes, ah, al) -> bytes:
+    bw = _BitWriter()
+    preds = [0] * len(coefs)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coefs[ci][my * sv + by, mx * sh + bx][0])
+                    if ah == 0:
+                        v = dc >> al          # arithmetic: floor, like C
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        code, ln = dc_codes[t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(diff if diff >= 0
+                                   else diff + (1 << t) - 1, t)
+                    else:
+                        bw.put((dc >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: truncation toward zero (T.81 G.1.1.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(blocks, ac_codes, ss, se, al) -> bytes:
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun & ((1 << r) - 1), r)
+            eobrun = 0
+
+    for blk in blocks:
+        zz = blk[_ZZ]
+        vals = [_pt(int(v), al) for v in zz[ss:se + 1]]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                r -= 16
+            s = _category(v)
+            code, ln = ac_codes[(r << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_ac_refine(blocks, ac_codes, ss, se, al) -> bytes:
+    bw = _BitWriter()
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, be_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun & ((1 << r) - 1), r)
+            for b in be_bits:
+                bw.put(b, 1)
+            eobrun = 0
+            be_bits = []
+
+    for blk in blocks:
+        zz = blk[_ZZ]
+        vals = [_pt(int(v), al) for v in zz[ss:se + 1]]
+        absv = [abs(v) for v in vals]
+        eob = -1                         # last NEWLY significant coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs needed before a coming new coef; beyond the last new
+            # coef they fold into the EOB run instead
+            while r > 15 and i <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.put(b, 1)
+                br_bits = []
+            if t > 1:                    # history-nonzero: correction bit
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            r = 0
+            bw.put(1 if vals[i] > 0 else 0, 1)
+            for b in br_bits:
+                bw.put(b, 1)
+            br_bits = []
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     h, w = plane.shape
     ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
@@ -504,10 +892,16 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample: bool = False, restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 to baseline JPEG.
     ``subsample=True`` uses 4:2:0 chroma (multi-block interleaved MCUs);
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs."""
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs
+    (sequential mode only).  ``progressive=True`` emits an SOF2
+    multi-scan stream — interleaved DC first scan at Al=1 + DC
+    refinement, per-component spectral AC bands with two successive-
+    approximation levels for luma — exercising EOB runs, ZRL folding
+    and buffered correction bits."""
     img = np.asarray(img)
     gray = img.ndim == 2
     qy = _scaled_q(_QLUM, quality).astype(np.float64)
@@ -559,12 +953,51 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for c, (sh, sv) in enumerate(samp):
         sof += bytes([c + 1, (sh << 4) | sv, qsel[c]])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
     for tc_th, (bits, vals) in ((0x00, (dc_bits, dc_vals)),
                                 (0x10, (ac_bits, ac_vals))):
         seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    if restart_interval:
+    if restart_interval and not progressive:
         seg(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        def comp_blocks(ci):
+            # non-interleaved scans walk the USEFUL block grid
+            # ceil(ceil(dim * sampling / max) / 8), not the padded one
+            sh, sv = samp[ci]
+            cw, ch = -(-w * sh // hmax), -(-h * sv // vmax)
+            nw, nh = -(-cw // 8), -(-ch // 8)
+            return [coefs[ci][r, c] for r in range(nh)
+                    for c in range(nw)]
+
+        def sos_scan(comp_ids, ss_, se_, ah_, al_, payload):
+            hdr = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                hdr += bytes([cid + 1, 0x00])
+            hdr += bytes([ss_, se_, (ah_ << 4) | al_])
+            seg(0xDA, hdr)
+            out.extend(payload)
+
+        all_ids = list(range(len(planes)))
+        sos_scan(all_ids, 0, 0, 0, 1,
+                 _enc_dc_scan(coefs, samp, mcux, mcuy, dc_codes, 0, 1))
+        # luma AC: two spectral bands at Al=2, then 2->1->0 refinements
+        lb = comp_blocks(0)
+        sos_scan([0], 1, 5, 0, 2, _enc_ac_first(lb, ac_codes, 1, 5, 2))
+        sos_scan([0], 6, 63, 0, 2, _enc_ac_first(lb, ac_codes, 6, 63, 2))
+        for ci in range(1, len(planes)):
+            sos_scan([ci], 1, 63, 0, 1,
+                     _enc_ac_first(comp_blocks(ci), ac_codes, 1, 63, 1))
+        sos_scan([0], 1, 63, 2, 1, _enc_ac_refine(lb, ac_codes, 1, 63, 1))
+        sos_scan([0], 1, 63, 1, 0, _enc_ac_refine(lb, ac_codes, 1, 63, 0))
+        sos_scan(all_ids, 0, 0, 1, 0,
+                 _enc_dc_scan(coefs, samp, mcux, mcuy, dc_codes, 1, 0))
+        for ci in range(1, len(planes)):
+            sos_scan([ci], 1, 63, 1, 0,
+                     _enc_ac_refine(comp_blocks(ci), ac_codes, 1, 63, 0))
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
     sos = bytes([len(planes)])
     for c in range(len(planes)):
         sos += bytes([c + 1, 0x00])   # DC table 0, AC table 0 for all

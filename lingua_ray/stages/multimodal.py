@@ -420,13 +420,14 @@ def decode_image(p: bytes):
     """REAL pure-NumPy decode — PNG (stdlib-zlib inflate + numpy
     unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
-    baseline Huffman JPEG (marker/DQT/DHT parse, canonical-Huffman
-    entropy decode, luma-plane IDCT — :mod:`.jpeg`), lossless WebP
+    Huffman JPEG sequential + progressive (marker/DQT/DHT parse,
+    canonical-Huffman entropy decode, luma-plane IDCT — :mod:`.jpeg`),
+    lossless WebP
     (full VP8L: LZ77 + color cache + all four transforms —
     :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
     Returns (width, height, mean_luma in [0,1]) or None when the
-    payload needs an external codec (progressive JPEG / lossy VP8 /
-    16-bit-or-interlaced PNG / ...)."""
+    payload needs an external codec (arithmetic-coded JPEG / lossy VP8
+    / 16-bit-or-interlaced PNG / ...)."""
     import struct
     png = _decode_png(p)
     if png is not None:
@@ -545,13 +546,13 @@ class ImageDecoder:
 
     real=True decodes the formats a pure-NumPy + stdlib decoder can
     handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering), GIF
-    first frame (LZW), baseline Huffman JPEG (canonical-Huffman entropy
-    decode + luma IDCT, :mod:`.jpeg`), lossless WebP (full VP8L,
-    :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP
-    — via :func:`decode_image`, and raises NotImplementedError per
-    payload for the remaining codecs (progressive/arithmetic JPEG and
-    lossy VP8 need PIL/opencv, not installed here; that boundary is the
-    ONLY stubbed part).
+    first frame (LZW), Huffman JPEG both sequential and progressive
+    (canonical-Huffman entropy decode + luma IDCT, :mod:`.jpeg`),
+    lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6) and
+    uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
+    NotImplementedError per payload for the remaining codecs
+    (arithmetic-coded JPEG and lossy VP8 need PIL/opencv, not installed
+    here; that boundary is the ONLY stubbed part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising
     the full Ray plumbing when no decodable payloads exist.
@@ -572,7 +573,7 @@ class ImageDecoder:
         raise NotImplementedError(
             f"decoding '{fmt}' payloads needs PIL/opencv "
             "(unavailable in this environment); only PNG, GIF, "
-            "baseline JPEG, lossless WebP, netpbm and uncompressed "
+            "Huffman JPEG, lossless WebP, netpbm and uncompressed "
             "BMP decode without external codecs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -566,9 +566,13 @@ def test_jpeg_rejects_out_of_subset():
     assert decode_jpeg(good) is not None
     # truncated entropy stream
     assert decode_jpeg(good[:-20]) is None
-    # progressive (SOF2) marker
+    # SOF2 marker forged onto a sequential stream: the full-band SOS
+    # (Ss=0, Se=63) is illegal for a progressive DC scan → None
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
+    # arithmetic-coded (SOF9) stays out of subset
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert decode_jpeg(arith) is None
     # not a JPEG at all
     assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
 
@@ -909,3 +913,97 @@ def test_wav_ima_adpcm_malformed():
     # mp3-ish tag stays the documented boundary
     assert decode_wav(_wav_container(0x55, 1, 8000, 0, 1, b"x" * 8)) \
         is None
+
+
+# ------------------------------------------------- progressive JPEG (§G.2)
+
+
+def test_jpeg_progressive_matches_sequential_matrix():
+    """The progressive encoder-oracle emits a 9-scan SOF2 stream
+    (spectral selection + two successive-approximation levels, EOB
+    runs, refinement correction bits); its full pixel decode must be
+    bit-identical to the sequential decode of the same image, since
+    both quantize with the same tables."""
+    from lingua_ray.stages.jpeg import (decode_jpeg, decode_jpeg_pixels,
+                                        encode_jpeg)
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (8, 8, False, False, 90), (16, 16, False, False, 85),
+        (24, 17, False, False, 75), (16, 16, True, False, 85),
+        (32, 24, True, True, 85), (40, 33, True, True, 70),
+        (64, 48, True, True, 60), (9, 9, False, False, 95),
+        (17, 31, True, False, 50),
+    ]
+    for h, w, color, sub, q in cases:
+        img = rng.randint(0, 256, (h, w, 3) if color else (h, w))
+        img = (img * 0.3 + 128).astype(np.uint8)   # sparse-ish coefs
+        seq = encode_jpeg(img, quality=q, subsample=sub)
+        prog = encode_jpeg(img, quality=q, subsample=sub,
+                           progressive=True)
+        assert prog != seq and b"\xff\xc2" in prog[:200]
+        ps, pp = decode_jpeg_pixels(seq), decode_jpeg_pixels(prog)
+        assert ps is not None and pp is not None
+        assert np.array_equal(ps, pp), (h, w, color, sub, q)
+        ms, mp = decode_jpeg(seq), decode_jpeg(prog)
+        assert ms[:2] == mp[:2] == (w, h)
+        assert abs(ms[2] - mp[2]) < 1e-12
+
+
+def test_jpeg_progressive_busy_image():
+    """Full-range noise exercises dense coefficient blocks (ZRL inside
+    refinement, long correction-bit buffers)."""
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (48, 40, 3)).astype(np.uint8)
+    for sub, q in ((False, 95), (True, 30)):
+        seq = encode_jpeg(img, quality=q, subsample=sub)
+        prog = encode_jpeg(img, quality=q, subsample=sub,
+                           progressive=True)
+        assert np.array_equal(decode_jpeg_pixels(seq),
+                              decode_jpeg_pixels(prog))
+
+
+def test_jpeg_progressive_flat_images_all_eob_runs():
+    """Flat images make every AC scan a pure EOB-run stream — the exact
+    shape that exposed the run-count double decrement."""
+    from lingua_ray.stages.jpeg import decode_jpeg, decode_jpeg_pixels, \
+        encode_jpeg
+
+    for val in (0, 99, 255):
+        img = np.full((32, 32), val, np.uint8)
+        prog = encode_jpeg(img, quality=90, progressive=True)
+        px = decode_jpeg_pixels(prog)
+        assert px is not None and abs(int(px.mean()) - val) <= 1
+        w, h, luma = decode_jpeg(prog)
+        assert (w, h) == (32, 32)
+
+
+def test_jpeg_progressive_truncation_returns_none():
+    """Cutting the stream anywhere (dropping EOI or mid-scan) returns
+    None, never raises and never yields a partially-assembled image."""
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = (rng.randint(0, 256, (24, 24, 3)) * 0.3 + 100).astype(np.uint8)
+    prog = encode_jpeg(img, quality=80, progressive=True)
+    assert decode_jpeg(prog) is not None
+    for cut in range(1, len(prog), 97):
+        assert decode_jpeg(prog[:cut]) is None
+    assert decode_jpeg(prog[:-1]) is None      # EOI clipped
+
+
+def test_jpeg_progressive_via_decode_image_and_actor():
+    from lingua_ray.stages.jpeg import encode_jpeg
+    from lingua_ray.stages.multimodal import ImageDecoder, decode_image
+
+    rng = np.random.RandomState(21)
+    img = (rng.randint(0, 256, (20, 28, 3)) * 0.4 + 80).astype(np.uint8)
+    prog = encode_jpeg(img, quality=85, subsample=True, progressive=True)
+    out = decode_image(prog)
+    assert out is not None and out[:2] == (28, 20)
+    batch = pa.table({"payload": pa.array([prog], pa.binary())})
+    t = ImageDecoder(real=True)(batch)
+    assert t.column("width")[0].as_py() == 28
+    assert t.column("height")[0].as_py() == 20
