@@ -209,13 +209,43 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2, in pass order.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+# legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_samples(rows: np.ndarray, pw: int, channels: int, depth: int):
+    """Unfiltered byte rows (ph, stride) → (ph, pw, channels) samples
+    (uint8 for depth ≤ 8, uint16 for depth 16; sub-byte depths are
+    always single-channel per the spec)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, :pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        b = rows[:, :pw * channels * 2].reshape(ph, pw * channels, 2)
+        v = (b[:, :, 0].astype(np.uint16) << 8) | b[:, :, 1]
+        return v.reshape(ph, pw, channels)
+    bits = np.unpackbits(rows, axis=1)[:, :pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    return v.reshape(ph, pw, 1).astype(np.uint8)
+
+
 def _decode_png(p: bytes, pixels: bool = False):
     """REAL PNG decode — zlib (stdlib) inflate + numpy unfiltering.
-    Supports the universal web subset: bit depth 8, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-    Returns (width, height, mean_luma) — or, with ``pixels=True``, the
-    uint8 pixel array ((H, W) gray or (H, W, 3) RGB, alpha dropped) —
-    or None (not PNG / unsupported)."""
+    Supports every legal IHDR shape: bit depths 1/2/4/8/16, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (each of the 7 passes is its own
+    filtered sub-image, scattered back onto the (dx, dy) grid).
+    Returns (width, height, mean_luma) — luma averaged at the native
+    sample precision — or, with ``pixels=True``, the uint8 pixel array
+    ((H, W) gray or (H, W, 3) RGB, alpha dropped; 16-bit samples take
+    the high byte, sub-byte gray rescales by 255/maxval) — or None
+    (not PNG / malformed)."""
     import struct
     import zlib
     if not p.startswith(_PNG_SIG) or len(p) < 33:
@@ -225,7 +255,8 @@ def _decode_png(p: bytes, pixels: bool = False):
     w, h, depth, ctype, _comp, _filt, interlace = \
         struct.unpack(">IIBBBBB", p[16:29])
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None or depth != 8 or interlace != 0 \
+    if channels is None or depth not in _PNG_DEPTHS[ctype] \
+            or interlace not in (0, 1) \
             or w <= 0 or h <= 0 or w * h > 64_000_000:
         return None
     idat, plte, j = [], None, 8
@@ -247,13 +278,38 @@ def _decode_png(p: bytes, pixels: bool = False):
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    px = _png_unfilter(raw, h, stride, channels)
-    if px is None:
-        return None
-    px = px.reshape(h, w, channels)
+    bpp_bits = depth * channels
+    fbpp = max(1, bpp_bits // 8)    # filter-lane distance, ≥1 byte
+
+    def decode_pass(off: int, pw: int, ph: int):
+        stride = (pw * bpp_bits + 7) // 8
+        need = ph * (stride + 1)
+        if len(raw) - off < need:
+            return None
+        rows = _png_unfilter(raw[off:off + need], ph, stride, fbpp)
+        if rows is None:
+            return None
+        return _png_samples(rows, pw, channels, depth), off + need
+
+    if interlace == 0:
+        got = decode_pass(0, w, h)
+        if got is None:
+            return None
+        px = got[0]
+    else:
+        px = np.zeros((h, w, channels),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw, ph = -(-(w - x0) // dx), -(-(h - y0) // dy)
+            if pw <= 0 or ph <= 0:
+                continue        # pass empty for this image size
+            got = decode_pass(off, pw, ph)
+            if got is None:
+                return None
+            px[y0::dy, x0::dx], off = got
+
+    maxv = (1 << depth) - 1
     if ctype == 3:
         idx = px[:, :, 0].reshape(-1)
         if idx.max(initial=0) >= len(plte):
@@ -264,13 +320,20 @@ def _decode_png(p: bytes, pixels: bool = False):
         luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
     elif ctype in (2, 6):
         if pixels:
-            return np.ascontiguousarray(px[:, :, :3])
+            rgb8 = px[:, :, :3] >> 8 if depth == 16 else px[:, :, :3]
+            return np.ascontiguousarray(rgb8.astype(np.uint8))
         rgb = px[:, :, :3].reshape(-1, 3).astype(np.float64)
-        luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+        luma = (rgb @ np.array([0.299, 0.587, 0.114])).mean() / maxv
     else:  # 0, 4: first channel is gray
+        gray = px[:, :, 0]
         if pixels:
-            return np.ascontiguousarray(px[:, :, 0])
-        luma = float(px[:, :, 0].mean()) / 255.0
+            if depth == 16:
+                return np.ascontiguousarray((gray >> 8).astype(np.uint8))
+            if depth < 8:       # 255/maxv is exact for depths 1/2/4
+                return (gray.astype(np.uint16)
+                        * (255 // maxv)).astype(np.uint8)
+            return np.ascontiguousarray(gray)
+        luma = float(gray.mean()) / maxv
     return int(w), int(h), float(luma)
 
 
@@ -418,7 +481,8 @@ def _decode_gif(p: bytes, pixels: bool = False):
 
 def decode_image(p: bytes):
     """REAL pure-NumPy decode — PNG (stdlib-zlib inflate + numpy
-    unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA, non-interlaced),
+    unfiltering: every legal IHDR — depths 1/2/4/8/16,
+    gray/RGB/palette/gray+alpha/RGBA, non-interlaced and Adam7),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
     Huffman JPEG sequential + progressive (marker/DQT/DHT parse,
     canonical-Huffman entropy decode, luma-plane IDCT — :mod:`.jpeg`),
@@ -427,7 +491,7 @@ def decode_image(p: bytes):
     :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
     Returns (width, height, mean_luma in [0,1]) or None when the
     payload needs an external codec (arithmetic-coded JPEG / lossy VP8
-    / 16-bit-or-interlaced PNG / ...)."""
+    / TIFF / ...)."""
     import struct
     png = _decode_png(p)
     if png is not None:
@@ -545,7 +609,8 @@ class ImageDecoder:
     """Actor-pool decode/feature stage.
 
     real=True decodes the formats a pure-NumPy + stdlib decoder can
-    handle — 8-bit non-interlaced PNG (zlib inflate + unfiltering), GIF
+    handle — PNG at every legal IHDR shape (zlib inflate + unfiltering,
+    depths 1-16, Adam7), GIF
     first frame (LZW), Huffman JPEG both sequential and progressive
     (canonical-Huffman entropy decode + luma IDCT, :mod:`.jpeg`),
     lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6) and

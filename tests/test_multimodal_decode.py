@@ -333,22 +333,199 @@ def test_png_decode_gray_rgba_palette():
     assert abs(luma - _luma(plte[idx[:, :, 0]])) < 1e-12
 
 
-def test_png_unsupported_variants_stay_boundary():
+def _png_ser_rows(samples, depth):
+    """(h, w, ch) int samples → (h, stride) uint8 serialized scanlines."""
+    h, w, ch = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(h, w * ch)
+    if depth == 16:
+        v = samples.astype(np.uint16)
+        b = np.stack([v >> 8, v & 255], axis=-1).astype(np.uint8)
+        return b.reshape(h, w * ch * 2)
+    vals = samples[:, :, 0].astype(np.uint8)
+    bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    return np.packbits(bits.reshape(h, w * depth).astype(np.uint8),
+                       axis=1)
+
+
+def _png_filter_rows(rows, fbpp, filters):
+    """Forward-filter serialized rows at byte level (spec semantics)."""
+    h, stride = rows.shape
+    if isinstance(filters, int):
+        filters = [filters] * h
+    out = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y, ft in enumerate(filters):
+        row = rows[y].astype(np.int32)
+        left = np.zeros_like(row); left[fbpp:] = row[:-fbpp]
+        upleft = np.zeros_like(prev); upleft[fbpp:] = prev[:-fbpp]
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - left
+        elif ft == 2:
+            f = row - prev
+        elif ft == 3:
+            f = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - upleft))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            f = row - pred
+        out += bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+        prev = row
+    return out
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_v2(samples, ctype, depth=8, interlace=0, filters=0, plte=None):
+    """Full-featured PNG encoder oracle: any legal depth, Adam7."""
+    import zlib
+    h, w, ch = samples.shape
+    fbpp = max(1, depth * ch // 8)
+    if interlace == 0:
+        raw = _png_filter_rows(_png_ser_rows(samples, depth), fbpp,
+                               filters)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.size:
+                raw += _png_filter_rows(_png_ser_rows(sub, depth), fbpp,
+                                        filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(raw))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_16bit_gray_and_rgb():
+    from lingua_ray.stages.multimodal import _decode_png
+
+    rng = np.random.RandomState(23)
+    g16 = rng.randint(0, 65536, size=(5, 7, 1))
+    for f in range(5):
+        got = decode_image(_png_v2(g16, 0, depth=16, filters=f))
+        assert got is not None, f
+        w, h, luma = got
+        assert (w, h) == (7, 5)
+        assert abs(luma - g16.mean() / 65535.0) < 1e-12
+    px = _decode_png(_png_v2(g16, 0, depth=16), pixels=True)
+    assert np.array_equal(px, (g16[:, :, 0] >> 8).astype(np.uint8))
+
+    rgb16 = rng.randint(0, 65536, size=(4, 3, 3))
+    w, h, luma = decode_image(_png_v2(rgb16, 2, depth=16,
+                                      filters=[0, 1, 2, 4]))
+    want = (rgb16.reshape(-1, 3).astype(np.float64)
+            @ np.array([0.299, 0.587, 0.114])).mean() / 65535.0
+    assert abs(luma - want) < 1e-12
+    rgba16 = rng.randint(0, 65536, size=(3, 3, 4))
+    got = decode_image(_png_v2(rgba16, 6, depth=16, filters=3))
+    want = (rgba16[:, :, :3].reshape(-1, 3).astype(np.float64)
+            @ np.array([0.299, 0.587, 0.114])).mean() / 65535.0
+    assert abs(got[2] - want) < 1e-12
+
+
+def test_png_subbyte_gray_and_palette():
+    from lingua_ray.stages.multimodal import _decode_png
+
+    rng = np.random.RandomState(29)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        # widths that do NOT fill the last byte exercise bit truncation
+        for w in (1, 5, 8, 11):
+            g = rng.randint(0, maxv + 1, size=(3, w, 1))
+            got = decode_image(_png_v2(g, 0, depth=depth))
+            assert got is not None, (depth, w)
+            assert got[:2] == (w, 3)
+            assert abs(got[2] - g.mean() / maxv) < 1e-12
+            px = _decode_png(_png_v2(g, 0, depth=depth), pixels=True)
+            assert np.array_equal(px, (g[:, :, 0] * (255 // maxv))
+                                  .astype(np.uint8))
+        # palette at this depth
+        plte = rng.randint(0, 256, size=(maxv + 1, 3))
+        idx = rng.randint(0, maxv + 1, size=(4, 5, 1))
+        got = decode_image(_png_v2(idx, 3, depth=depth, plte=plte))
+        want = (plte[idx[:, :, 0]].reshape(-1, 3).astype(np.float64)
+                @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+        assert abs(got[2] - want) < 1e-12
+        px = _decode_png(_png_v2(idx, 3, depth=depth, plte=plte),
+                         pixels=True)
+        assert np.array_equal(px, plte[idx[:, :, 0]].astype(np.uint8))
+
+
+def test_png_adam7_matches_sequential():
+    from lingua_ray.stages.multimodal import _decode_png
+
+    rng = np.random.RandomState(31)
+    # sizes below / at / crossing the 8x8 pass grid, incl. degenerate
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 13), (16, 17),
+                 (3, 20)):
+        img = rng.randint(0, 256, size=(h, w, 3))
+        seq = _png_v2(img, 2, filters=4)
+        inter = _png_v2(img, 2, interlace=1, filters=2)
+        a, b = decode_image(seq), decode_image(inter)
+        assert a is not None and b is not None, (h, w)
+        assert a == b, (h, w)
+        assert np.array_equal(_decode_png(seq, pixels=True),
+                              _decode_png(inter, pixels=True))
+    # interlaced 16-bit and sub-byte scatter
+    g16 = rng.randint(0, 65536, size=(9, 6, 1))
+    assert decode_image(_png_v2(g16, 0, depth=16, interlace=1)) \
+        == decode_image(_png_v2(g16, 0, depth=16))
+    g4 = rng.randint(0, 16, size=(10, 11, 1))
+    assert decode_image(_png_v2(g4, 0, depth=4, interlace=1)) \
+        == decode_image(_png_v2(g4, 0, depth=4))
+    # gray+alpha interlaced
+    ga = rng.randint(0, 256, size=(6, 9, 2))
+    assert decode_image(_png_v2(ga, 4, interlace=1)) \
+        == decode_image(_png_v2(ga, 4))
+
+
+def test_png_malformed_variants_stay_none():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     good = _png(img, 2)
-    # 16-bit depth
+    # depth byte forged to 16 without re-encoding: stride doubles, the
+    # stream is now too short → None
     deep = bytearray(good); deep[24] = 16
     assert decode_image(bytes(deep)) is None
-    # interlaced
-    inter = bytearray(good); inter[28] = 1
+    # illegal depth/ctype combo (RGB at depth 2)
+    bad = bytearray(good); bad[24] = 2
+    assert decode_image(bytes(bad)) is None
+    # unknown interlace method
+    inter = bytearray(good); inter[28] = 2
     assert decode_image(bytes(inter)) is None
     # truncated IDAT
     assert decode_image(good[:40]) is None
+    # interlaced stream truncated mid-pass: rebuild with only half the
+    # raw (filtered) pass bytes in the IDAT
+    import zlib
+    rng = np.random.RandomState(2)
+    samples = rng.randint(0, 256, size=(9, 9, 3))
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size:
+            raw += _png_filter_rows(_png_ser_rows(sub, 8), 3, 0)
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+    rebuilt = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+               + _png_chunk(b"IEND", b""))
+    assert decode_image(rebuilt) is None
+    # a still-unsupported format keeps the NotImplementedError boundary
     from lingua_ray.stages.multimodal import ImageDecoder as D
-    bad = pa.table({"payload": pa.array([bytes(deep)],
-                                        type=pa.large_binary())})
+    tiff = pa.table({"payload": pa.array(
+        [b"II*\x00" + b"\x00" * 60], type=pa.large_binary())})
     with pytest.raises(NotImplementedError):
-        D(real=True)(bad)
+        D(real=True)(tiff)
 
 
 def test_image_decoder_real_mode_png():
