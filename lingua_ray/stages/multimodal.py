@@ -913,26 +913,130 @@ def gif_frame_timestamps(p: bytes):
     return ts if ts else None
 
 
+def _riff_children(p: bytes, start: int, end: int):
+    """Yield (fourcc, data_offset, data_len) for each RIFF sub-chunk in
+    p[start:end]; chunks are padded to even lengths (RIFF spec)."""
+    i = start
+    while i + 8 <= end:
+        tag = p[i:i + 4]
+        ln = int.from_bytes(p[i + 4:i + 8], "little")
+        if i + 8 + ln > end:
+            return
+        yield tag, i + 8, ln
+        i += 8 + ln + (ln & 1)
+
+
+def parse_avi(p: bytes):
+    """REAL AVI (RIFF) container parse — no codec library.  Walks
+    LIST('hdrl') for the main header (avih) and the first video stream
+    header (strh with fccType 'vids'), and LIST('movi') for the video
+    frame chunks ('##dc'/'##db').  Returns
+    ``{"width", "height", "handler", "scale", "rate", "frames":
+    [(offset, length), ...]}`` or None if not an AVI / malformed.
+    Frame i's timestamp is ``i * scale / rate`` seconds (falling back to
+    avih's dwMicroSecPerFrame when strh carries no rate).  Reference:
+    the public MSDN AVI RIFF file format (AVIMAINHEADER /
+    AVISTREAMHEADER layouts)."""
+    import struct
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    info = {"width": 0, "height": 0, "handler": b"", "scale": 0,
+            "rate": 0, "frames": []}
+    us_per_frame = 0
+    for tag, off, ln in _riff_children(p, 12, min(len(p),
+                                                  8 + int.from_bytes(
+                                                      p[4:8], "little"))):
+        if tag != b"LIST" or ln < 4:
+            continue
+        ltype = p[off:off + 4]
+        if ltype == b"hdrl":
+            for t2, o2, l2 in _riff_children(p, off + 4, off + ln):
+                if t2 == b"avih" and l2 >= 40:
+                    us_per_frame, = struct.unpack("<I", p[o2:o2 + 4])
+                    info["width"], info["height"] = \
+                        struct.unpack("<II", p[o2 + 32:o2 + 40])
+                elif t2 == b"LIST" and p[o2:o2 + 4] == b"strl" \
+                        and not info["handler"]:
+                    for t3, o3, l3 in _riff_children(p, o2 + 4, o2 + l2):
+                        if t3 == b"strh" and l3 >= 32 \
+                                and p[o3:o3 + 4] == b"vids":
+                            info["handler"] = p[o3 + 4:o3 + 8]
+                            info["scale"], info["rate"] = \
+                                struct.unpack("<II", p[o3 + 20:o3 + 28])
+        elif ltype == b"movi":
+            for t2, o2, l2 in _riff_children(p, off + 4, off + ln):
+                if len(t2) == 4 and t2[2:] in (b"dc", b"db"):
+                    info["frames"].append((o2, l2))
+    if not info["frames"]:
+        return None
+    if not info["rate"] or not info["scale"]:
+        # fall back to the main header's frame period
+        info["scale"], info["rate"] = (us_per_frame or 40_000), 1_000_000
+    return info
+
+
+def avi_frame_timestamps(p: bytes):
+    """Frame-start timestamps (seconds) of an AVI's video stream, or
+    None if not an AVI — the container analogue of
+    :func:`gif_frame_timestamps`."""
+    info = parse_avi(p)
+    if info is None:
+        return None
+    dt = info["scale"] / info["rate"]
+    return [i * dt for i in range(len(info["frames"]))]
+
+
+def avi_sample_frames(p: bytes, ts: list[float]):
+    """Decode the MJPEG frames of an AVI nearest each timestamp in
+    ``ts`` (which must come from :func:`avi_frame_timestamps` sampling).
+    Returns a list of uint8 pixel arrays, or None when the stream is
+    not MJPEG (a DIB/other-codec AVI still yields timestamps, but its
+    frames need an external codec)."""
+    info = parse_avi(p)
+    if info is None:
+        return None
+    dt = info["scale"] / info["rate"]
+    from .jpeg import decode_jpeg_pixels
+    out = []
+    for t in ts:
+        off, ln = info["frames"][min(len(info["frames"]) - 1,
+                                     max(0, round(t / dt)))]
+        frame = p[off:off + ln]
+        if not frame.startswith(b"\xff\xd8"):
+            return None
+        px = decode_jpeg_pixels(frame)
+        if px is None:
+            return None
+        out.append(px)
+    return out
+
+
 class VideoFrameSampler:
     """Actor-pool frame-sampling stage (brief: decode / feature-extract /
     resize / frame-sample).
 
-    real=True REALLY frame-samples animated GIFs: the frame timeline
-    comes from :func:`gif_frame_timestamps` (pure block walk), and the
-    sampler picks the frame nearest each fps-grid tick, capped at
-    max_frames — true codec-container video formats (mp4/webm) raise
-    NotImplementedError per payload (ffmpeg/decord are not in this
-    environment; that boundary is the only stubbed part).
+    real=True REALLY frame-samples animated GIFs and AVI containers:
+    the frame timeline comes from :func:`gif_frame_timestamps` (pure
+    block walk) or :func:`parse_avi` (RIFF walk), and the sampler picks
+    the frame nearest each fps-grid tick, capped at max_frames.  With
+    ``decode_stats=True``, MJPEG-AVI payloads additionally get their
+    SAMPLED frames pixel-decoded (:func:`avi_sample_frames` →
+    :mod:`.jpeg`) and a ``frame_mean_luma`` list column — real video
+    frame decode, no codec library.  True inter-frame-coded containers
+    (mp4/webm) raise NotImplementedError per payload (ffmpeg/decord are
+    not in this environment; that boundary is the only stubbed part).
     real=False emits a deterministic sha256-derived fake timeline.
     Output schema either way: ``frame_ts``: list<float64> seconds,
-    ``n_frames``: int32.
+    ``n_frames``: int32 (+ ``frame_mean_luma``: list<float64> when
+    decode_stats).
     """
 
     def __init__(self, fps: float = 1.0, max_frames: int = 16,
-                 real: bool = False):
+                 real: bool = False, decode_stats: bool = False):
         self.real = real
         self.fps = fps
         self.max_frames = max_frames
+        self.decode_stats = decode_stats
 
     def _sample(self, timeline: list[float]) -> list[float]:
         """Nearest frame-start per 1/fps tick over the clip, deduped in
@@ -946,26 +1050,51 @@ class VideoFrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         all_ts, offsets = [], [0]
+        all_luma, luma_offs = [], [0]
         for p in payloads:
             if self.real:
                 timeline = gif_frame_timestamps(p or b"")
                 if timeline is None:
+                    timeline = avi_frame_timestamps(p or b"")
+                if timeline is None:
                     raise NotImplementedError(
-                        "only GIF timelines parse without codec "
+                        "only GIF and AVI timelines parse without codec "
                         "libraries (mp4/webm need ffmpeg/decord, "
                         "unavailable here)")
-                all_ts.extend(self._sample(timeline))
+                picked = self._sample(timeline)
+                all_ts.extend(picked)
                 offsets.append(len(all_ts))
+                if self.decode_stats:
+                    frames = avi_sample_frames(p or b"", picked)
+                    if frames is None:
+                        raise NotImplementedError(
+                            "sampled-frame pixel decode needs an "
+                            "MJPEG-in-AVI payload (other codecs need "
+                            "ffmpeg, unavailable here)")
+                    all_luma.extend(
+                        float(f.mean()) / 255.0 if f.ndim == 2 else
+                        float((f.reshape(-1, 3).astype(np.float64)
+                               @ _LUMA_W).mean()) / 255.0
+                        for f in frames)
+                    luma_offs.append(len(all_luma))
                 continue
             d = hashlib.sha256(b"v" + (p or b"")).digest()
             duration = 1.0 + d[0] / 8.0              # fake 1-33 s clip
             n = min(self.max_frames, max(1, int(duration * self.fps)))
             all_ts.extend((i + 0.5) / self.fps for i in range(n))
             offsets.append(len(all_ts))
+            if self.decode_stats:
+                all_luma.extend(d[8 + i] / 255.0 for i in range(n))
+                luma_offs.append(len(all_luma))
         ts_arr = pa.ListArray.from_arrays(
             pa.array(offsets, type=pa.int32()),
             pa.array(all_ts, type=pa.float64()))
         n_frames = np.diff(np.asarray(offsets)).astype(np.int32)
         batch = set_column(batch, "frame_ts", ts_arr)
         batch = set_column(batch, "n_frames", pa.array(n_frames))
+        if self.decode_stats:
+            batch = set_column(batch, "frame_mean_luma",
+                               pa.ListArray.from_arrays(
+                                   pa.array(luma_offs, type=pa.int32()),
+                                   pa.array(all_luma, type=pa.float64())))
         return batch

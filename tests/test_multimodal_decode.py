@@ -1184,3 +1184,101 @@ def test_jpeg_progressive_via_decode_image_and_actor():
     t = ImageDecoder(real=True)(batch)
     assert t.column("width")[0].as_py() == 28
     assert t.column("height")[0].as_py() == 20
+
+
+# ------------------------------------------------------------- MJPEG AVI
+
+
+def _riff_chunk(tag, data):
+    return (tag + struct.pack("<I", len(data)) + data
+            + (b"\0" if len(data) & 1 else b""))
+
+
+def _riff_list(ltype, payload):
+    return _riff_chunk(b"LIST", ltype + payload)
+
+
+def _avi(frames, w, h, scale=1, rate=25, handler=b"MJPG",
+         us_per_frame=40_000):
+    """Minimal-but-real AVI writer (test oracle): RIFF('AVI ') with
+    hdrl(avih + strl(strh/strf)) and movi('00dc' frame chunks)."""
+    avih = struct.pack("<10I", us_per_frame, 0, 0, 0, len(frames),
+                       0, 1, 0, w, h) + b"\0" * 16
+    strh = (b"vids" + handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate,
+                          0, len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f)
+                                        for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mjpeg_frames(n, w, h, seed=0):
+    from lingua_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    imgs = [(rng.randint(0, 256, (h, w, 3)) * 0.3 + 40 * i)
+            .clip(0, 255).astype(np.uint8) for i in range(n)]
+    return imgs, [encode_jpeg(im, quality=85) for im in imgs]
+
+
+def test_avi_parse_and_timestamps():
+    from lingua_ray.stages.multimodal import avi_frame_timestamps, parse_avi
+
+    _, frames = _mjpeg_frames(5, 16, 8)
+    p = _avi(frames, 16, 8, scale=1, rate=10)
+    info = parse_avi(p)
+    assert info["width"] == 16 and info["height"] == 8
+    assert info["handler"] == b"MJPG" and len(info["frames"]) == 5
+    assert avi_frame_timestamps(p) == [i * 0.1 for i in range(5)]
+    # strh without a rate falls back to avih's dwMicroSecPerFrame
+    p2 = _avi(frames, 16, 8, scale=0, rate=0, us_per_frame=500_000)
+    assert avi_frame_timestamps(p2) == [i * 0.5 for i in range(5)]
+    # malformed / non-AVI
+    assert parse_avi(p[:40]) is None
+    assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_avi(b"") is None
+
+
+def test_video_sampler_avi_real_and_decode_stats():
+    from lingua_ray.stages.multimodal import VideoFrameSampler
+
+    imgs, frames = _mjpeg_frames(6, 24, 16, seed=3)
+    p = _avi(frames, 24, 16, scale=1, rate=2)         # 0.5 s per frame
+    batch = pa.table({"payload": pa.array([p], pa.large_binary())})
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True)(batch)
+    # fps=2 ticks land exactly on the 0.5 s frame grid -> all 6 frames
+    assert out.column("n_frames")[0].as_py() == 6
+    assert out.column("frame_ts")[0].as_py() == [i * 0.5 for i in range(6)]
+
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True,
+                            decode_stats=True)(batch)
+    got = out.column("frame_mean_luma")[0].as_py()
+    assert len(got) == 6
+    for luma, im in zip(got, imgs):
+        want = float((im.reshape(-1, 3).astype(np.float64)
+                      @ np.array([0.299, 0.587, 0.114])).mean()) / 255.0
+        assert abs(luma - want) < 0.02
+
+
+def test_video_sampler_avi_boundaries():
+    from lingua_ray.stages.multimodal import VideoFrameSampler
+
+    # non-MJPEG stream: timeline still parses, pixel decode refuses
+    p = _avi([b"\x00" * 64] * 3, 8, 8, handler=b"DIB ")
+    batch = pa.table({"payload": pa.array([p], pa.large_binary())})
+    out = VideoFrameSampler(fps=30.0, real=True)(batch)
+    assert out.column("n_frames")[0].as_py() >= 1
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fps=30.0, real=True, decode_stats=True)(batch)
+    # mp4 stays the documented boundary
+    mp4 = pa.table({"payload": pa.array(
+        [b"\x00\x00\x00\x18ftypmp42" + b"\0" * 32], pa.large_binary())})
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(real=True)(mp4)
