@@ -1,7 +1,10 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The decode libraries (PIL/ffmpeg/torchaudio) are not available in this
-environment, so the *decode* step is stubbed — either a clearly-marked
+environment; most *decode* paths are nonetheless REAL pure-NumPy/stdlib
+codecs (PNG/GIF/JPEG/VP8L images, WAV/G.711/ADPCM/FLAC audio, MJPEG in
+AVI/MP4 video) and the residual boundary — arithmetic JPEG, lossy VP8,
+mp3/ogg, inter-frame video codecs — is a clearly-marked
 ``NotImplementedError`` (real mode) or a deterministic fake derived from the
 payload bytes (test mode).  Everything Ray-side is real and tested: schema,
 actor-pool signature, per-batch memory sizing, output layout.
@@ -835,11 +838,13 @@ class AudioFeaturizer:
     """Actor-pool audio feature stage.
 
     real=True decodes RIFF/WAVE payloads (PCM, IEEE float, G.711
-    A-law/µ-law, IMA ADPCM) with :func:`decode_wav` — no codec library
-    needed — emitting real ``duration_s`` and ``rms``; transform codecs
-    (mp3/ogg/flac) raise NotImplementedError per payload
-    (torchaudio/ffmpeg are not in this environment; that boundary is
-    the only stubbed part).
+    A-law/µ-law, IMA ADPCM) with :func:`decode_wav` and native FLAC
+    (CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
+    decorrelation — :mod:`.flac`) — no codec library needed — emitting
+    real ``duration_s`` and ``rms``; the remaining transform codecs
+    (mp3/ogg) raise NotImplementedError per payload (torchaudio/ffmpeg
+    are not in this environment; that boundary is the only stubbed
+    part).
     real=False emits a deterministic sha256-derived fake so the Ray
     plumbing is exercised when no decodable payloads exist."""
 
@@ -854,9 +859,12 @@ class AudioFeaturizer:
             if self.real:
                 dec = decode_wav(p or b"")
                 if dec is None:
+                    from .flac import decode_flac
+                    dec = decode_flac(p or b"")
+                if dec is None:
                     raise NotImplementedError(
-                        "only uncompressed RIFF/WAVE decodes without "
-                        "codec libraries (mp3/ogg/flac need "
+                        "only RIFF/WAVE and native FLAC decode without "
+                        "codec libraries (mp3/ogg need "
                         "torchaudio/ffmpeg, unavailable here)")
                 sr, nch, s = dec
                 dur[i] = len(s) / nch / sr
@@ -1011,20 +1019,182 @@ def avi_sample_frames(p: bytes, ts: list[float]):
     return out
 
 
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield (fourcc, body_offset, body_len) for each ISO-BMFF box in
+    ``p[start:end]`` — 32-bit sizes, 64-bit largesize, and size==0
+    (extends to end) all handled."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i:i + 4], "big")
+        typ = p[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(p[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, size - hdr
+        i += size
+
+
+def _mp4_child(p: bytes, off: int, ln: int, fourcc: bytes):
+    for t, o, l in _mp4_boxes(p, off, off + ln):
+        if t == fourcc:
+            return o, l
+    return None
+
+
+def parse_mp4(p: bytes):
+    """REAL MP4 / ISO-BMFF container parse — no codec library.  Box
+    walk to the first video trak (hdlr 'vide'): mdhd timescale, stts
+    decode deltas, stsd codec fourcc, and — when stsz/stsc/stco(co64)
+    are all present — per-sample file offsets.  Returns
+    ``{"timescale", "timestamps", "codec", "frames": [(off, len),...]}``
+    or None if not ISO-BMFF / no video track.  Layouts per the public
+    ISO/IEC 14496-12 spec."""
+    if len(p) < 12 or p[4:8] not in (b"ftyp", b"styp", b"moov", b"free",
+                                     b"skip", b"wide", b"mdat"):
+        return None
+    moov = _mp4_child(p, 0, len(p), b"moov")
+    if moov is None:
+        return None
+    for t, o, l in _mp4_boxes(p, moov[0], moov[0] + moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_child(p, o, l, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(p, *mdia, b"hdlr")
+        if hdlr is None or p[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_child(p, *mdia, b"mdhd")
+        minf = _mp4_child(p, *mdia, b"minf")
+        stbl = minf and _mp4_child(p, *minf, b"stbl")
+        stts = stbl and _mp4_child(p, *stbl, b"stts")
+        if mdhd is None or stts is None:
+            return None
+        mo = mdhd[0]
+        timescale = int.from_bytes(
+            p[mo + 20:mo + 24] if p[mo] == 1 else p[mo + 12:mo + 16],
+            "big")
+        if timescale == 0:
+            return None
+        so, _sl = stts
+        n_ent = int.from_bytes(p[so + 4:so + 8], "big")
+        deltas = []
+        for e in range(n_ent):
+            cnt = int.from_bytes(p[so + 8 + 8 * e:so + 12 + 8 * e], "big")
+            dl = int.from_bytes(p[so + 12 + 8 * e:so + 16 + 8 * e], "big")
+            deltas.extend([dl] * cnt)
+        if not deltas:
+            return None
+        ts = np.concatenate([[0.0], np.cumsum(deltas[:-1])]) / timescale
+        codec = b""
+        stsd = _mp4_child(p, *stbl, b"stsd")
+        if stsd and int.from_bytes(p[stsd[0] + 4:stsd[0] + 8], "big"):
+            codec = p[stsd[0] + 12:stsd[0] + 16]
+        frames = _mp4_sample_spans(p, stbl, len(deltas))
+        return {"timescale": timescale, "timestamps": ts.tolist(),
+                "codec": codec, "frames": frames}
+    return None
+
+
+def _mp4_sample_spans(p: bytes, stbl, n: int):
+    """[(file_offset, length)] per sample from stsz + stsc + stco/co64,
+    or [] when any table is missing/inconsistent (timestamps still
+    work without them)."""
+    stsz = _mp4_child(p, *stbl, b"stsz")
+    stsc = _mp4_child(p, *stbl, b"stsc")
+    stco = _mp4_child(p, *stbl, b"stco")
+    co64 = None if stco else _mp4_child(p, *stbl, b"co64")
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        return []
+    zo = stsz[0]
+    fixed = int.from_bytes(p[zo + 4:zo + 8], "big")
+    cnt = int.from_bytes(p[zo + 8:zo + 12], "big")
+    if cnt < n:
+        return []
+    sizes = [fixed] * n if fixed else [
+        int.from_bytes(p[zo + 12 + 4 * i:zo + 16 + 4 * i], "big")
+        for i in range(n)]
+    co, wid = (stco[0], 4) if stco else (co64[0], 8)
+    n_chunks = int.from_bytes(p[co + 4:co + 8], "big")
+    offs = [int.from_bytes(p[co + 8 + wid * i:co + 8 + wid * (i + 1)],
+                           "big") for i in range(n_chunks)]
+    so = stsc[0]
+    n_sc = int.from_bytes(p[so + 4:so + 8], "big")
+    sc = [(int.from_bytes(p[so + 8 + 12 * i:so + 12 + 12 * i], "big"),
+           int.from_bytes(p[so + 12 + 12 * i:so + 16 + 12 * i], "big"))
+          for i in range(n_sc)]
+    if not sc or not offs:
+        return []
+    frames = []
+    si = 0
+    for ci in range(1, n_chunks + 1):
+        spc = next((s for fc, s in reversed(sc) if fc <= ci), sc[0][1])
+        pos = offs[ci - 1]
+        for _ in range(spc):
+            if si >= n:
+                break
+            frames.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return frames if len(frames) == n else []
+
+
+def mp4_frame_timestamps(p: bytes):
+    """Frame-start timestamps (seconds) of an MP4's first video track,
+    or None if not ISO-BMFF — the container analogue of
+    :func:`avi_frame_timestamps` (handles non-uniform stts deltas)."""
+    info = parse_mp4(p)
+    return None if info is None else info["timestamps"]
+
+
+def mp4_sample_frames(p: bytes, ts: list[float]):
+    """Decode the MJPEG samples of an MP4 nearest each timestamp in
+    ``ts``.  Returns a list of uint8 pixel arrays, or None when the
+    track is not MJPEG-coded ('jpeg'/'mjpa' sample entries) or sample
+    tables are absent (avc1/hev1/mp4v need an external codec)."""
+    info = parse_mp4(p)
+    if info is None or not info["frames"] or \
+            info["codec"] not in (b"jpeg", b"mjpa", b"mjpb"):
+        return None
+    from .jpeg import decode_jpeg_pixels
+    tl = np.asarray(info["timestamps"])
+    out = []
+    for t in ts:
+        off, ln = info["frames"][int(np.abs(tl - t).argmin())]
+        frame = p[off:off + ln]
+        if not frame.startswith(b"\xff\xd8"):
+            return None
+        px = decode_jpeg_pixels(frame)
+        if px is None:
+            return None
+        out.append(px)
+    return out
+
+
 class VideoFrameSampler:
     """Actor-pool frame-sampling stage (brief: decode / feature-extract /
     resize / frame-sample).
 
-    real=True REALLY frame-samples animated GIFs and AVI containers:
-    the frame timeline comes from :func:`gif_frame_timestamps` (pure
-    block walk) or :func:`parse_avi` (RIFF walk), and the sampler picks
-    the frame nearest each fps-grid tick, capped at max_frames.  With
-    ``decode_stats=True``, MJPEG-AVI payloads additionally get their
-    SAMPLED frames pixel-decoded (:func:`avi_sample_frames` →
-    :mod:`.jpeg`) and a ``frame_mean_luma`` list column — real video
-    frame decode, no codec library.  True inter-frame-coded containers
-    (mp4/webm) raise NotImplementedError per payload (ffmpeg/decord are
-    not in this environment; that boundary is the only stubbed part).
+    real=True REALLY frame-samples animated GIFs, AVI and MP4
+    containers: the frame timeline comes from
+    :func:`gif_frame_timestamps` (pure block walk), :func:`parse_avi`
+    (RIFF walk) or :func:`parse_mp4` (ISO-BMFF box walk, non-uniform
+    stts deltas honoured), and the sampler picks the frame nearest
+    each fps-grid tick, capped at max_frames.  With
+    ``decode_stats=True``, MJPEG payloads (in AVI or MP4) additionally
+    get their SAMPLED frames pixel-decoded (:func:`avi_sample_frames`
+    / :func:`mp4_sample_frames` → :mod:`.jpeg`) and a
+    ``frame_mean_luma`` list column — real video frame decode, no
+    codec library.  Inter-frame-coded tracks (avc1/vp9/webm) raise
+    NotImplementedError per payload (ffmpeg/decord are not in this
+    environment; that boundary is the only stubbed part).
     real=False emits a deterministic sha256-derived fake timeline.
     Output schema either way: ``frame_ts``: list<float64> seconds,
     ``n_frames``: int32 (+ ``frame_mean_luma``: list<float64> when
@@ -1057,9 +1227,11 @@ class VideoFrameSampler:
                 if timeline is None:
                     timeline = avi_frame_timestamps(p or b"")
                 if timeline is None:
+                    timeline = mp4_frame_timestamps(p or b"")
+                if timeline is None:
                     raise NotImplementedError(
-                        "only GIF and AVI timelines parse without codec "
-                        "libraries (mp4/webm need ffmpeg/decord, "
+                        "only GIF, AVI and MP4 timelines parse without "
+                        "codec libraries (webm/mkv need ffmpeg/decord, "
                         "unavailable here)")
                 picked = self._sample(timeline)
                 all_ts.extend(picked)
@@ -1067,10 +1239,12 @@ class VideoFrameSampler:
                 if self.decode_stats:
                     frames = avi_sample_frames(p or b"", picked)
                     if frames is None:
+                        frames = mp4_sample_frames(p or b"", picked)
+                    if frames is None:
                         raise NotImplementedError(
                             "sampled-frame pixel decode needs an "
-                            "MJPEG-in-AVI payload (other codecs need "
-                            "ffmpeg, unavailable here)")
+                            "MJPEG-in-AVI/MP4 payload (inter-frame "
+                            "codecs need ffmpeg, unavailable here)")
                     all_luma.extend(
                         float(f.mean()) / 255.0 if f.ndim == 2 else
                         float((f.reshape(-1, 3).astype(np.float64)

@@ -1277,8 +1277,128 @@ def test_video_sampler_avi_boundaries():
     assert out.column("n_frames")[0].as_py() >= 1
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(fps=30.0, real=True, decode_stats=True)(batch)
-    # mp4 stays the documented boundary
+    # a moov-less mp4 fragment stays the documented boundary
     mp4 = pa.table({"payload": pa.array(
         [b"\x00\x00\x00\x18ftypmp42" + b"\0" * 32], pa.large_binary())})
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(real=True)(mp4)
+
+
+# ------------------------------------------------------------- MJPEG MP4
+
+
+def _box(typ, payload):
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _full(typ, payload, ver=0):
+    return _box(typ, bytes([ver]) + b"\0\0\0" + payload)
+
+
+def _mp4(frames, stts_entries, timescale=1000, codec=b"jpeg",
+         co64=False, chunked=False):
+    """Minimal-but-real ISO-BMFF writer (test oracle): ftyp + mdat +
+    moov(trak(mdia(hdlr/mdhd/minf(stbl(stsd stts stsc stsz stco))))).
+    ``stts_entries``: [(count, delta), ...]."""
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8
+    n = len(frames)
+    stts = _full(b"stts", struct.pack(">I", len(stts_entries))
+                 + b"".join(struct.pack(">II", c, d)
+                            for c, d in stts_entries))
+    entry = struct.pack(">I", 86) + codec + b"\0" * 78
+    stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
+    stsz = _full(b"stsz", struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(f)) for f in frames))
+    if chunked:  # two chunks: 2 samples then the rest
+        stsc = _full(b"stsc", struct.pack(">I", 2)
+                     + struct.pack(">III", 1, 2, 1)
+                     + struct.pack(">III", 2, n - 2, 1))
+        offs = [base, base + sum(len(f) for f in frames[:2])]
+    else:
+        stsc = _full(b"stsc", struct.pack(">I", 1)
+                     + struct.pack(">III", 1, n, 1))
+        offs = [base]
+    if co64:
+        stco = _full(b"co64", struct.pack(">I", len(offs))
+                     + b"".join(struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _full(b"stco", struct.pack(">I", len(offs))
+                     + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", b"\0" * 4 + b"vide" + b"\0" * 13)
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0,
+                                      0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_parse_and_timestamps():
+    from lingua_ray.stages.multimodal import mp4_frame_timestamps, parse_mp4
+
+    _, frames = _mjpeg_frames(5, 16, 8)
+    # non-uniform stts: 3 frames at 100 ticks, 2 at 300 (timescale 1000)
+    p = _mp4(frames, [(3, 100), (2, 300)])
+    info = parse_mp4(p)
+    assert info["timescale"] == 1000 and info["codec"] == b"jpeg"
+    assert info["timestamps"] == [0.0, 0.1, 0.2, 0.3, 0.6]
+    # frame spans point at the actual JPEG bytes
+    for (off, ln), f in zip(info["frames"], frames):
+        assert p[off:off + ln] == f
+    assert mp4_frame_timestamps(p) == info["timestamps"]
+    # co64 and multi-chunk stsc variants resolve the same spans
+    for kw in ({"co64": True}, {"chunked": True}):
+        q = _mp4(frames, [(5, 200)], **kw)
+        qi = parse_mp4(q)
+        for (off, ln), f in zip(qi["frames"], frames):
+            assert q[off:off + ln] == f
+    # malformed / non-mp4
+    assert parse_mp4(b"") is None
+    assert parse_mp4(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 16) is None
+    assert parse_mp4(p[: len(p) // 2]) is None
+
+
+def test_mp4_sample_frames_decode():
+    from lingua_ray.stages.multimodal import mp4_sample_frames
+
+    imgs, frames = _mjpeg_frames(4, 24, 16, seed=9)
+    p = _mp4(frames, [(4, 500)])  # 0.5 s per frame
+    got = mp4_sample_frames(p, [0.0, 1.0])
+    assert len(got) == 2
+    for px, im in zip(got, (imgs[0], imgs[2])):
+        assert px.shape == im.shape
+        assert abs(float(px.mean()) - float(im.mean())) < 6.0
+    # avc1 track: timestamps fine, pixel decode refuses
+    q = _mp4(frames, [(4, 500)], codec=b"avc1")
+    assert mp4_sample_frames(q, [0.0]) is None
+
+
+def test_video_sampler_mp4_real_and_decode_stats():
+    from lingua_ray.stages.multimodal import VideoFrameSampler
+
+    imgs, frames = _mjpeg_frames(6, 24, 16, seed=5)
+    p = _mp4(frames, [(6, 500)])                      # 0.5 s per frame
+    batch = pa.table({"payload": pa.array([p], pa.large_binary())})
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True)(batch)
+    assert out.column("n_frames")[0].as_py() == 6
+    assert out.column("frame_ts")[0].as_py() == [i * 0.5 for i in range(6)]
+
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True,
+                            decode_stats=True)(batch)
+    got = out.column("frame_mean_luma")[0].as_py()
+    assert len(got) == 6
+    for luma, im in zip(got, imgs):
+        want = float((im.reshape(-1, 3).astype(np.float64)
+                      @ np.array([0.299, 0.587, 0.114])).mean()) / 255.0
+        assert abs(luma - want) < 0.02
+    # avc1: timeline parses, frame decode raises
+    q = _mp4(frames, [(6, 500)], codec=b"avc1")
+    qb = pa.table({"payload": pa.array([q], pa.large_binary())})
+    assert VideoFrameSampler(fps=2.0, real=True)(qb) \
+        .column("n_frames")[0].as_py() == 6
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fps=2.0, real=True, decode_stats=True)(qb)
