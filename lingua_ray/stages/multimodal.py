@@ -834,6 +834,198 @@ def decode_wav(p: bytes):
     return None
 
 
+# MPEG audio frame-header tables (public ISO/IEC 11172-3 / 13818-3):
+# bitrate kbps by [version][layer][index]; sample rate by [version][index];
+# version ids: 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+_MP3_BITRATE = {
+    (3, 3): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448],                                  # V1 L1
+    (3, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320, 384],                                  # V1 L2
+    (3, 1): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+             224, 256, 320],                                  # V1 L3
+    (2, 3): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+             192, 224, 256],                                  # V2 L1
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+             128, 144, 160],                                  # V2 L2/L3
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def mp3_duration(p: bytes):
+    """REAL MPEG-audio (mp3/mp2/mp1) duration from a frame-header walk
+    — bitrate/samplerate table math per the public ISO 11172-3 header
+    layout, no decoder.  Skips a leading ID3v2 tag, sums
+    samples-per-frame over every frame (so VBR streams are exact).
+    Returns (sample_rate, n_channels, duration_s) or None."""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        i = 10 + (((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14)
+                  | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F))
+    frames = samples = sr_out = nch = 0
+    while i + 4 <= len(p):
+        h = int.from_bytes(p[i:i + 4], "big")
+        ver = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        br_i = (h >> 12) & 15
+        sr_i = (h >> 10) & 3
+        if (h >> 21) != 0x7FF or ver == 1 or layer == 0 \
+                or br_i in (0, 15) or sr_i == 3:
+            if frames:
+                break          # trailing tag/garbage after valid frames
+            i += 1             # resync scan before the first frame
+            continue
+        sr = _MP3_RATES[ver][sr_i]
+        # MPEG2/2.5 Layers II and III share one bitrate table
+        tbl = (3, layer) if ver == 3 else (2, 3 if layer == 3 else 2)
+        br = _MP3_BITRATE[tbl][br_i] * 1000
+        pad = (h >> 9) & 1
+        if layer == 3:                       # Layer I
+            spf, flen = 384, (12 * br // sr + pad) * 4
+        elif layer == 2 or ver == 3:         # Layer II, or MPEG1 L3
+            spf, flen = 1152, 144 * br // sr + pad
+        else:                                # MPEG2/2.5 Layer III
+            spf, flen = 576, 72 * br // sr + pad
+        frames += 1
+        samples += spf
+        sr_out = sr
+        nch = 1 if (h >> 6) & 3 == 3 else 2
+        i += max(flen, 4)
+    if not frames:
+        return None
+    return sr_out, nch, samples / sr_out
+
+
+def ogg_duration(p: bytes):
+    """REAL Ogg container duration — page walk (capture pattern,
+    segment-table sizes) to the last granule position, codec rate from
+    the first packet's ident header ('\\x01vorbis' or 'OpusHead'); no
+    codec library.  Returns (sample_rate, n_channels, duration_s) or
+    None.  Layouts per the public RFC 3533 / Vorbis I / RFC 7845
+    specs."""
+    i = 0
+    rate = nch = 0
+    gran_rate = 0           # granules/sec: vorbis = rate, opus = 48000
+    pre_skip = 0
+    last_gran = -1
+    first = True
+    while i + 27 <= len(p):
+        if p[i:i + 4] != b"OggS" or p[i + 4] != 0:
+            if first:
+                return None
+            break              # trailing garbage after valid pages
+        gran = int.from_bytes(p[i + 6:i + 14], "little", signed=True)
+        nseg = p[i + 26]
+        segs = p[i + 27:i + 27 + nseg]
+        if len(segs) < nseg:
+            return None
+        body_off = i + 27 + nseg
+        body_len = int(sum(segs))
+        if body_off + body_len > len(p):
+            return None
+        if first:
+            body = p[body_off:body_off + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                nch = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                gran_rate = rate
+            elif body[:8] == b"OpusHead" and len(body) >= 16:
+                nch = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+                gran_rate = 48000
+            else:
+                return None
+            first = False
+        if gran >= 0:
+            last_gran = max(last_gran, gran)
+        i = body_off + body_len
+    if first or not gran_rate or last_gran < 0:
+        return None
+    return rate, nch, max(0, last_gran - pre_skip) / gran_rate
+
+
+def _wav_meta(p: bytes):
+    """(sample_rate, n_channels, duration_s) from RIFF/WAVE chunk
+    headers alone — no sample decode."""
+    import struct
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    fmt = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = struct.unpack("<I", p[i + 4:i + 8])[0]
+        if cid == b"fmt " and size >= 16:
+            tag, nch, sr, _br, ba, bits = struct.unpack(
+                "<HHIIHH", p[i + 8:i + 24])
+            fmt = (tag, nch, sr, bits, ba)
+        elif cid == b"data" and fmt is not None:
+            tag, nch, sr, bits, ba = fmt
+            if not nch or not sr:
+                return None
+            if tag == 0x11:          # IMA ADPCM: samples/block formula
+                if ba < 4 * nch or ba % 4:
+                    return None
+                spb = (ba - 4 * nch) * 2 // nch + 1
+                n = (size // ba) * spb
+            else:
+                bytes_per = max(1, bits // 8) * nch
+                n = size // bytes_per
+            return sr, nch, n / sr
+        i += 8 + size + (size & 1)
+    return None
+
+
+def audio_meta_batch(batch: pa.Table,
+                     payload_col: str = "payload") -> pa.Table:
+    """Append (format, sample_rate, n_channels, duration_s) parsed from
+    the binary payload's container/frame headers — the pre-decode
+    filter every audio pipeline wants BEFORE shipping payloads to
+    expensive decoders (the audio analogue of
+    :func:`image_dims_batch`).  Fully real for wav (chunk headers),
+    flac (STREAMINFO), mp3 (frame walk) and ogg vorbis/opus (page
+    walk): header math only, no codec library.  Unknown payloads get
+    format=None, -1/-1/NaN."""
+    from .flac import parse_streaminfo
+    payloads = batch.column(payload_col).to_pylist()
+    fmts, srs, nchs, durs = [], [], [], []
+    for p in payloads:
+        p = p or b""
+        fmt, meta = None, None
+        if p[:4] == b"RIFF":
+            fmt, meta = "wav", _wav_meta(p)
+        elif p[:4] == b"fLaC":
+            si = parse_streaminfo(p)
+            if si and si[0]:
+                meta = (si[0], si[1], si[3] / si[0])
+            fmt = "flac"
+        elif p[:4] == b"OggS":
+            fmt, meta = "ogg", ogg_duration(p)
+        elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
+                                 and p[1] & 0xE0 == 0xE0):
+            fmt, meta = "mp3", mp3_duration(p)
+        if meta is None:
+            fmts.append(fmt)
+            srs.append(-1)
+            nchs.append(-1)
+            durs.append(float("nan"))
+        else:
+            fmts.append(fmt)
+            srs.append(meta[0])
+            nchs.append(meta[1])
+            durs.append(meta[2])
+    batch = set_column(batch, "format", pa.array(fmts, type=pa.string()))
+    batch = set_column(batch, "sample_rate",
+                       pa.array(srs, type=pa.int32()))
+    batch = set_column(batch, "n_channels",
+                       pa.array(nchs, type=pa.int32()))
+    batch = set_column(batch, "duration_s",
+                       pa.array(durs, type=pa.float64()))
+    return batch
+
+
 class AudioFeaturizer:
     """Actor-pool audio feature stage.
 

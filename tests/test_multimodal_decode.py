@@ -1402,3 +1402,116 @@ def test_video_sampler_mp4_real_and_decode_stats():
         .column("n_frames")[0].as_py() == 6
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(fps=2.0, real=True, decode_stats=True)(qb)
+
+
+# ------------------------------------------------- audio metadata walks
+
+
+def _mp3_frame(ver=3, layer=1, br_i=9, sr_i=0, pad=0, mode=0):
+    """One valid MPEG-audio frame: 4-byte header + dummy payload of the
+    exact computed frame length (header math is what's under test)."""
+    h = (0x7FF << 21) | (ver << 19) | (layer << 17) | (1 << 16) \
+        | (br_i << 12) | (sr_i << 10) | (pad << 9) | (mode << 6)
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}
+    from lingua_ray.stages.multimodal import _MP3_BITRATE
+    key = (3, layer) if ver == 3 else (2, 3 if layer == 3 else 2)
+    kbps = _MP3_BITRATE[key][br_i]
+    sr = rates[ver][sr_i]
+    br = kbps * 1000
+    if layer == 3:
+        flen = (12 * br // sr + pad) * 4
+    elif layer == 2 or ver == 3:
+        flen = 144 * br // sr + pad
+    else:
+        flen = 72 * br // sr + pad
+    return h.to_bytes(4, "big") + b"\xA5" * (flen - 4)
+
+
+def test_mp3_duration_walk():
+    from lingua_ray.stages.multimodal import mp3_duration
+
+    # 10 MPEG1 Layer III frames at 44100: 10 * 1152 samples
+    p = b"".join(_mp3_frame() for _ in range(10))
+    sr, nch, dur = mp3_duration(p)
+    assert (sr, nch) == (44100, 2)
+    assert dur == pytest.approx(10 * 1152 / 44100)
+    # ID3v2 tag skipped; mono flag honored; VBR mix sums exactly
+    tag = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\0" * 10
+    p2 = tag + b"".join(_mp3_frame(br_i=b, mode=3, pad=i % 2)
+                        for i, b in enumerate((5, 9, 12, 7)))
+    sr, nch, dur = mp3_duration(p2)
+    assert (sr, nch) == (44100, 1)
+    assert dur == pytest.approx(4 * 1152 / 44100)
+    # MPEG2 Layer III: 576 samples per frame
+    p3 = b"".join(_mp3_frame(ver=2, sr_i=1) for _ in range(6))
+    sr, _, dur = mp3_duration(p3)
+    assert sr == 24000 and dur == pytest.approx(6 * 576 / 24000)
+    # Layer I framing
+    p4 = b"".join(_mp3_frame(layer=3) for _ in range(8))
+    _, _, dur = mp3_duration(p4)
+    assert dur == pytest.approx(8 * 384 / 44100)
+    assert mp3_duration(b"\x00" * 64) is None
+
+
+def _ogg_page(body, gran, first=False, serial=7):
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS\x00" + (b"\x02" if first else b"\x00")
+            + gran.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little") + b"\0" * 8
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_ogg_duration_walk():
+    from lingua_ray.stages.multimodal import ogg_duration
+
+    vorbis_id = (b"\x01vorbis" + b"\0\0\0\0" + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\0" * 16)
+    p = (_ogg_page(vorbis_id, 0, first=True)
+         + _ogg_page(b"\xAA" * 300, 44100)
+         + _ogg_page(b"\xBB" * 10, 88200))
+    assert ogg_duration(p) == (44100, 2, 2.0)
+
+    opus_id = (b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little")
+               + (48000).to_bytes(4, "little") + b"\0" * 3)
+    q = (_ogg_page(opus_id, 0, first=True)
+         + _ogg_page(b"\xCC" * 100, 96000 + 312))
+    sr, nch, dur = ogg_duration(q)
+    assert (sr, nch) == (48000, 1) and dur == pytest.approx(2.0)
+
+    assert ogg_duration(b"OggS" + b"\0" * 10) is None
+    assert ogg_duration(b"\x00" * 64) is None
+
+
+def test_audio_meta_batch_formats():
+    from lingua_ray.stages.flac import encode_flac
+    from lingua_ray.stages.multimodal import audio_meta_batch
+
+    sine = np.round(0.4 * 32767 * np.sin(
+        2 * np.pi * 440 * np.arange(8000) / 8000)).astype(np.int64)
+    payloads = [
+        _wav_pcm16(dur=0.5, sr=8000),
+        encode_flac(sine, 8000),
+        b"".join(_mp3_frame() for _ in range(5)),
+        _ogg_page(b"\x01vorbis" + b"\0\0\0\0" + bytes([1])
+                  + (16000).to_bytes(4, "little") + b"\0" * 16, 0,
+                  first=True) + _ogg_page(b"\xAA" * 50, 8000),
+        b"not audio at all",
+    ]
+    batch = pa.table({"payload": pa.array(payloads, pa.large_binary())})
+    out = audio_meta_batch(batch)
+    assert out.column("format").to_pylist() == [
+        "wav", "flac", "mp3", "ogg", None]
+    assert out.column("sample_rate").to_pylist() == [
+        8000, 8000, 44100, 16000, -1]
+    durs = out.column("duration_s").to_pylist()
+    assert durs[0] == pytest.approx(0.5)
+    assert durs[1] == pytest.approx(1.0)
+    assert durs[2] == pytest.approx(5 * 1152 / 44100)
+    assert durs[3] == pytest.approx(0.5)
+    assert np.isnan(durs[4])
