@@ -1370,21 +1370,168 @@ def mp4_sample_frames(p: bytes, ts: list[float]):
     return out
 
 
+def _ebml_vint(p: bytes, i: int, keep_marker: bool):
+    """EBML variable-length integer at ``p[i]`` → (value, next_i); IDs
+    keep the length-marker bit, sizes strip it (all-ones payload =
+    unknown size → None)."""
+    if i >= len(p):
+        return None, i
+    b0 = p[i]
+    if b0 == 0:
+        return None, i + 1
+    ln = 8 - b0.bit_length() + 1
+    if i + ln > len(p):
+        return None, len(p)
+    v = int.from_bytes(p[i:i + ln], "big")
+    if not keep_marker:
+        v -= 1 << (7 * ln)
+        if v == (1 << (7 * ln)) - 1:   # all value bits set: unknown
+            return None, i + ln
+    return v, i + ln
+
+
+def _ebml_children(p: bytes, start: int, end: int):
+    """Yield (element_id, body_off, body_len) for EBML elements in
+    ``p[start:end]``; unknown-size elements extend to ``end``."""
+    i = start
+    while i < end:
+        eid, i = _ebml_vint(p, i, keep_marker=True)
+        if eid is None:
+            return
+        size, i = _ebml_vint(p, i, keep_marker=False)
+        if size is None:
+            size = end - i
+        if i + size > end:
+            return
+        yield eid, i, size
+        i += size
+
+
+def _ebml_uint(p: bytes, off: int, ln: int) -> int:
+    return int.from_bytes(p[off:off + ln], "big")
+
+
+def parse_mkv(p: bytes):
+    """REAL Matroska / WebM container parse — EBML walk, no codec
+    library.  Finds the first video TrackEntry (TrackType 1), reads
+    TimestampScale, then collects every SimpleBlock / Block of that
+    track across Clusters: block timestamp = (cluster timestamp +
+    int16 relative) × scale.  Returns ``{"codec", "timestamps",
+    "frames": [(off, len), ...]}`` (frames only for unlaced blocks) or
+    None if not EBML / no video track.  Element IDs per the public
+    Matroska/EBML specs (RFC 8794)."""
+    if p[:4] != b"\x1aE\xdf\xa3":
+        return None
+    segment = None
+    for eid, off, ln in _ebml_children(p, 0, len(p)):
+        if eid == 0x18538067:          # Segment
+            segment = (off, ln)
+            break
+    if segment is None:
+        return None
+    scale = 1_000_000                  # default TimestampScale (ns)
+    track_no = codec = None
+    blocks = []                        # (ts_ticks, off, len | -1)
+    for eid, off, ln in _ebml_children(p, segment[0],
+                                       segment[0] + segment[1]):
+        if eid == 0x1549A966:          # Info
+            for e2, o2, l2 in _ebml_children(p, off, off + ln):
+                if e2 == 0x2AD7B1:     # TimestampScale
+                    scale = _ebml_uint(p, o2, l2)
+        elif eid == 0x1654AE6B and track_no is None:   # Tracks
+            for e2, o2, l2 in _ebml_children(p, off, off + ln):
+                if e2 != 0xAE:         # TrackEntry
+                    continue
+                no = ttype = None
+                cid = b""
+                for e3, o3, l3 in _ebml_children(p, o2, o2 + l2):
+                    if e3 == 0xD7:     # TrackNumber
+                        no = _ebml_uint(p, o3, l3)
+                    elif e3 == 0x83:   # TrackType
+                        ttype = _ebml_uint(p, o3, l3)
+                    elif e3 == 0x86:   # CodecID
+                        cid = p[o3:o3 + l3].rstrip(b"\0")
+                if ttype == 1 and no is not None:
+                    track_no, codec = no, cid.decode("ascii", "replace")
+                    break
+        elif eid == 0x1F43B675:        # Cluster
+            cts = 0
+            for e2, o2, l2 in _ebml_children(p, off, off + ln):
+                if e2 == 0xE7:         # cluster Timestamp
+                    cts = _ebml_uint(p, o2, l2)
+                elif e2 in (0xA3, 0xA0):   # SimpleBlock | BlockGroup
+                    bo, bl = o2, l2
+                    if e2 == 0xA0:     # BlockGroup → Block
+                        blk = next(((o3, l3) for e3, o3, l3 in
+                                    _ebml_children(p, o2, o2 + l2)
+                                    if e3 == 0xA1), None)
+                        if blk is None:
+                            continue
+                        bo, bl = blk
+                    tno, j = _ebml_vint(p, bo, keep_marker=False)
+                    if tno is None or j + 3 > bo + bl:
+                        continue
+                    rel = int.from_bytes(p[j:j + 2], "big", signed=True)
+                    laced = p[j + 2] & 0x06
+                    blocks.append((cts + rel, bo, bl, j + 3, laced))
+    if track_no is None or not blocks:
+        return None
+    blocks.sort(key=lambda b: b[0])
+    ts = [b[0] * scale / 1e9 for b in blocks]
+    frames = [(-1, 0) if b[4] else (b[3], b[1] + b[2] - b[3])
+              for b in blocks]
+    return {"codec": codec, "timestamps": ts, "frames": frames}
+
+
+def mkv_frame_timestamps(p: bytes):
+    """Frame-start timestamps (seconds) of a Matroska/WebM video track,
+    or None if not EBML — completes the container-timeline family
+    (GIF / AVI / MP4 / MKV)."""
+    info = parse_mkv(p)
+    return None if info is None else info["timestamps"]
+
+
+def mkv_sample_frames(p: bytes, ts: list[float]):
+    """Decode the MJPEG blocks of a Matroska file nearest each
+    timestamp in ``ts``.  Returns uint8 pixel arrays, or None when the
+    track is not V_MJPEG or the chosen blocks are laced
+    (VP8/VP9/H.264 tracks need an external codec)."""
+    info = parse_mkv(p)
+    if info is None or info["codec"] != "V_MJPEG":
+        return None
+    from .jpeg import decode_jpeg_pixels
+    tl = np.asarray(info["timestamps"])
+    out = []
+    for t in ts:
+        off, ln = info["frames"][int(np.abs(tl - t).argmin())]
+        if off < 0:                    # laced block: no frame spans
+            return None
+        frame = p[off:off + ln]
+        if not frame.startswith(b"\xff\xd8"):
+            return None
+        px = decode_jpeg_pixels(frame)
+        if px is None:
+            return None
+        out.append(px)
+    return out
+
+
 class VideoFrameSampler:
     """Actor-pool frame-sampling stage (brief: decode / feature-extract /
     resize / frame-sample).
 
-    real=True REALLY frame-samples animated GIFs, AVI and MP4
-    containers: the frame timeline comes from
+    real=True REALLY frame-samples animated GIFs, AVI, MP4 and
+    MKV/WebM containers: the frame timeline comes from
     :func:`gif_frame_timestamps` (pure block walk), :func:`parse_avi`
-    (RIFF walk) or :func:`parse_mp4` (ISO-BMFF box walk, non-uniform
-    stts deltas honoured), and the sampler picks the frame nearest
-    each fps-grid tick, capped at max_frames.  With
-    ``decode_stats=True``, MJPEG payloads (in AVI or MP4) additionally
-    get their SAMPLED frames pixel-decoded (:func:`avi_sample_frames`
-    / :func:`mp4_sample_frames` → :mod:`.jpeg`) and a
+    (RIFF walk), :func:`parse_mp4` (ISO-BMFF box walk, non-uniform
+    stts deltas honoured) or :func:`parse_mkv` (EBML walk), and the
+    sampler picks the frame nearest each fps-grid tick, capped at
+    max_frames.  With ``decode_stats=True``, MJPEG payloads (in AVI,
+    MP4 or MKV) additionally get their SAMPLED frames pixel-decoded
+    (:func:`avi_sample_frames` / :func:`mp4_sample_frames` /
+    :func:`mkv_sample_frames` → :mod:`.jpeg`) and a
     ``frame_mean_luma`` list column — real video frame decode, no
-    codec library.  Inter-frame-coded tracks (avc1/vp9/webm) raise
+    codec library.  Inter-frame-coded tracks (avc1/vp8/vp9) raise
     NotImplementedError per payload (ffmpeg/decord are not in this
     environment; that boundary is the only stubbed part).
     real=False emits a deterministic sha256-derived fake timeline.
@@ -1421,10 +1568,13 @@ class VideoFrameSampler:
                 if timeline is None:
                     timeline = mp4_frame_timestamps(p or b"")
                 if timeline is None:
+                    timeline = mkv_frame_timestamps(p or b"")
+                if timeline is None:
                     raise NotImplementedError(
-                        "only GIF, AVI and MP4 timelines parse without "
-                        "codec libraries (webm/mkv need ffmpeg/decord, "
-                        "unavailable here)")
+                        "no parseable container timeline (GIF, AVI, "
+                        "MP4 and MKV/WebM parse without codec "
+                        "libraries; raw elementary streams need "
+                        "ffmpeg/decord, unavailable here)")
                 picked = self._sample(timeline)
                 all_ts.extend(picked)
                 offsets.append(len(all_ts))
@@ -1433,9 +1583,11 @@ class VideoFrameSampler:
                     if frames is None:
                         frames = mp4_sample_frames(p or b"", picked)
                     if frames is None:
+                        frames = mkv_sample_frames(p or b"", picked)
+                    if frames is None:
                         raise NotImplementedError(
                             "sampled-frame pixel decode needs an "
-                            "MJPEG-in-AVI/MP4 payload (inter-frame "
+                            "MJPEG-in-AVI/MP4/MKV payload (inter-frame "
                             "codecs need ffmpeg, unavailable here)")
                     all_luma.extend(
                         float(f.mean()) / 255.0 if f.ndim == 2 else

@@ -1515,3 +1515,91 @@ def test_audio_meta_batch_formats():
     assert durs[2] == pytest.approx(5 * 1152 / 44100)
     assert durs[3] == pytest.approx(0.5)
     assert np.isnan(durs[4])
+
+
+# ------------------------------------------------------------- MJPEG MKV
+
+
+def _evint(v, ln=None):
+    """EBML vint with the length marker, minimal width by default."""
+    if ln is None:
+        ln = 1
+        while v >= (1 << (7 * ln)) - 1:
+            ln += 1
+    return (v | (1 << (7 * ln))).to_bytes(ln, "big")
+
+
+def _eel(eid, body):
+    """One EBML element: raw ID bytes + size vint + body."""
+    return bytes.fromhex(eid) + _evint(len(body)) + body
+
+
+def _euint(v):
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _mkv(frames, dts_ms, codec=b"V_MJPEG", track=1, scale=None):
+    """Minimal-but-real Matroska writer (test oracle): EBML header +
+    Segment(Info(TimestampScale) Tracks(TrackEntry) Cluster(Timestamp
+    SimpleBlocks)).  ``dts_ms``: block timestamps in ms (default
+    TimestampScale)."""
+    ebml = _eel("1a45dfa3", _eel("4282", b"matroska"))
+    info = _eel("1549a966",
+                _eel("2ad7b1", _euint(scale)) if scale else b"")
+    entry = (_eel("d7", _euint(track)) + _eel("83", b"\x01")
+             + _eel("86", codec))
+    tracks = _eel("1654ae6b", _eel("ae", entry))
+    cluster_body = _eel("e7", _euint(0))
+    for f, t in zip(frames, dts_ms):
+        blk = _evint(track) + int(t).to_bytes(2, "big") + b"\x00" + f
+        cluster_body += _eel("a3", blk)
+    segment = _eel("18538067", info + tracks + _eel("1f43b675",
+                                                    cluster_body))
+    return ebml + segment
+
+
+def test_mkv_parse_and_timestamps():
+    from lingua_ray.stages.multimodal import mkv_frame_timestamps, parse_mkv
+
+    _, frames = _mjpeg_frames(4, 16, 8)
+    p = _mkv(frames, [0, 40, 80, 120])
+    info = parse_mkv(p)
+    assert info["codec"] == "V_MJPEG"
+    assert info["timestamps"] == pytest.approx([0.0, 0.04, 0.08, 0.12])
+    for (off, ln), f in zip(info["frames"], frames):
+        assert p[off:off + ln] == f
+    assert mkv_frame_timestamps(p) == info["timestamps"]
+    # explicit TimestampScale (0.5 ms ticks)
+    q = _mkv(frames, [0, 100], scale=500_000)
+    assert parse_mkv(q)["timestamps"][:2] == pytest.approx([0.0, 0.05])
+    # malformed / non-mkv
+    assert parse_mkv(b"") is None
+    assert parse_mkv(b"\x1aE\xdf\xa3") is None
+    assert parse_mkv(b"RIFF" + b"\0" * 32) is None
+
+
+def test_mkv_sample_frames_and_sampler():
+    from lingua_ray.stages.multimodal import (VideoFrameSampler,
+                                              mkv_sample_frames)
+
+    imgs, frames = _mjpeg_frames(6, 24, 16, seed=11)
+    p = _mkv(frames, [i * 500 for i in range(6)])     # 0.5 s per frame
+    got = mkv_sample_frames(p, [0.0, 1.0])
+    assert len(got) == 2 and got[0].shape == imgs[0].shape
+
+    batch = pa.table({"payload": pa.array([p], pa.large_binary())})
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True,
+                            decode_stats=True)(batch)
+    assert out.column("n_frames")[0].as_py() == 6
+    got = out.column("frame_mean_luma")[0].as_py()
+    for luma, im in zip(got, imgs):
+        want = float((im.reshape(-1, 3).astype(np.float64)
+                      @ np.array([0.299, 0.587, 0.114])).mean()) / 255.0
+        assert abs(luma - want) < 0.02
+    # VP9 track: timeline parses, frame decode raises
+    q = _mkv(frames, [i * 500 for i in range(6)], codec=b"V_VP9")
+    qb = pa.table({"payload": pa.array([q], pa.large_binary())})
+    assert VideoFrameSampler(fps=2.0, real=True)(qb) \
+        .column("n_frames")[0].as_py() == 6
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fps=2.0, real=True, decode_stats=True)(qb)
