@@ -1,9 +1,11 @@
 """Baseline JPEG codec, pure NumPy + stdlib — no external codecs.
 
-Decoder: Huffman JPEG, sequential (SOF0/SOF1) AND progressive (SOF2) —
-marker walk, DQT/DHT/SOS parsing, byte-unstuffing with restart-marker
-segmentation, canonical-Huffman entropy decode through a 16-bit
-lookahead table, dequantization, and batched-matmul 2-D IDCTs.
+Decoder: Huffman JPEG, sequential (SOF0/SOF1) AND progressive (SOF2),
+plus arithmetic-coded sequential (SOF9, QM coder — dispatched to
+:mod:`.jpeg_arith`) — marker walk, DQT/DHT/DAC/SOS parsing,
+byte-unstuffing with restart-marker segmentation, canonical-Huffman
+entropy decode through a 16-bit lookahead table, dequantization, and
+batched-matmul 2-D IDCTs.
 Progressive streams accumulate coefficients scan by scan (spectral
 selection + successive approximation per T.81 §G.2: DC first/refine,
 AC first with EOBn end-of-band runs, AC refinement with correction
@@ -222,6 +224,8 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
     qt: dict[int, np.ndarray] = {}
     hdc: dict[int, np.ndarray] = {}
     hac: dict[int, np.ndarray] = {}
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
     frame = None
     dri = 0
     i = 2
@@ -262,7 +266,7 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 vals = list(seg[j + 17:j + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = _lookahead_table(bits, vals)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2):   # Huffman sequential / progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9):   # Huffman seq/prog, arith seq
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -279,10 +283,26 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "qt": qt,
-                     "prog": m == 0xC2, "pixels": pixels}
+                     "prog": m == 0xC2, "arith": m == 0xC9,
+                     "pixels": pixels}
         elif m in (0xC3, 0xC5, 0xC6, 0xC7,
-                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None             # arithmetic/lossless/hierarchical
+                   0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None    # progressive-arith/lossless/hierarchical
+        elif m == 0xCC:             # DAC: arithmetic conditioning
+            j = 0
+            while j + 2 <= len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 15
+                cs = seg[j + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up:
+                        return None
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        return None
+                    ac_cond[tb] = cs
+                j += 2
         elif m == 0xDD:             # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:             # SOS
@@ -295,6 +315,11 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
                 order.append(cid)
+            if frame.get("arith"):  # SOF9: QM-coded sequential scan
+                from .jpeg_arith import decode_arith_scan
+                return decode_arith_scan(p, i + 2 + seglen, frame, sel,
+                                         dc_cond, ac_cond, dri,
+                                         pixels=pixels)
             if not frame["prog"]:   # sequential: one scan and done
                 return _decode_scan(p, i + 2 + seglen, frame, sel, qt,
                                     hdc, hac, dri, pixels=pixels)

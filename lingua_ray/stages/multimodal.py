@@ -2,9 +2,10 @@
 
 The decode libraries (PIL/ffmpeg/torchaudio) are not available in this
 environment; most *decode* paths are nonetheless REAL pure-NumPy/stdlib
-codecs (PNG/GIF/JPEG/VP8L images, WAV/G.711/ADPCM/FLAC audio, MJPEG in
-AVI/MP4 video) and the residual boundary — arithmetic JPEG, lossy VP8,
-mp3/ogg, inter-frame video codecs — is a clearly-marked
+codecs (PNG/GIF/JPEG incl. arithmetic-coded/VP8L images,
+WAV/G.711/ADPCM/FLAC audio, MJPEG in AVI/MP4/MKV video) and the
+residual boundary — lossy VP8, mp3/ogg sample decode, inter-frame
+video codecs — is a clearly-marked
 ``NotImplementedError`` (real mode) or a deterministic fake derived from the
 payload bytes (test mode).  Everything Ray-side is real and tested: schema,
 actor-pool signature, per-batch memory sizing, output layout.
@@ -487,13 +488,14 @@ def decode_image(p: bytes):
     unfiltering: every legal IHDR — depths 1/2/4/8/16,
     gray/RGB/palette/gray+alpha/RGBA, non-interlaced and Adam7),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
-    Huffman JPEG sequential + progressive (marker/DQT/DHT parse,
-    canonical-Huffman entropy decode, luma-plane IDCT — :mod:`.jpeg`),
+    JPEG sequential + progressive + arithmetic-coded SOF9
+    (marker/DQT/DHT/DAC parse, canonical-Huffman or QM-coder entropy
+    decode, luma-plane IDCT — :mod:`.jpeg` / :mod:`.jpeg_arith`),
     lossless WebP
     (full VP8L: LZ77 + color cache + all four transforms —
     :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
     Returns (width, height, mean_luma in [0,1]) or None when the
-    payload needs an external codec (arithmetic-coded JPEG / lossy VP8
+    payload needs an external codec (lossy VP8
     / TIFF / ...)."""
     import struct
     png = _decode_png(p)
@@ -614,12 +616,12 @@ class ImageDecoder:
     real=True decodes the formats a pure-NumPy + stdlib decoder can
     handle — PNG at every legal IHDR shape (zlib inflate + unfiltering,
     depths 1-16, Adam7), GIF
-    first frame (LZW), Huffman JPEG both sequential and progressive
-    (canonical-Huffman entropy decode + luma IDCT, :mod:`.jpeg`),
+    first frame (LZW), JPEG — Huffman sequential + progressive AND
+    arithmetic-coded sequential SOF9 (QM coder, :mod:`.jpeg_arith`) —
     lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6) and
     uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
     NotImplementedError per payload for the remaining codecs
-    (arithmetic-coded JPEG and lossy VP8 need PIL/opencv, not installed
+    (lossy VP8 needs PIL/opencv, not installed
     here; that boundary is the ONLY stubbed part).
     real=False emits a deterministic fake (width, height, mean_luma)
     derived from the payload's sha256 — stable across runs, exercising

@@ -747,8 +747,9 @@ def test_jpeg_rejects_out_of_subset():
     # (Ss=0, Se=63) is illegal for a progressive DC scan → None
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
-    # arithmetic-coded (SOF9) stays out of subset
-    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    # progressive-arithmetic (SOF10) stays out of subset (sequential
+    # SOF9 is now a real decode path — see the arith tests below)
+    arith = good.replace(b"\xff\xc0", b"\xff\xca", 1)
     assert decode_jpeg(arith) is None
     # not a JPEG at all
     assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
@@ -1603,3 +1604,99 @@ def test_mkv_sample_frames_and_sampler():
         .column("n_frames")[0].as_py() == 6
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(fps=2.0, real=True, decode_stats=True)(qb)
+
+
+# --------------------------------------------- arithmetic-coded JPEG
+
+
+def test_arith_jpeg_identical_to_huffman():
+    """SOF9 and SOF0 share FDCT/quant, so their decodes must be
+    bit-identical — the strongest possible oracle for the QM coder."""
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+    from lingua_ray.stages.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(42)
+    cases = [
+        (rng.randint(0, 256, (16, 16)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (21, 13)).astype(np.uint8), {"quality": 40}),
+        (np.array([[99]], np.uint8), {}),
+        (np.full((16, 16), 200, np.uint8), {}),
+        (rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
+         {"subsample": True}),
+        (rng.randint(0, 256, (19, 13, 3)).astype(np.uint8),
+         {"subsample": True, "quality": 95}),
+        (rng.randint(0, 256, (40, 40)).astype(np.uint8),
+         {"restart_interval": 1}),
+        (rng.randint(0, 256, (32, 24, 3)).astype(np.uint8),
+         {"restart_interval": 3}),
+    ]
+    for img, kw in cases:
+        ph = decode_jpeg_pixels(encode_jpeg(
+            img, quality=kw.get("quality", 85),
+            subsample=kw.get("subsample", False),
+            restart_interval=kw.get("restart_interval", 0)))
+        pa_ = decode_jpeg_pixels(encode_jpeg_arith(img, **kw))
+        assert pa_ is not None, (img.shape, kw)
+        np.testing.assert_array_equal(ph, pa_)
+
+
+def test_arith_jpeg_mean_luma_and_size():
+    from lingua_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from lingua_ray.stages.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(5)
+    img = (rng.randint(0, 256, (32, 32)).astype(np.float64) * 0.3
+           + 90).astype(np.uint8)
+    pa_ = encode_jpeg_arith(img, quality=90)
+    w, h, luma = decode_jpeg(pa_)
+    assert (w, h) == (32, 32)
+    assert abs(luma - float(img.mean()) / 255.0) < 0.02
+    # adaptive contexts beat fixed Huffman tables on small images
+    assert len(pa_) < len(encode_jpeg(img, quality=90))
+
+
+def test_arith_jpeg_conditioning_and_qm_fuzz():
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+    from lingua_ray.stages.jpeg_arith import (ArithDecoder, ArithEncoder,
+                                              Stats, encode_jpeg_arith)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    ph = decode_jpeg_pixels(encode_jpeg(img))
+    # non-default DAC conditioning must round-trip identically too
+    for dc_cond, kx in (((1, 2), 1), ((0, 3), 63), ((2, 2), 16)):
+        pa_ = decode_jpeg_pixels(encode_jpeg_arith(
+            img, dc_cond=dc_cond, ac_kx=kx))
+        np.testing.assert_array_equal(ph, pa_)
+    # raw QM-coder fuzz: adaptive multi-context bit streams
+    for trial in range(25):
+        n = int(rng.randint(1, 3000))
+        bits = (rng.rand(n) < rng.rand()).astype(int).tolist()
+        nctx = int(rng.randint(1, 10))
+        ctxs = rng.randint(0, nctx, n).tolist()
+        enc = ArithEncoder()
+        st = Stats(nctx)
+        for b, c in zip(bits, ctxs):
+            enc.code(st, c, b)
+        data = enc.flush().replace(b"\xff\x00", b"\xff")
+        dec = ArithDecoder(data)
+        st2 = Stats(nctx)
+        assert [dec.decode(st2, c) for c in ctxs] == bits
+
+
+def test_arith_jpeg_malformed():
+    from lingua_ray.stages.jpeg import decode_jpeg
+    from lingua_ray.stages.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(13)
+    good = encode_jpeg_arith(rng.randint(0, 256, (16, 16)).astype(np.uint8))
+    assert decode_jpeg(good[: len(good) // 2]) is None   # truncated
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc9")
+    bad[sof + 9] = 0        # zero sampling factor in SOF9
+    assert decode_jpeg(bytes(bad)) is None
+    # progressive-arithmetic (SOF10) stays the documented boundary
+    bad = bytearray(good)
+    bad[sof + 1] = 0xCA
+    assert decode_jpeg(bytes(bad)) is None
