@@ -1,8 +1,9 @@
 """Baseline JPEG codec, pure NumPy + stdlib — no external codecs.
 
 Decoder: Huffman JPEG, sequential (SOF0/SOF1) AND progressive (SOF2),
-plus arithmetic-coded sequential (SOF9, QM coder — dispatched to
-:mod:`.jpeg_arith`) — marker walk, DQT/DHT/DAC/SOS parsing,
+plus arithmetic-coded sequential (SOF9) AND progressive (SOF10)
+(QM coder — dispatched to :mod:`.jpeg_arith`) — marker walk,
+DQT/DHT/DAC/SOS parsing,
 byte-unstuffing with restart-marker segmentation, canonical-Huffman
 entropy decode through a 16-bit lookahead table, dequantization, and
 batched-matmul 2-D IDCTs.
@@ -14,7 +15,7 @@ bits) and assemble at EOI.  :func:`decode_jpeg` keeps the cheap
 entropy-decoded to keep the bitstream in sync); :func:`decode_jpeg_pixels`
 is the FULL decode — chroma IDCT, replication upsampling to the luma
 grid, BT.601 YCbCr→RGB — returning the uint8 pixel array.
-Arithmetic-coded, hierarchical, 12-bit and CMYK streams return ``None``
+Hierarchical, lossless, 12-bit and CMYK streams return ``None``
 — an honest boundary, not a crash.
 
 Encoder (:func:`encode_jpeg`): the TEST ORACLE (the same encoder-oracle
@@ -266,7 +267,7 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 vals = list(seg[j + 17:j + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = _lookahead_table(bits, vals)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2, 0xC9):   # Huffman seq/prog, arith seq
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):   # Huffman/arith SOFs
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
                 return None
@@ -283,11 +284,10 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "qt": qt,
-                     "prog": m == 0xC2, "arith": m == 0xC9,
-                     "pixels": pixels}
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
-                   0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None    # progressive-arith/lossless/hierarchical
+                     "prog": m in (0xC2, 0xCA),
+                     "arith": m in (0xC9, 0xCA), "pixels": pixels}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None             # lossless / hierarchical
         elif m == 0xCC:             # DAC: arithmetic conditioning
             j = 0
             while j + 2 <= len(seg):
@@ -315,7 +315,8 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
                 order.append(cid)
-            if frame.get("arith"):  # SOF9: QM-coded sequential scan
+            if frame.get("arith") and not frame["prog"]:
+                # SOF9: QM-coded sequential scan
                 from .jpeg_arith import decode_arith_scan
                 return decode_arith_scan(p, i + 2 + seglen, frame, sel,
                                          dc_cond, ac_cond, dri,
@@ -328,8 +329,14 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 prog_started = True
             band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
                     seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15)
-            i = _progressive_scan(p, i + 2 + seglen, frame, order, sel,
-                                  qt, hdc, hac, dri, band)
+            if frame.get("arith"):  # SOF10: QM-coded progressive scan
+                from .jpeg_arith import decode_arith_progressive_scan
+                i = decode_arith_progressive_scan(
+                    p, i + 2 + seglen, frame, order, sel,
+                    dc_cond, ac_cond, dri, band)
+            else:
+                i = _progressive_scan(p, i + 2 + seglen, frame, order,
+                                      sel, qt, hdc, hac, dri, band)
             continue
         i += 2 + seglen
     return None

@@ -11,9 +11,10 @@ transcribed from the published standard (Table D.3) — it is shared by
 the encoder and decoder, so round-trip tests validate the coder's
 algorithmic structure end-to-end.
 
-Used by :mod:`.jpeg` for SOF9 streams; the encoder
-(:func:`encode_jpeg_arith`) exists as the decoder's test oracle, the
-same pattern as the Huffman/progressive encoders there.
+Used by :mod:`.jpeg` for SOF9 (sequential) and SOF10 (progressive)
+streams; the encoder (:func:`encode_jpeg_arith`) exists as the
+decoder's test oracle, the same pattern as the Huffman/progressive
+encoders there.
 """
 from __future__ import annotations
 
@@ -481,15 +482,322 @@ def decode_arith_scan(p: bytes, start: int, frame, sel, dc_cond,
     return _assemble(frame, pixels)
 
 
+# ----------------------------------------- progressive (SOF10) scans
+
+
+def decode_arith_progressive_scan(p, start, frame, order, sel, dc_cond,
+                                  ac_cond, dri: int, band) -> int:
+    """One progressive arithmetic SOS (T.81 G.2 scan structure with the
+    Annex G arithmetic-coding models); accumulates into the frame's
+    coefficient planes and returns the resume offset, mirroring the
+    Huffman `_progressive_scan`."""
+    from .jpeg import _split_entropy
+    ss, se, ah, al = band
+    if se > 63 or al > 13 or ah > 13 or (ah and ah != al + 1):
+        raise ValueError("bad progressive scan parameters")
+    byid = {c["id"]: c for c in frame["comps"]}
+    scomps = [byid[cid] for cid in order]
+    segs, end = _split_entropy(p, start)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            _arith_dc_first(segs, frame, scomps, sel, dc_cond, dri, al)
+        else:
+            _arith_dc_refine(segs, frame, scomps, dri, al)
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        if ah == 0:
+            _arith_ac_first(segs, scomps[0], sel, ac_cond, dri,
+                            ss, se, al)
+        else:
+            _arith_ac_refine(segs, scomps[0], dri, ss, se, al)
+    return end
+
+
+def _prog_units(frame, scomps):
+    if len(scomps) > 1:
+        return frame["mcux"] * frame["mcuy"], True
+    return scomps[0]["nw"] * scomps[0]["nh"], False
+
+
+def _walk_dc_units(segs, frame, scomps, dri, per_block):
+    """Shared unit walk for the two DC scan kinds: calls
+    ``per_block(dec, scan_state, c, idx)`` for every block in scan
+    order, resetting the coder + statistics at restart boundaries."""
+    units, interleaved = _prog_units(frame, scomps)
+    per_seg = dri if dri else units
+    u = 0
+    for seg in segs:
+        if u >= units:
+            break
+        dec = ArithDecoder(seg)
+        state = {}
+        endu = min(units, u + per_seg)
+        while u < endu:
+            if interleaved:
+                my, mx = divmod(u, frame["mcux"])
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = ((my * c["v"] + by) * c["bw"]
+                                   + mx * c["h"] + bx)
+                            per_block(dec, state, c, idx)
+            else:
+                c = scomps[0]
+                my, mx = divmod(u, c["nw"])
+                per_block(dec, state, c, my * c["bw"] + mx)
+            u += 1
+    if u < units:
+        raise EOFError("truncated progressive DC scan")
+
+
+def _arith_dc_first(segs, frame, scomps, sel, dc_cond, dri, al) -> None:
+    def per_block(dec, state, c, idx):
+        if "st" not in state:
+            state["st"] = {}
+            for cc in scomps:
+                t = sel[cc["id"]][0]
+                state["st"].setdefault(t, _new_dc_stats())
+                cc["pred"] = 0
+                cc["dc_state"] = {"ctx": 0}
+        t = sel[c["id"]][0]
+        lo, up = dc_cond.get(t, (0, 1))
+        c["pred"] += _decode_dc_diff(dec, state["st"][t],
+                                     c["dc_state"], lo, up)
+        c["coef"][idx, 0] = c["pred"] << al
+
+    _walk_dc_units(segs, frame, scomps, dri, per_block)
+
+
+def _arith_dc_refine(segs, frame, scomps, dri, al) -> None:
+    def per_block(dec, state, c, idx):
+        if "fx" not in state:
+            state["fx"] = _new_ac_stats()   # only its fixed slot is used
+        if dec.decode(state["fx"], FIX_CTX):
+            c["coef"][idx, 0] |= 1 << al
+
+    _walk_dc_units(segs, frame, scomps, dri, per_block)
+
+
+def _arith_ac_first(segs, c, sel, ac_cond, dri, ss, se, al) -> None:
+    from .jpeg import _ZZ
+    kx = ac_cond.get(sel[c["id"]][1], 5)
+    units = c["nw"] * c["nh"]
+    per_seg = dri if dri else units
+    u = 0
+    for seg in segs:
+        if u >= units:
+            break
+        dec = ArithDecoder(seg)
+        st = _new_ac_stats()
+        endu = min(units, u + per_seg)
+        while u < endu:
+            my, mx = divmod(u, c["nw"])
+            coef = c["coef"][my * c["bw"] + mx]
+            k = ss
+            while k <= se:
+                base = 3 * (k - 1)
+                if dec.decode(st, base):            # EOB
+                    break
+                while not dec.decode(st, base + 1):
+                    k += 1
+                    if k > se:
+                        raise ValueError("arith AC run past band end")
+                    base = 3 * (k - 1)
+                sign = dec.decode(st, FIX_CTX)
+                m = dec.decode(st, base + 2)
+                if m and dec.decode(st, base + 2):
+                    m = 2
+                    ctx = 189 if k <= kx else 217
+                    while dec.decode(st, ctx):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("arith AC magnitude "
+                                             "overflow")
+                        ctx += 1
+                    ctx += 14
+                else:
+                    ctx = base + 2
+                v = m
+                mm = m
+                while mm > 1:
+                    mm >>= 1
+                    if dec.decode(st, ctx):
+                        v |= mm
+                v += 1
+                coef[_ZZ[k]] = (-v if sign else v) << al
+                k += 1
+            u += 1
+    if u < units:
+        raise EOFError("truncated progressive AC scan")
+
+
+def _arith_ac_refine(segs, c, dri, ss, se, al) -> None:
+    from .jpeg import _ZZ
+    p1 = 1 << al
+    units = c["nw"] * c["nh"]
+    per_seg = dri if dri else units
+    u = 0
+    for seg in segs:
+        if u >= units:
+            break
+        dec = ArithDecoder(seg)
+        st = _new_ac_stats()
+        endu = min(units, u + per_seg)
+        while u < endu:
+            my, mx = divmod(u, c["nw"])
+            coef = c["coef"][my * c["bw"] + mx]
+            kex = se
+            while kex > 0 and coef[_ZZ[kex]] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                base = 3 * (k - 1)
+                if k > kex and dec.decode(st, base):    # EOB
+                    break
+                while True:
+                    z = _ZZ[k]
+                    if coef[z]:
+                        if dec.decode(st, base + 2):    # correction
+                            coef[z] += p1 if coef[z] > 0 else -p1
+                        break
+                    if dec.decode(st, base + 1):        # newly nonzero
+                        sign = dec.decode(st, FIX_CTX)
+                        coef[z] = -p1 if sign else p1
+                        break
+                    k += 1
+                    if k > se:
+                        raise ValueError("arith refinement past band")
+                    base = 3 * (k - 1)
+                k += 1
+            u += 1
+    if u < units:
+        raise EOFError("truncated progressive AC scan")
+
+
+def _enc_arith_dc_scan(coefs, samp, mcux, mcuy, tables, dc_cond,
+                       ah, al) -> bytes:
+    enc = ArithEncoder()
+    nc = len(coefs)
+    if ah == 0:
+        st = {t: _new_dc_stats() for t in tables}
+        preds = [0] * nc
+        states = [{"ctx": 0} for _ in range(nc)]
+    else:
+        fx = _new_ac_stats()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            tbl = 0 if ci == 0 else 1
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(coefs[ci][my * sv + by, mx * sh + bx][0])
+                    if ah == 0:
+                        v = dc >> al
+                        _encode_dc_diff(enc, st[tbl], states[ci],
+                                        v - preds[ci], *dc_cond)
+                        preds[ci] = v
+                    else:
+                        enc.code(fx, FIX_CTX, (dc >> al) & 1)
+    return enc.flush()
+
+
+def _enc_arith_ac_first(blocks, ss, se, al, kx) -> bytes:
+    from .jpeg import _ZZ, _pt
+    enc = ArithEncoder()
+    st = _new_ac_stats()
+    for blk in blocks:
+        vals = [_pt(int(blk[_ZZ[k]]), al) for k in range(64)]
+        eob = se + 1
+        while eob > ss and vals[eob - 1] == 0:
+            eob -= 1
+        k = ss
+        while k < eob:
+            base = 3 * (k - 1)
+            enc.code(st, base, 0)
+            while vals[k] == 0:
+                enc.code(st, base + 1, 0)
+                k += 1
+                base = 3 * (k - 1)
+            enc.code(st, base + 1, 1)
+            v = vals[k]
+            sign = 1 if v < 0 else 0
+            enc.code(st, FIX_CTX, sign)
+            sz = abs(v) - 1
+            if sz == 0:
+                enc.code(st, base + 2, 0)
+            else:
+                enc.code(st, base + 2, 1)
+                if sz == 1:
+                    enc.code(st, base + 2, 0)
+                    mag_ctx, nbits = base + 2, 0
+                else:
+                    enc.code(st, base + 2, 1)
+                    m, ctx, nbits = 2, (189 if k <= kx else 217), 1
+                    while sz >= (m << 1):
+                        enc.code(st, ctx, 1)
+                        m <<= 1
+                        ctx += 1
+                        nbits += 1
+                    enc.code(st, ctx, 0)
+                    mag_ctx = ctx + 14
+                for b in range(nbits - 1, -1, -1):
+                    enc.code(st, mag_ctx, (sz >> b) & 1)
+            k += 1
+        if k <= se:
+            enc.code(st, 3 * (k - 1), 1)        # EOB
+    return enc.flush()
+
+
+def _enc_arith_ac_refine(blocks, ss, se, al) -> bytes:
+    from .jpeg import _ZZ, _pt
+    enc = ArithEncoder()
+    st = _new_ac_stats()
+    for blk in blocks:
+        now = [_pt(int(blk[_ZZ[k]]), al) for k in range(64)]
+        prev = [_pt(int(blk[_ZZ[k]]), al + 1) for k in range(64)]
+        kex = se
+        while kex > 0 and prev[kex] == 0:
+            kex -= 1
+        kend = se
+        while kend >= ss and now[kend] == 0:
+            kend -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex:
+                if k > kend:                    # no further events
+                    enc.code(st, base, 1)
+                    break
+                enc.code(st, base, 0)
+            while True:
+                if prev[k]:
+                    enc.code(st, base + 2, abs(now[k]) & 1)
+                    break
+                if now[k]:
+                    enc.code(st, base + 1, 1)
+                    enc.code(st, FIX_CTX, 1 if now[k] < 0 else 0)
+                    break
+                enc.code(st, base + 1, 0)
+                k += 1
+                base = 3 * (k - 1)
+            k += 1
+    return enc.flush()
+
+
 def encode_jpeg_arith(img: np.ndarray, quality: int = 85,
                       subsample: bool = False,
                       restart_interval: int = 0,
-                      dc_cond: tuple = (0, 1), ac_kx: int = 5) -> bytes:
-    """Arithmetic-coded sequential JPEG encoder (decoder test oracle):
-    SOF9 + DAC conditioning (``dc_cond`` = (L, U), ``ac_kx`` = Kx) +
-    one interleaved scan, gray or YCbCr 4:4:4 / 4:2:0.  Plane prep /
-    FDCT / quant are shared with the Huffman encoder in
-    :mod:`.jpeg`."""
+                      dc_cond: tuple = (0, 1), ac_kx: int = 5,
+                      progressive: bool = False) -> bytes:
+    """Arithmetic-coded JPEG encoder (decoder test oracle): SOF9 + DAC
+    conditioning (``dc_cond`` = (L, U), ``ac_kx`` = Kx) + one
+    interleaved scan, gray or YCbCr 4:4:4 / 4:2:0.
+    ``progressive=True`` emits an SOF10 multi-scan stream with the
+    same 9-scan script as the Huffman progressive encoder (DC at Al=1
+    + refinement, spectral AC bands with successive approximation)."""
     import struct
 
     from .jpeg import _QCHROM, _QLUM, _ZZ, _fdct_quant, _pad_to, _scaled_q
@@ -527,6 +835,71 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 85,
         coefs.append(_fdct_quant(pl, qy if qs == 0 else qc))
 
     tables = sorted({0 if ci == 0 else 1 for ci in range(nc)})
+
+    def headers(sof_marker: int) -> bytearray:
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+            + _scaled_q(_QLUM, quality)[_ZZ].astype(np.uint8).tobytes()
+        if nc > 1:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) \
+                + _scaled_q(_QCHROM, quality)[_ZZ].astype(
+                    np.uint8).tobytes()
+        dac = b""
+        for t in tables:
+            dac += bytes([0x00 | t, (dc_cond[1] << 4) | dc_cond[0]])
+            dac += bytes([0x10 | t, ac_kx])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+        out += bytes([0xFF, sof_marker]) \
+            + struct.pack(">H", 2 + len(sof)) + sof
+        return out
+
+    if progressive:
+        out = headers(0xCA)
+
+        def comp_blocks(ci):
+            sh, sv = samp[ci]
+            cw, ch = -(-w * sh // hmax), -(-h * sv // vmax)
+            nw, nh = -(-cw // 8), -(-ch // 8)
+            return [coefs[ci][r, col] for r in range(nh)
+                    for col in range(nw)]
+
+        def sos_scan(comp_ids, ss_, se_, ah_, al_, payload):
+            hdr = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                t = 0 if cid == 0 else 1
+                hdr += bytes([cid + 1, (t << 4) | t])
+            hdr += bytes([ss_, se_, (ah_ << 4) | al_])
+            out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(hdr))
+                       + hdr)
+            out.extend(payload)
+
+        all_ids = list(range(nc))
+        sos_scan(all_ids, 0, 0, 0, 1,
+                 _enc_arith_dc_scan(coefs, samp, mcux, mcuy, tables,
+                                    dc_cond, 0, 1))
+        lb = comp_blocks(0)
+        sos_scan([0], 1, 5, 0, 2, _enc_arith_ac_first(lb, 1, 5, 2, ac_kx))
+        sos_scan([0], 6, 63, 0, 2,
+                 _enc_arith_ac_first(lb, 6, 63, 2, ac_kx))
+        for ci in range(1, nc):
+            sos_scan([ci], 1, 63, 0, 1,
+                     _enc_arith_ac_first(comp_blocks(ci), 1, 63, 1,
+                                         ac_kx))
+        sos_scan([0], 1, 63, 2, 1, _enc_arith_ac_refine(lb, 1, 63, 1))
+        sos_scan([0], 1, 63, 1, 0, _enc_arith_ac_refine(lb, 1, 63, 0))
+        sos_scan(all_ids, 0, 0, 1, 0,
+                 _enc_arith_dc_scan(coefs, samp, mcux, mcuy, tables,
+                                    dc_cond, 1, 0))
+        for ci in range(1, nc):
+            sos_scan([ci], 1, 63, 1, 0,
+                     _enc_arith_ac_refine(comp_blocks(ci), 1, 63, 0))
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
     enc = ArithEncoder()
     dc_st = {t: _new_dc_stats() for t in tables}
     ac_st = {t: _new_ac_stats() for t in tables}
@@ -559,23 +932,7 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 85,
                     _encode_ac_block(enc, ac_st[tbl], blk, _ZZ, ac_kx)
     body += enc.flush()
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
-        + _scaled_q(_QLUM, quality)[_ZZ].astype(np.uint8).tobytes()
-    if nc > 1:
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) \
-            + _scaled_q(_QCHROM, quality)[_ZZ].astype(np.uint8).tobytes()
-    # DAC: explicit conditioning for every table in use
-    dac = b""
-    for t in tables:
-        dac += bytes([0x00 | t, (dc_cond[1] << 4) | dc_cond[0]])
-        dac += bytes([0x10 | t, ac_kx])
-    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    out = headers(0xC9)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])

@@ -488,9 +488,10 @@ def decode_image(p: bytes):
     unfiltering: every legal IHDR — depths 1/2/4/8/16,
     gray/RGB/palette/gray+alpha/RGBA, non-interlaced and Adam7),
     GIF first frame (pure-Python LZW + palette/interlace/transparency),
-    JPEG sequential + progressive + arithmetic-coded SOF9
-    (marker/DQT/DHT/DAC parse, canonical-Huffman or QM-coder entropy
-    decode, luma-plane IDCT — :mod:`.jpeg` / :mod:`.jpeg_arith`),
+    JPEG — all four entropy/scan modes: Huffman + arithmetic,
+    sequential + progressive (marker/DQT/DHT/DAC parse,
+    canonical-Huffman or QM-coder entropy decode, luma-plane IDCT —
+    :mod:`.jpeg` / :mod:`.jpeg_arith`),
     lossless WebP
     (full VP8L: LZ77 + color cache + all four transforms —
     :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
@@ -617,7 +618,7 @@ class ImageDecoder:
     handle — PNG at every legal IHDR shape (zlib inflate + unfiltering,
     depths 1-16, Adam7), GIF
     first frame (LZW), JPEG — Huffman sequential + progressive AND
-    arithmetic-coded sequential SOF9 (QM coder, :mod:`.jpeg_arith`) —
+    arithmetic-coded SOF9/SOF10 (QM coder, :mod:`.jpeg_arith`) —
     lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6) and
     uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
     NotImplementedError per payload for the remaining codecs

@@ -747,8 +747,9 @@ def test_jpeg_rejects_out_of_subset():
     # (Ss=0, Se=63) is illegal for a progressive DC scan → None
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
-    # progressive-arithmetic (SOF10) stays out of subset (sequential
-    # SOF9 is now a real decode path — see the arith tests below)
+    # SOF10 forged onto a sequential stream: the full-band SOS
+    # (Ss=0, Se=63) is illegal for a progressive DC scan -> None
+    # (real SOF9/SOF10 are decode paths now - see the arith tests)
     arith = good.replace(b"\xff\xc0", b"\xff\xca", 1)
     assert decode_jpeg(arith) is None
     # not a JPEG at all
@@ -1696,7 +1697,47 @@ def test_arith_jpeg_malformed():
     sof = bad.find(b"\xff\xc9")
     bad[sof + 9] = 0        # zero sampling factor in SOF9
     assert decode_jpeg(bytes(bad)) is None
-    # progressive-arithmetic (SOF10) stays the documented boundary
+    # SOF10 forged onto the SEQUENTIAL scan header: full-band DC
+    # scan is rejected (real progressive-arith streams decode)
     bad = bytearray(good)
     bad[sof + 1] = 0xCA
     assert decode_jpeg(bytes(bad)) is None
+
+
+def test_arith_jpeg_progressive_identical_to_huffman():
+    """SOF10 and SOF2 share FDCT/quant and the 9-scan script, so the
+    progressive-arithmetic decode must equal the progressive-Huffman
+    decode bit for bit."""
+    from lingua_ray.stages.jpeg import decode_jpeg_pixels, encode_jpeg
+    from lingua_ray.stages.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(77)
+    cases = [
+        (rng.randint(0, 256, (16, 16)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (21, 13)).astype(np.uint8), {"quality": 40}),
+        (rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
+         {"subsample": True}),
+        (rng.randint(0, 256, (19, 13, 3)).astype(np.uint8),
+         {"subsample": True, "quality": 95}),
+        (np.full((16, 16), 77, np.uint8), {}),
+    ]
+    for img, kw in cases:
+        ph = decode_jpeg_pixels(encode_jpeg(
+            img, quality=kw.get("quality", 85),
+            subsample=kw.get("subsample", False), progressive=True))
+        pa_ = decode_jpeg_pixels(encode_jpeg_arith(
+            img, progressive=True, **kw))
+        assert pa_ is not None, (img.shape, kw)
+        np.testing.assert_array_equal(ph, pa_)
+
+
+def test_arith_jpeg_progressive_truncation():
+    from lingua_ray.stages.jpeg import decode_jpeg
+    from lingua_ray.stages.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.RandomState(78)
+    img = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    good = encode_jpeg_arith(img, progressive=True)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(good[: len(good) // 3]) is None
