@@ -2975,6 +2975,168 @@ def _q_lang_temperature_mix(sf_dir: str):
                      "rate": pa.array(rate)})
 
 
+def _q_media_dims(sf_dir: str):
+    """Multimodal image round-trip over the codec-free coders:
+    deterministic per-doc payloads (JPEG / BMP / PGM / lossless-WebP;
+    dims and gray level are pure functions of doc_id), formats read by
+    the header parser, dims re-derived by the REAL pixel decoders in
+    ``ImageDecoder(real=True)`` — so a hash-green row proves the whole
+    encode→Arrow→actor-pool-decode path.  Payload synthesis is
+    per-row Python by necessity (codec bitstreams), bounded by
+    batch_size; at real scale this stage IS the decode workload.
+    [SQL-verified: the oracle recomputes the same dims arithmetic]"""
+    import struct
+
+    from lingua_ray.stages.multimodal import ImageDecoder, image_dims_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from lingua_ray.stages.jpeg import encode_jpeg
+        from lingua_ray.stages.vp8l import encode_vp8l
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in dids:
+            did = int(did)
+            w, h = 8 + did % 13, 8 + did % 7
+            g = (did * 37) % 256
+            kind = did % 4
+            if kind == 0:
+                payloads.append(encode_jpeg(np.full((h, w), g, np.uint8)))
+            elif kind == 1:              # uncompressed 24-bit BMP
+                row = bytes([g, g, g]) * w + b"\0" * ((-3 * w) % 4)
+                px = row * h
+                payloads.append(
+                    b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(px), 0, 0, 0, 0) + px)
+            elif kind == 2:              # binary PGM
+                payloads.append(f"P5 {w} {h} 255\n".encode()
+                                + bytes([g]) * (w * h))
+            else:                        # lossless WebP
+                payloads.append(encode_vp8l(np.full((h, w, 3), g,
+                                                    np.uint8)))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.large_binary()))
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(image_dims_batch, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=2, num_cpus=1,
+                        fn_constructor_kwargs={"real": True})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "format": batch.column("format"),
+            "width": batch.column("width").cast(pa.int64()),
+            "height": batch.column("height").cast(pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+_MEDIA_DIMS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'pgm' ELSE 'webp' END AS format,
+       8 + doc_id % 13 AS width,
+       8 + doc_id % 7 AS height
+FROM documents
+"""
+
+
+def _q_audio_meta(sf_dir: str):
+    """Audio metadata round-trip over the header/frame walkers:
+    deterministic per-doc payloads (WAV PCM16 / native FLAC / MPEG1
+    Layer-III frames / Ogg-Vorbis pages; rates and durations pure
+    functions of doc_id), re-derived by ``audio_meta_batch`` — wav
+    chunk math, FLAC STREAMINFO, an exact VBR-capable mp3 frame walk
+    and the ogg granule-position walk.  [SQL-verified: the oracle
+    recomputes the same rate/duration arithmetic]"""
+    import struct
+
+    from lingua_ray.stages.multimodal import audio_meta_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _ogg_page(body: bytes, gran: int, first: bool) -> bytes:
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        return (b"OggS\x00" + (b"\x02" if first else b"\x00")
+                + gran.to_bytes(8, "little") + b"\x07\0\0\0" + b"\0" * 8
+                + bytes([len(segs)]) + bytes(segs) + body)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from lingua_ray.stages.flac import encode_flac
+        dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in dids:
+            did = int(did)
+            kind = did % 4
+            if kind == 0:                # WAV: 4000 zero samples @8k
+                data = b"\0\0" * 4000
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                            16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            elif kind == 1:              # FLAC: 4000 constant @16k
+                payloads.append(encode_flac(
+                    np.full(4000, 123, np.int64), 16000,
+                    mode="constant", block_size=4096))
+            elif kind == 2:              # MP3: k frames, 128kbps @44.1k
+                k = 1 + did % 5
+                hdr = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                       | (9 << 12) | (3 << 6))
+                flen = 144 * 128000 // 44100
+                payloads.append(
+                    (hdr.to_bytes(4, "big") + b"\xa5" * (flen - 4)) * k)
+            else:                        # Ogg Vorbis: granule 9000 @12k
+                ident = (b"\x01vorbis" + b"\0" * 4 + bytes([1])
+                         + (12000).to_bytes(4, "little") + b"\0" * 16)
+                payloads.append(_ogg_page(ident, 0, True)
+                                + _ogg_page(b"\xaa" * 40, 9000, False))
+        return batch.append_column(
+            "payload", pa.array(payloads, type=pa.large_binary()))
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(audio_meta_batch, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "format": batch.column("format"),
+            "sample_rate": batch.column("sample_rate").cast(pa.int64()),
+            "n_channels": batch.column("n_channels").cast(pa.int64()),
+            "duration_s": batch.column("duration_s"),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+_AUDIO_META_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+            WHEN 2 THEN 'mp3' ELSE 'ogg' END AS format,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 44100 ELSE 12000 END AS sample_rate,
+       1 AS n_channels,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 0.5 WHEN 1 THEN 0.25
+            WHEN 2 THEN CAST((1 + doc_id % 5) * 1152 AS DOUBLE) / 44100
+            ELSE 0.75 END AS duration_s
+FROM documents
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -2990,6 +3152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # SQL-expressible; gated by the pytest kernel-vs-scalar suite) and the
     # approximate sketches (each has an exact SQL-verified twin).
     return {
+        # ---- round-4 codec additions, SQL-verified (window head) ----
+        "media_dims": _q_media_dims,
+        "audio_meta": _q_audio_meta,
         # ---- never-driver-checked, SQL-verified (round-4 window head) ----
         "orders_price_quantiles": _q_orders_price_quantiles,
         "events_sessions": _q_events_sessions,
@@ -3377,6 +3542,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": tokens,
         "doc_fingerprint":
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "media_dims": _MEDIA_DIMS_SQL,
+        "audio_meta": _AUDIO_META_SQL,
         "para_dedup": _para_dedup_sql(),
         "line_dedup": _line_dedup_sql(),
         "orders_price_bands": _PRICE_BANDS_SQL,
