@@ -3147,10 +3147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounded window (50/round) from the front, so queries that have never
     # received a driver-green row are listed first — SQL-verified ones
     # (strongest check) ahead of rows-only ones — and the queries already
-    # hash-green in rounds 1-3 follow.  Round-4 additions slot into the
-    # front block.  Rows-only queries are the langid/model family (not
-    # SQL-expressible; gated by the pytest kernel-vs-scalar suite) and the
-    # approximate sketches (each has an exact SQL-verified twin).
+    # hash-green in rounds 1-3 follow.  The round-4 window holds 47
+    # never-checked entries; with it, the cross-round driver-verified
+    # union covers ALL 119 registered queries.  Round 5 should rotate the
+    # r01-era entries (the stalest greens) back to the front.  Rows-only
+    # queries are the langid/model family (not SQL-expressible; gated by
+    # the pytest kernel-vs-scalar suite) and the approximate sketches
+    # (each has an exact SQL-verified twin).
     return {
         # ---- round-4 codec additions, SQL-verified (window head) ----
         "media_dims": _q_media_dims,
