@@ -494,10 +494,11 @@ def decode_image(p: bytes):
     :mod:`.jpeg` / :mod:`.jpeg_arith`),
     lossless WebP
     (full VP8L: LZ77 + color cache + all four transforms —
-    :mod:`.vp8l`), binary netpbm (P5/P6) and uncompressed 8/24-bit BMP.
+    :mod:`.vp8l`), binary netpbm (P5/P6), uncompressed 8/24-bit BMP and
+    baseline TIFF (8-bit gray/RGB/RGBA strips, uncompressed or
+    PackBits, both byte orders).
     Returns (width, height, mean_luma in [0,1]) or None when the
-    payload needs an external codec (lossy VP8
-    / TIFF / ...)."""
+    payload needs an external codec (lossy VP8 / ...)."""
     import struct
     png = _decode_png(p)
     if png is not None:
@@ -548,7 +549,99 @@ def decode_image(p: bytes):
         else:
             luma = float(rows[:, :w].mean()) / 255.0
         return w, h, float(luma)
-    return None
+    return _decode_tiff(p)
+
+
+def _packbits_inflate(b: bytes) -> bytearray:
+    """PackBits (TIFF 6.0 §9) run-length inflate — per-strip."""
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        n = b[i]
+        i += 1
+        if n < 128:                     # literal run of n+1 bytes
+            out += b[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                   # repeat next byte 257-n times
+            if i >= len(b):
+                break
+            out += bytes([b[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return out
+
+
+def _decode_tiff(p: bytes, pixels: bool = False):
+    """REAL baseline-TIFF decode (TIFF 6.0 subset: first IFD, chunky
+    PlanarConfig, 8-bit gray / RGB / RGBA, strip layout, uncompressed
+    or PackBits, both byte orders).  Returns the decode_image /
+    decode_image_pixels contract, or None outside the subset."""
+    import struct
+    if len(p) < 8 or p[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if p[:2] == b"II" else ">"
+
+    def u16(off):
+        return struct.unpack_from(bo + "H", p, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(bo + "I", p, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(p):
+        return None
+    n = u16(ifd)
+    if ifd + 2 + 12 * n > len(p):
+        return None
+    tags = {}
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ = u16(e), u16(e + 2)
+        cnt = u32(e + 4)
+        size = {3: 2, 4: 4}.get(typ)    # SHORT / LONG only
+        if size is None or cnt == 0 or cnt > 1 << 20:
+            continue
+        total = size * cnt
+        voff = e + 8 if total <= 4 else u32(e + 8)
+        if voff + total > len(p):
+            return None
+        tags[tag] = [u16(voff + size * j) if typ == 3
+                     else u32(voff + size * j) for j in range(cnt)]
+    if not all(t in tags for t in (256, 257, 273, 279)):
+        return None
+    w, h = tags[256][0], tags[257][0]
+    offs, counts = tags[273], tags[279]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    planar = tags.get(284, [1])[0]
+    if comp not in (1, 32773) or spp not in (1, 3, 4) or planar != 1 \
+            or any(b != 8 for b in bps) or w <= 0 or h <= 0 \
+            or w * h > 64_000_000 or len(offs) != len(counts):
+        return None
+    raw = bytearray()
+    for o, c in zip(offs, counts):
+        if o + c > len(p):
+            return None
+        strip = p[o:o + c]
+        raw += _packbits_inflate(strip) if comp == 32773 else strip
+    need = w * h * spp
+    if len(raw) < need:
+        return None
+    a = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+    a = a.reshape(h, w, spp)
+    if spp == 1:
+        a = a[:, :, 0]
+    elif spp == 4:
+        a = a[:, :, :3]                 # drop alpha, like the PNG path
+    if pixels:
+        return np.ascontiguousarray(a)
+    if a.ndim == 3:
+        luma = float((a.reshape(-1, 3).astype(np.float64)
+                      @ np.array([0.299, 0.587, 0.114])).mean()) / 255.0
+    else:
+        luma = float(a.mean()) / 255.0
+    return w, h, luma
 
 
 def decode_image_pixels(p: bytes):
@@ -556,8 +649,9 @@ def decode_image_pixels(p: bytes):
     :func:`decode_image`: uint8 (H, W) gray or (H, W, 3) RGB for PNG,
     GIF first frame, baseline Huffman JPEG (chroma IDCT + BT.601
     YCbCr→RGB, :func:`..jpeg.decode_jpeg_pixels`), lossless WebP
-    (:func:`..vp8l.decode_webp_pixels`), binary netpbm and
-    uncompressed BMP (rows returned top-down); 16-bit netpbm is scaled
+    (:func:`..vp8l.decode_webp_pixels`), binary netpbm,
+    uncompressed BMP (rows returned top-down) and baseline TIFF
+    (uncompressed/PackBits strips); 16-bit netpbm is scaled
     to 8.  None outside the subset."""
     import struct
     px = _decode_png(p, pixels=True)
@@ -608,7 +702,7 @@ def decode_image_pixels(p: bytes):
             return np.ascontiguousarray(
                 rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1])
         return np.ascontiguousarray(rows[:, :w])
-    return None
+    return _decode_tiff(p, pixels=True)
 
 
 class ImageDecoder:
@@ -619,8 +713,9 @@ class ImageDecoder:
     depths 1-16, Adam7), GIF
     first frame (LZW), JPEG — Huffman sequential + progressive AND
     arithmetic-coded SOF9/SOF10 (QM coder, :mod:`.jpeg_arith`) —
-    lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6) and
-    uncompressed 8/24-bit BMP — via :func:`decode_image`, and raises
+    lossless WebP (full VP8L, :mod:`.vp8l`), binary netpbm (P5/P6),
+    uncompressed 8/24-bit BMP and baseline TIFF (uncompressed /
+    PackBits) — via :func:`decode_image`, and raises
     NotImplementedError per payload for the remaining codecs
     (lossy VP8 needs PIL/opencv, not installed
     here; that boundary is the ONLY stubbed part).
@@ -644,8 +739,8 @@ class ImageDecoder:
         raise NotImplementedError(
             f"decoding '{fmt}' payloads needs PIL/opencv "
             "(unavailable in this environment); only PNG, GIF, "
-            "Huffman JPEG, lossless WebP, netpbm and uncompressed "
-            "BMP decode without external codecs")
+            "JPEG, lossless WebP, netpbm, BMP and baseline TIFF "
+            "decode without external codecs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()

@@ -1741,3 +1741,154 @@ def test_arith_jpeg_progressive_truncation():
     good = encode_jpeg_arith(img, progressive=True)
     assert decode_jpeg(good) is not None
     assert decode_jpeg(good[: len(good) // 3]) is None
+
+
+# ------------------------------------------------------- baseline TIFF
+
+
+def _packbits_deflate(row: bytes) -> bytes:
+    """Simple PackBits encoder (test oracle): literal runs split at
+    repeats of >=3."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        j = i
+        while j + 1 < len(row) and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:                   # repeat run
+            out += bytes([257 - (j - i + 1), row[i]])
+            i = j + 1
+            continue
+        j = i
+        while j < len(row) and (j + 2 >= len(row)
+                                or row[j + 1] != row[j]
+                                or row[j + 2] != row[j]) and j - i < 127:
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_full(img, big_endian=False, packbits=False, rows_per_strip=None,
+          alpha=False):
+    """Minimal-but-real baseline TIFF writer (test oracle): first IFD
+    with strip layout, SHORT/LONG tags, optional PackBits."""
+    bo = ">" if big_endian else "<"
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else (4 if alpha else 3)
+    if alpha:
+        img = np.dstack([img, np.full((h, w), 200, np.uint8)])
+    rps = rows_per_strip or h
+    strips = []
+    flat = img.reshape(h, -1)
+    for y0 in range(0, h, rps):
+        raw = flat[y0:y0 + rps].tobytes()
+        strips.append(_packbits_deflate(raw) if packbits else raw)
+    # layout: header(8) | IFD | values | strip data
+    ntags = 9
+    ifd_off = 8
+    ifd_size = 2 + ntags * 12 + 4
+    val_off = ifd_off + ifd_size
+    extra = bytearray()
+
+    def values(vals, typ):
+        nonlocal extra
+        size = 2 if typ == 3 else 4
+        if len(vals) * size <= 4:
+            b = b"".join(struct.pack(bo + ("H" if typ == 3 else "I"), v)
+                         for v in vals)
+            return b + b"\0" * (4 - len(b)), len(vals)
+        off = val_off + len(extra)
+        for v in vals:
+            extra += struct.pack(bo + ("H" if typ == 3 else "I"), v)
+        return struct.pack(bo + "I", off), len(vals)
+
+    # strip offsets are filled after we know the data start
+    data_off_base = None
+    entries = []
+
+    def tag(t, typ, vals):
+        payload, cnt = values(vals, typ)
+        entries.append(struct.pack(bo + "HHI", t, typ, cnt) + payload)
+
+    tag(256, 4, [w])
+    tag(257, 4, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [32773 if packbits else 1])
+    tag(262, 3, [2 if spp >= 3 else 1])
+    # placeholder for 273; compute after extra is final
+    entries.append(None)
+    i273 = len(entries) - 1
+    tag(277, 3, [spp])
+    tag(278, 4, [rps])
+    tag(279, 4, [len(s) for s in strips])
+    # reserve room for strip-offset values if they spill
+    spill = len(strips) * 4 > 4
+    offs_slot = len(extra)
+    if spill:
+        extra += b"\0" * (len(strips) * 4)
+    data_off_base = val_off + len(extra)
+    offs = []
+    pos = data_off_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if spill:
+        packed = b"".join(struct.pack(bo + "I", o) for o in offs)
+        extra[offs_slot:offs_slot + len(packed)] = packed
+        payload = struct.pack(bo + "I", val_off + offs_slot)
+        entries[i273] = struct.pack(bo + "HHI", 273, 4, len(strips)) \
+            + payload
+    else:
+        b = struct.pack(bo + "I", offs[0])
+        entries[i273] = struct.pack(bo + "HHI", 273, 4, 1) + b
+    entries.sort(key=lambda e: struct.unpack_from(bo + "H", e)[0])
+    hdr = (b"II*\x00" if not big_endian else b"MM\x00*") \
+        + struct.pack(bo + "I", ifd_off)
+    ifd = struct.pack(bo + "H", ntags) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    return hdr + ifd + bytes(extra) + b"".join(strips)
+
+
+def test_tiff_decode_roundtrip():
+    from lingua_ray.stages.multimodal import (decode_image,
+                                              decode_image_pixels)
+
+    rng = np.random.RandomState(17)
+    gray = rng.randint(0, 256, (11, 14)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    for img, kw in [
+        (gray, {}), (gray, {"big_endian": True}),
+        (gray, {"packbits": True}),
+        (rgb, {}), (rgb, {"rows_per_strip": 3}),
+        (rgb, {"packbits": True, "rows_per_strip": 2,
+               "big_endian": True}),
+        (rgb, {"alpha": True}),
+    ]:
+        p = _tiff_full(img, **kw)
+        px = decode_image_pixels(p)
+        assert px is not None, kw
+        np.testing.assert_array_equal(px, img)
+        w, h, luma = decode_image(p)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        if img.ndim == 2:
+            want = float(img.mean()) / 255.0
+        else:
+            want = float((img.reshape(-1, 3).astype(np.float64)
+                          @ np.array([0.299, 0.587, 0.114])).mean()) / 255
+        assert abs(luma - want) < 1e-9
+
+
+def test_tiff_malformed_and_out_of_subset():
+    from lingua_ray.stages.multimodal import decode_image
+
+    rng = np.random.RandomState(18)
+    img = rng.randint(0, 256, (6, 6)).astype(np.uint8)
+    good = _tiff_full(img)
+    assert decode_image(good[:20]) is None           # truncated IFD
+    bad = bytearray(good)
+    # forge LZW compression (tag 259 value -> 5): out of subset
+    i = good.find(struct.pack("<HH", 259, 3))
+    bad[i + 8] = 5
+    assert decode_image(bytes(bad)) is None
+    assert decode_image(b"II*\x00" + b"\0" * 4) is None
