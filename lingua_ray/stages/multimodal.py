@@ -571,6 +571,57 @@ def _packbits_inflate(b: bytes) -> bytearray:
     return out
 
 
+def _lzw_inflate_tiff(b: bytes) -> bytearray:
+    """TIFF-LZW inflate (TIFF 6.0 §13): MSB-first codes, 9→12-bit
+    widths with the conventional early change, Clear=256, EOI=257."""
+    out = bytearray()
+    n = len(b) * 8
+    bitpos = 0
+    table: list[bytes] = []
+    width = 9
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while bitpos + width <= n:
+        byte = bitpos >> 3
+        chunk = b[byte:byte + 3]
+        v = int.from_bytes(chunk + b"\0" * (3 - len(chunk)), "big")
+        code = (v >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code > 255:
+                break                   # first code must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            break                       # corrupt stream
+        out += entry
+        prev = entry
+        # early change, lag-adjusted: the decoder's table trails the
+        # encoder's by one entry, so bump one entry sooner than the
+        # non-early formula (len+2 == 2^width <=> encoder just wrote
+        # entry 2^width - 2 and switches widths for its next code)
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
 def _decode_tiff(p: bytes, pixels: bool = False):
     """REAL baseline-TIFF decode (TIFF 6.0 subset: first IFD, chunky
     PlanarConfig, 8-bit gray / RGB / RGBA, strip layout, uncompressed
@@ -615,21 +666,30 @@ def _decode_tiff(p: bytes, pixels: bool = False):
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
     planar = tags.get(284, [1])[0]
-    if comp not in (1, 32773) or spp not in (1, 3, 4) or planar != 1 \
-            or any(b != 8 for b in bps) or w <= 0 or h <= 0 \
-            or w * h > 64_000_000 or len(offs) != len(counts):
+    predictor = tags.get(317, [1])[0]
+    if comp not in (1, 5, 32773) or spp not in (1, 3, 4) or planar != 1 \
+            or predictor not in (1, 2) or any(b != 8 for b in bps) \
+            or w <= 0 or h <= 0 or w * h > 64_000_000 \
+            or len(offs) != len(counts):
         return None
     raw = bytearray()
     for o, c in zip(offs, counts):
         if o + c > len(p):
             return None
         strip = p[o:o + c]
-        raw += _packbits_inflate(strip) if comp == 32773 else strip
+        if comp == 32773:
+            raw += _packbits_inflate(strip)
+        elif comp == 5:
+            raw += _lzw_inflate_tiff(strip)
+        else:
+            raw += strip
     need = w * h * spp
     if len(raw) < need:
         return None
     a = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
     a = a.reshape(h, w, spp)
+    if predictor == 2:                  # horizontal differencing
+        a = np.cumsum(a.astype(np.uint64), axis=1).astype(np.uint8)
     if spp == 1:
         a = a[:, :, 0]
     elif spp == 4:
@@ -932,6 +992,109 @@ def decode_wav(p: bytes):
     return None
 
 
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended (the AIFF COMM sample rate) → float."""
+    import struct
+    se = struct.unpack(">H", b[:2])[0]
+    mant = int.from_bytes(b[2:10], "big")
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(p: bytes):
+    """REAL AIFF (FORM/AIFF) decode — big-endian PCM 8/16/24/32 (AIFF
+    8-bit is SIGNED, unlike WAV), COMM 80-bit-extended sample rate,
+    SSND offset honoured.  Same contract as :func:`decode_wav`; None
+    for AIFC compression variants."""
+    import struct
+    if len(p) < 12 or p[:4] != b"FORM" or p[8:12] != b"AIFF":
+        return None
+    comm = ssnd = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        size = struct.unpack(">I", p[i + 4:i + 8])[0]
+        body = p[i + 8:i + 8 + size]
+        if cid == b"COMM" and size >= 18:
+            nch, nframes, bits = struct.unpack(">HIH", body[:8])
+            comm = (nch, nframes, bits, _f80_to_float(body[8:18]))
+        elif cid == b"SSND" and size >= 8:
+            off = struct.unpack(">I", body[:4])[0]
+            ssnd = body[8 + off:]
+        i += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        return None
+    nch, nframes, bits, sr = comm
+    if not nch or sr <= 0 or bits not in (8, 16, 24, 32):
+        return None
+    nb = bits // 8
+    ssnd = ssnd[: (len(ssnd) // nb) * nb]
+    if bits == 8:
+        s = np.frombuffer(ssnd, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        s = np.frombuffer(ssnd, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        s = np.frombuffer(ssnd, dtype=">i4").astype(np.float64) \
+            / float(1 << 31)
+    else:                               # 24-bit big-endian
+        raw = np.frombuffer(ssnd, dtype=np.uint8).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32) << 16
+             | raw[:, 1].astype(np.int32) << 8 | raw[:, 2])
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        s = v.astype(np.float64) / float(1 << 23)
+    s = s[: nframes * nch]
+    return int(round(sr)), nch, s
+
+
+def decode_au(p: bytes):
+    """REAL Sun AU (.snd) decode — big-endian µ-law / A-law / signed
+    PCM 8/16/24/32 / float32/64.  Same contract as
+    :func:`decode_wav`."""
+    import struct
+    if len(p) < 24 or p[:4] != b".snd":
+        return None
+    off, size, enc, sr, nch = struct.unpack(">IIIII", p[4:24])
+    if off < 24 or off > len(p) or sr == 0 or nch == 0:
+        return None
+    end = len(p) if size == 0xFFFFFFFF else min(len(p), off + size)
+    body = p[off:end]
+    if enc == 1:
+        s = _mulaw_expand(np.frombuffer(body, dtype=np.uint8)
+                          .astype(np.int64)) / 32768.0
+    elif enc == 27:
+        s = _alaw_expand(np.frombuffer(body, dtype=np.uint8)
+                         .astype(np.int64)) / 32768.0
+    elif enc == 2:
+        s = np.frombuffer(body, dtype=np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        s = np.frombuffer(body[: len(body) & ~1],
+                          dtype=">i2").astype(np.float64) / 32768.0
+    elif enc == 4:
+        raw = np.frombuffer(body[: len(body) - len(body) % 3],
+                            dtype=np.uint8).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32) << 16
+             | raw[:, 1].astype(np.int32) << 8 | raw[:, 2])
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        s = v.astype(np.float64) / float(1 << 23)
+    elif enc == 5:
+        s = np.frombuffer(body[: len(body) & ~3],
+                          dtype=">i4").astype(np.float64) / float(1 << 31)
+    elif enc == 6:
+        s = np.frombuffer(body[: len(body) & ~3],
+                          dtype=">f4").astype(np.float64)
+    elif enc == 7:
+        s = np.frombuffer(body[: len(body) & ~7], dtype=">f8").copy()
+    else:
+        return None                     # ADPCM variants: out of subset
+    return sr, nch, s
+
+
+_AU_BYTES_PER = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4, 7: 8, 27: 1}
+
+
 # MPEG audio frame-header tables (public ISO/IEC 11172-3 / 13818-3):
 # bitrate kbps by [version][layer][index]; sample rate by [version][index];
 # version ids: 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
@@ -1083,8 +1246,8 @@ def audio_meta_batch(batch: pa.Table,
     filter every audio pipeline wants BEFORE shipping payloads to
     expensive decoders (the audio analogue of
     :func:`image_dims_batch`).  Fully real for wav (chunk headers),
-    flac (STREAMINFO), mp3 (frame walk) and ogg vorbis/opus (page
-    walk): header math only, no codec library.  Unknown payloads get
+    flac (STREAMINFO), aiff (COMM), au (.snd header), mp3 (frame walk)
+    and ogg vorbis/opus (page walk): header math, no codec library.  Unknown payloads get
     format=None, -1/-1/NaN."""
     from .flac import parse_streaminfo
     payloads = batch.column(payload_col).to_pylist()
@@ -1094,6 +1257,24 @@ def audio_meta_batch(batch: pa.Table,
         fmt, meta = None, None
         if p[:4] == b"RIFF":
             fmt, meta = "wav", _wav_meta(p)
+        elif p[:4] == b"FORM" and p[8:12] == b"AIFF":
+            fmt = "aiff"
+            dec = decode_aiff(p)
+            if dec is not None:
+                sr_, nch_, s_ = dec
+                meta = (sr_, nch_, len(s_) / nch_ / sr_)
+        elif p[:4] == b".snd":
+            fmt = "au"
+            if len(p) >= 24:
+                import struct
+                off, size, enc, sr_, nch_ = struct.unpack(
+                    ">IIIII", p[4:24])
+                bp = _AU_BYTES_PER.get(enc)
+                if bp and sr_ and nch_ and off <= len(p):
+                    end = (len(p) if size == 0xFFFFFFFF
+                           else min(len(p), off + size))
+                    n = (end - off) // bp // nch_
+                    meta = (sr_, nch_, n / sr_)
         elif p[:4] == b"fLaC":
             si = parse_streaminfo(p)
             if si and si[0]:
@@ -1128,10 +1309,11 @@ class AudioFeaturizer:
     """Actor-pool audio feature stage.
 
     real=True decodes RIFF/WAVE payloads (PCM, IEEE float, G.711
-    A-law/µ-law, IMA ADPCM) with :func:`decode_wav` and native FLAC
+    A-law/µ-law, IMA ADPCM) with :func:`decode_wav`, native FLAC
     (CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
-    decorrelation — :mod:`.flac`) — no codec library needed — emitting
-    real ``duration_s`` and ``rms``; the remaining transform codecs
+    decorrelation — :mod:`.flac`), AIFF (:func:`decode_aiff`) and Sun
+    AU (:func:`decode_au`) — no codec library needed — emitting real
+    ``duration_s`` and ``rms``; the remaining transform codecs
     (mp3/ogg) raise NotImplementedError per payload (torchaudio/ffmpeg
     are not in this environment; that boundary is the only stubbed
     part).
@@ -1152,9 +1334,13 @@ class AudioFeaturizer:
                     from .flac import decode_flac
                     dec = decode_flac(p or b"")
                 if dec is None:
+                    dec = decode_aiff(p or b"")
+                if dec is None:
+                    dec = decode_au(p or b"")
+                if dec is None:
                     raise NotImplementedError(
-                        "only RIFF/WAVE and native FLAC decode without "
-                        "codec libraries (mp3/ogg need "
+                        "only RIFF/WAVE, native FLAC, AIFF and Sun AU "
+                        "decode without codec libraries (mp3/ogg need "
                         "torchaudio/ffmpeg, unavailable here)")
                 sr, nch, s = dec
                 dur[i] = len(s) / nch / sr
