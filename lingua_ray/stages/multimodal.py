@@ -667,10 +667,10 @@ def _decode_tiff(p: bytes, pixels: bool = False):
     bps = tags.get(258, [8])
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
-    if comp not in (1, 5, 32773) or spp not in (1, 3, 4) or planar != 1 \
-            or predictor not in (1, 2) or any(b != 8 for b in bps) \
-            or w <= 0 or h <= 0 or w * h > 64_000_000 \
-            or len(offs) != len(counts):
+    if comp not in (1, 5, 8, 32946, 32773) or spp not in (1, 3, 4) \
+            or planar != 1 or predictor not in (1, 2) \
+            or any(b != 8 for b in bps) or w <= 0 or h <= 0 \
+            or w * h > 64_000_000 or len(offs) != len(counts):
         return None
     raw = bytearray()
     for o, c in zip(offs, counts):
@@ -681,6 +681,12 @@ def _decode_tiff(p: bytes, pixels: bool = False):
             raw += _packbits_inflate(strip)
         elif comp == 5:
             raw += _lzw_inflate_tiff(strip)
+        elif comp in (8, 32946):        # Deflate / legacy Deflate
+            import zlib
+            try:
+                raw += zlib.decompress(strip)
+            except zlib.error:
+                return None
         else:
             raw += strip
     need = w * h * spp

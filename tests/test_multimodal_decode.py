@@ -1770,7 +1770,7 @@ def _packbits_deflate(row: bytes) -> bytes:
 
 
 def _tiff_full(img, big_endian=False, packbits=False, rows_per_strip=None,
-          alpha=False, lzw=False, predictor=1):
+          alpha=False, lzw=False, deflate=False, predictor=1):
     """Minimal-but-real baseline TIFF writer (test oracle): first IFD
     with strip layout, SHORT/LONG tags, optional PackBits / LZW /
     horizontal-differencing predictor."""
@@ -1790,8 +1790,10 @@ def _tiff_full(img, big_endian=False, packbits=False, rows_per_strip=None,
     flat = img.reshape(h, -1)
     for y0 in range(0, h, rps):
         raw = flat[y0:y0 + rps].tobytes()
+        import zlib
         strips.append(_packbits_deflate(raw) if packbits
-                      else _lzw_deflate_tiff(raw) if lzw else raw)
+                      else _lzw_deflate_tiff(raw) if lzw
+                      else zlib.compress(raw) if deflate else raw)
     # layout: header(8) | IFD | values | strip data
     ntags = 10
     ifd_off = 8
@@ -1822,7 +1824,8 @@ def _tiff_full(img, big_endian=False, packbits=False, rows_per_strip=None,
     tag(256, 4, [w])
     tag(257, 4, [h])
     tag(258, 3, [8] * spp)
-    tag(259, 3, [32773 if packbits else 5 if lzw else 1])
+    tag(259, 3, [32773 if packbits else 5 if lzw
+                 else 8 if deflate else 1])
     tag(317, 3, [predictor])
     tag(262, 3, [2 if spp >= 3 else 1])
     # placeholder for 273; compute after extra is final
@@ -1966,6 +1969,8 @@ def test_tiff_lzw_and_predictor():
                "big_endian": True}),
         (gray, {"lzw": True, "predictor": 2}),
         (img, {"packbits": True, "predictor": 2}),
+        (img, {"deflate": True}),
+        (img, {"deflate": True, "predictor": 2, "rows_per_strip": 5}),
     ]:
         px = decode_image_pixels(_tiff_full(src, **kw))
         assert px is not None, kw
