@@ -3137,6 +3137,76 @@ FROM documents
 """
 
 
+def _q_embedding_pca_stats(sf_dir: str):
+    """Distributed PCA sufficient statistics: each embeddings block
+    collapses to X^T X (i, j, v) + per-dim sums (i, -1, v) + one
+    (-1, -1, n) count row; the global exchange sums ~d² keys.  The
+    distributed HALF of whitening / dimensionality reduction — the
+    (d × d) eigensolve is the rows-only twin (embedding_pca_project).
+    [SQL-verified vs DuckDB's unnest self-join]"""
+    from lingua_ray.stages.inference import pca_stats_batch
+    from lingua_ray.stages.util import round_half_away
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    # vec_id is unused by the kernel, but the oracle joins on it, and
+    # the stats need only the embedding column either way
+    agg = ds.map_batches(pca_stats_batch, batch_format="pyarrow") \
+            .groupby(["i", "j"]).sum("v")
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "i": batch.column("i"), "j": batch.column("j"),
+            "v": pa.array(round_half_away(
+                batch.column("sum(v)").to_numpy(zero_copy_only=False)))})
+
+    return agg.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_embedding_pca_project(sf_dir: str):
+    """End-to-end distributed PCA: sufficient statistics aggregated
+    cluster-wide, driver eigensolve (sign-canonicalized so the result
+    is partitioning-independent), then every row projected onto the
+    top-4 components via one broadcast + BLAS matmul per batch.
+    [rows-only: eigenvectors aren't SQL; gated by the numpy
+    closed-form + partitioning-invariance pytest in
+    test_inference.py]"""
+    from lingua_ray.stages.inference import fit_pca, project_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    mean, _, comps = fit_pca(ds, dim, k=4)
+    out = project_embeddings(ds, mean, comps)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        from lingua_ray.stages.util import round_half_away
+        cols = {"vec_id": batch.column("vec_id")}
+        for c in range(4):
+            cols[f"p{c}"] = pa.array(round_half_away(
+                batch.column(f"p{c}").to_numpy(zero_copy_only=False)))
+        return pa.table(cols)
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+_PCA_STATS_SQL = """
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS e,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j, round(SUM(a.e * b.e), 6) AS v
+    FROM flat a JOIN flat b USING (vec_id)
+    GROUP BY a.i, b.i
+    UNION ALL
+    SELECT i, CAST(-1 AS INTEGER) AS j, round(SUM(e), 6) AS v
+    FROM flat GROUP BY i
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+           CAST(COUNT(*) AS DOUBLE)
+    FROM embeddings
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -3155,9 +3225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the pytest kernel-vs-scalar suite) and the approximate sketches
     # (each has an exact SQL-verified twin).
     return {
-        # ---- round-4 codec additions, SQL-verified (window head) ----
+        # ---- round-4 additions, SQL-verified (window head) ----
         "media_dims": _q_media_dims,
         "audio_meta": _q_audio_meta,
+        "embedding_pca_stats": _q_embedding_pca_stats,
         # ---- never-driver-checked, SQL-verified (round-4 window head) ----
         "orders_price_quantiles": _q_orders_price_quantiles,
         "events_sessions": _q_events_sessions,
@@ -3280,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
+        "embedding_pca_project": _q_embedding_pca_project,
     }
 
 
@@ -3547,6 +3619,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "media_dims": _MEDIA_DIMS_SQL,
         "audio_meta": _AUDIO_META_SQL,
+        "embedding_pca_stats": _PCA_STATS_SQL,
         "para_dedup": _para_dedup_sql(),
         "line_dedup": _line_dedup_sql(),
         "orders_price_bands": _PRICE_BANDS_SQL,

@@ -135,3 +135,87 @@ def fit_ridge(ds, dim: int, l2: float = 0.0, col: str = "embedding",
         else:
             xtx[r["i"], r["j"]] = r["sum(v)"]
     return np.linalg.solve(xtx + l2 * np.eye(dim), xty)
+
+
+def pca_stats_batch(batch: pa.Table, col: str = "embedding") -> pa.Table:
+    """Per-block sufficient statistics for PCA / whitening: (i, j, v)
+    rows of the block's X^T X, (i, -1, v) per-dimension sums, and one
+    (-1, -1, n) row-count row.
+
+    The covariance of 10^12 embeddings reduces to d^2 + d + 1 numbers
+    per block and one (i, j)-keyed sum — the same sufficient-statistic
+    shape as :func:`linear_stats_batch`, so dimensionality reduction /
+    whitening costs ONE streaming pass regardless of corpus size; the
+    (d x d) eigendecomposition happens once on the driver
+    (:func:`fit_pca`)."""
+    if batch.num_rows == 0:
+        return pa.table({"i": pa.array([], pa.int32()),
+                         "j": pa.array([], pa.int32()),
+                         "v": pa.array([], pa.float64())})
+    x = _embedding_matrix(batch, col)
+    n, d = x.shape
+    xtx = x.T @ x
+    sums = x.sum(axis=0)
+    i = np.concatenate([np.repeat(np.arange(d, dtype=np.int32), d),
+                        np.arange(d, dtype=np.int32),
+                        np.array([-1], dtype=np.int32)])
+    j = np.concatenate([np.tile(np.arange(d, dtype=np.int32), d),
+                        np.full(d, -1, dtype=np.int32),
+                        np.array([-1], dtype=np.int32)])
+    v = np.concatenate([xtx.ravel(), sums, [float(n)]])
+    return pa.table({"i": pa.array(i), "j": pa.array(j),
+                     "v": pa.array(v)})
+
+
+def fit_pca(ds, dim: int, k: int, col: str = "embedding"):
+    """Distributed PCA: sufficient statistics aggregated cluster-wide,
+    covariance + eigendecomposition on the driver.  Returns
+    (mean[d], eigenvalues[k] descending, components[k, d]) with each
+    component's sign canonicalized (largest-|weight| entry positive)
+    so the result is partitioning-independent."""
+    stats = ds.map_batches(pca_stats_batch, batch_format="pyarrow",
+                           fn_kwargs={"col": col}) \
+              .groupby(["i", "j"]).sum("v").take_all()
+    xtx = np.zeros((dim, dim), dtype=np.float64)
+    sums = np.zeros(dim, dtype=np.float64)
+    n = 0.0
+    for r in stats:
+        if r["i"] < 0:
+            n = r["sum(v)"]
+        elif r["j"] < 0:
+            sums[r["i"]] = r["sum(v)"]
+        else:
+            xtx[r["i"], r["j"]] = r["sum(v)"]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = sums / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1.0)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, w[order], comps
+
+
+def project_embeddings(ds, mean: np.ndarray, comps: np.ndarray,
+                       col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Project every row onto the fitted components: one broadcast
+    (``ray.put`` of mean+components, resolved per task) and one BLAS
+    matmul per batch — the 100-TB-safe shape for whitening /
+    dimensionality reduction."""
+    import ray
+    ref = ray.put((np.asarray(mean), np.asarray(comps)))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        m, w = ray.get(ref)
+        x = _embedding_matrix(batch, col)
+        p = (x - m) @ w.T
+        cols = {id_col: batch.column(id_col)}
+        for c in range(p.shape[1]):
+            cols[f"p{c}"] = pa.array(p[:, c])
+        return pa.table(cols)
+
+    return ds.map_batches(proj, batch_format="pyarrow")

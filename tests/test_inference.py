@@ -78,3 +78,51 @@ def test_fit_ridge_matches_closed_form(ray_session):
     want = np.linalg.solve(Xd.T @ Xd + 0.5 * np.eye(d),
                            Xd.T @ y.astype(np.float64))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_fit_pca_matches_closed_form(ray_session):
+    """Distributed sufficient-statistics PCA == numpy eigh of the same
+    covariance, independent of partitioning, with canonical signs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.stages.inference import fit_pca, project_embeddings
+
+    ray = ray_session
+    rng = np.random.RandomState(11)
+    n, d, k = 400, 6, 3
+    # anisotropic data so eigenvalues separate cleanly
+    X = rng.randn(n, d) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1]) \
+        + rng.randn(d)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array([r.tolist() for r in X.astype(np.float32)],
+                              pa.list_(pa.float32()))})
+    Xd = X.astype(np.float32).astype(np.float64)
+    want_mean = Xd.mean(axis=0)
+    cov = np.cov(Xd, rowvar=False)
+    wv, vecs = np.linalg.eigh(cov)
+    order = np.argsort(wv)[::-1][:k]
+    want_vals = wv[order]
+    want_comps = vecs[:, order].T
+    flip = np.sign(want_comps[np.arange(k),
+                              np.abs(want_comps).argmax(axis=1)])
+    want_comps = want_comps * flip[:, None]
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        mean, vals, comps = fit_pca(ds, d, k)
+        np.testing.assert_allclose(mean, want_mean, atol=1e-9)
+        np.testing.assert_allclose(vals, want_vals, atol=1e-8)
+        np.testing.assert_allclose(comps, want_comps, atol=1e-8)
+
+    # projection: orthogonal components, decreasing variance, matches
+    # the direct (X - mean) @ W^T
+    ds = ray.data.from_arrow(t).repartition(5)
+    rows = project_embeddings(ds, mean, comps).take_all()
+    got = np.array([[r[f"p{c}"] for c in range(k)]
+                    for r in sorted(rows, key=lambda r: r["vec_id"])])
+    np.testing.assert_allclose(got, (Xd - mean) @ comps.T, atol=1e-9)
+    v = got.var(axis=0, ddof=1)
+    assert v[0] > v[1] > v[2]
+    np.testing.assert_allclose(comps @ comps.T, np.eye(k), atol=1e-9)
