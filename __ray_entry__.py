@@ -3229,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dims": _q_media_dims,
         "audio_meta": _q_audio_meta,
         "embedding_pca_stats": _q_embedding_pca_stats,
+        "embedding_pca_project": _q_embedding_pca_project,
         # ---- never-driver-checked, SQL-verified (round-4 window head) ----
         "orders_price_quantiles": _q_orders_price_quantiles,
         "events_sessions": _q_events_sessions,
@@ -3351,7 +3352,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
-        "embedding_pca_project": _q_embedding_pca_project,
     }
 
 
