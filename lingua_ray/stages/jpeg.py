@@ -15,8 +15,10 @@ bits) and assemble at EOI.  :func:`decode_jpeg` keeps the cheap
 entropy-decoded to keep the bitstream in sync); :func:`decode_jpeg_pixels`
 is the FULL decode — chroma IDCT, replication upsampling to the luma
 grid, BT.601 YCbCr→RGB — returning the uint8 pixel array.
-Hierarchical, lossless, 12-bit and CMYK streams return ``None``
-— an honest boundary, not a crash.
+Extended-sequential 12-bit precision decodes too (16-bit DQT, 2048
+level shift; pixel outputs scale to the uint8 contract).
+Hierarchical, lossless and CMYK streams return ``None`` — an honest
+boundary, not a crash.
 
 Encoder (:func:`encode_jpeg`): the TEST ORACLE (the same encoder-oracle
 pattern as the GIF-LZW round-trip tests) — grayscale or YCbCr 4:4:4 /
@@ -250,14 +252,19 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 15
-                if pq != 0:
-                    return None     # 16-bit tables out of subset
-                tbl = np.frombuffer(seg[j + 1:j + 65],
-                                    dtype=np.uint8).astype(np.int64)
+                if pq == 0:         # 8-bit entries
+                    tbl = np.frombuffer(seg[j + 1:j + 65],
+                                        dtype=np.uint8).astype(np.int64)
+                    j += 65
+                elif pq == 1:       # 16-bit entries (12-bit precision)
+                    tbl = np.frombuffer(seg[j + 1:j + 129],
+                                        dtype=">u2").astype(np.int64)
+                    j += 129
+                else:
+                    return None
                 raster = np.zeros(64, dtype=np.int64)
                 raster[_ZZ] = tbl
                 qt[tq] = raster
-                j += 65
         elif m == 0xC4:             # DHT
             j = 0
             while j + 17 <= len(seg):
@@ -269,8 +276,11 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 j += 17 + nv
         elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):   # Huffman/arith SOFs
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or nc not in (1, 3) or w == 0 or h == 0:
+            if prec not in (8, 12) or nc not in (1, 3) \
+                    or w == 0 or h == 0:
                 return None
+            if prec == 12 and m == 0xC0:
+                return None         # baseline SOF0 is 8-bit only
             if w * h > 64_000_000:
                 return None         # same 64 MP guard as the PNG path —
                                     # reject before allocating coefficient
@@ -284,7 +294,7 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "qt": qt,
-                     "prog": m in (0xC2, 0xCA),
+                     "prog": m in (0xC2, 0xCA), "prec": prec,
                      "arith": m in (0xC9, 0xCA), "pixels": pixels}
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             return None             # lossless / hierarchical
@@ -343,11 +353,11 @@ def _decode_jpeg_inner(p: bytes, pixels: bool = False):
 
 
 def _idct_plane(coef: np.ndarray, q: np.ndarray, bw: int,
-                bh: int) -> np.ndarray:
+                bh: int, level: float = 128.0) -> np.ndarray:
     """Batched-matmul dequantize + 2-D IDCT: (n_blocks, 64) coefficients
     → (bh*8, bw*8) float plane, level-shifted but unclipped."""
     blocks = (coef * q).reshape(-1, 8, 8).astype(np.float64)
-    pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+    pix = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + level
     return (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                .reshape(bh * 8, bw * 8))
 
@@ -408,16 +418,19 @@ def _assemble(frame, pixels: bool):
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     qt = frame["qt"]
+    prec = frame.get("prec", 8)
+    level = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if not pixels:
         luma = comps[0]
         plane = _idct_plane(luma["coef"], qt[luma["tq"]], luma["bw"],
-                            luma["bh"])
+                            luma["bh"], level)
         yw = -(-w * luma["h"] // hmax)
         yh = -(-h * luma["v"] // vmax)
-        plane = np.clip(plane[:yh, :yw], 0.0, 255.0)
-        return w, h, float(plane.mean() / 255.0)
+        plane = np.clip(plane[:yh, :yw], 0.0, maxv)
+        return w, h, float(plane.mean() / maxv)
 
     planes = []
     for c in comps:
@@ -425,16 +438,19 @@ def _assemble(frame, pixels: bool):
             return None     # non-divisor sampling: legal per T.81 but
                             # emitted by no real encoder; upsampling
                             # would need fractional interpolation
-        plane = _idct_plane(c["coef"], qt[c["tq"]], c["bw"], c["bh"])
+        plane = _idct_plane(c["coef"], qt[c["tq"]], c["bw"], c["bh"],
+                            level)
         fx, fy = hmax // c["h"], vmax // c["v"]
         if fy > 1:
             plane = plane.repeat(fy, axis=0)
         if fx > 1:
             plane = plane.repeat(fx, axis=1)
-        planes.append(plane[:h, :w])
+        # 12-bit planes scale to the uint8 output contract
+        planes.append(plane[:h, :w] * (255.0 / maxv))
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = (planes[0], planes[1] - 128.0, planes[2] - 128.0)
+    half = 255.0 * level / maxv
+    y, cb, cr = (planes[0], planes[1] - half, planes[2] - half)
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
@@ -709,12 +725,16 @@ class _BitWriter:
             self.put(0x7F >> (7 - ((8 - self.nbits) % 8)), (-self.nbits) % 8)
 
 
-def _fixed_tables():
+def _fixed_tables(precision: int = 8):
     """Self-built canonical Huffman tables (see module docstring):
-    DC categories 0-11 at 4 bits, all 256 AC run/size symbols at 9
-    bits."""
-    dc_bits = [0, 0, 0, 12] + [0] * 12
-    dc_vals = list(range(12))
+    DC categories at 4 bits (12 of them; 16 at 5 bits for 12-bit
+    precision), all 256 AC run/size symbols at 9-10 bits."""
+    if precision == 12:
+        dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+        dc_vals = list(range(16))
+    else:
+        dc_bits = [0, 0, 0, 12] + [0] * 12
+        dc_vals = list(range(12))
     # DHT stores one count byte per code length, so 256 symbols cannot
     # share one length: 255 nine-bit codes + 1 ten-bit code (canonical,
     # and the max code is never the all-ones pattern)
@@ -761,12 +781,13 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int,
     return dc
 
 
-def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _fdct_quant(plane: np.ndarray, q: np.ndarray,
+                level: float = 128.0) -> np.ndarray:
     """plane (H,W) multiple of 8 → (n_blocks_y, n_blocks_x, 64) quantized
     coefficients (raster order within block)."""
     h, w = plane.shape
     blocks = (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-                   .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+                   .reshape(-1, 8, 8).astype(np.float64) - level)
     coef = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T).reshape(-1, 64)
     qc = np.round(coef / q).astype(np.int64)
     return qc.reshape(h // 8, w // 8, 64)
@@ -925,7 +946,7 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = False, restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, precision: int = 8) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 to baseline JPEG.
     ``subsample=True`` uses 4:2:0 chroma (multi-block interleaved MCUs);
     ``restart_interval`` emits DRI + RSTn markers every N MCUs
@@ -936,6 +957,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     and buffered correction bits."""
     img = np.asarray(img)
     gray = img.ndim == 2
+    if precision == 12 and not gray:
+        raise ValueError("12-bit oracle is grayscale-only")
+    maxv = (1 << precision) - 1
+    level = float(1 << (precision - 1))
     qy = _scaled_q(_QLUM, quality).astype(np.float64)
     qc = _scaled_q(_QCHROM, quality).astype(np.float64)
     h, w = img.shape[:2]
@@ -966,10 +991,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     mcuy = -(-h // (8 * vmax))
     coefs = []
     for pl, (sh, sv), qs in zip(planes, samp, qsel):
-        pl = _pad_to(np.clip(pl, 0, 255), mcuy * sv * 8, mcux * sh * 8)
-        coefs.append(_fdct_quant(pl, qy if qs == 0 else qc))
+        pl = _pad_to(np.clip(pl, 0, maxv), mcuy * sv * 8, mcux * sh * 8)
+        coefs.append(_fdct_quant(pl, qy if qs == 0 else qc, level))
 
-    dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes = _fixed_tables()
+    dc_bits, dc_vals, dc_codes, ac_bits, ac_vals, ac_codes = \
+        _fixed_tables(precision)
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes):
@@ -977,15 +1003,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out.extend(struct.pack(">H", len(body) + 2))
         out.extend(body)
 
-    seg(0xDB, bytes([0x00]) +
-        _scaled_q(_QLUM, quality)[_ZZ].astype(np.uint8).tobytes())
+    if precision == 12:
+        # Pq=1: 16-bit table entries, exercising the wide DQT parse
+        seg(0xDB, bytes([0x10]) +
+            _scaled_q(_QLUM, quality)[_ZZ].astype(">u2").tobytes())
+    else:
+        seg(0xDB, bytes([0x00]) +
+            _scaled_q(_QLUM, quality)[_ZZ].astype(np.uint8).tobytes())
     if not gray:
         seg(0xDB, bytes([0x01]) +
             _scaled_q(_QCHROM, quality)[_ZZ].astype(np.uint8).tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", precision, h, w, len(planes))
     for c, (sh, sv) in enumerate(samp):
         sof += bytes([c + 1, (sh << 4) | sv, qsel[c]])
-    seg(0xC2 if progressive else 0xC0, sof)
+    seg(0xC2 if progressive else (0xC1 if precision == 12 else 0xC0),
+        sof)
     for tc_th, (bits, vals) in ((0x00, (dc_bits, dc_vals)),
                                 (0x10, (ac_bits, ac_vals))):
         seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))

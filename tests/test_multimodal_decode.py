@@ -2068,3 +2068,30 @@ def test_audio_meta_aiff_au_and_featurizer():
     ref = float(np.sqrt(np.mean((s / 32768.0) ** 2)))
     for rms in feat.column("rms").to_pylist():
         assert abs(rms - ref) < 1e-9
+
+
+def test_jpeg_12bit_precision():
+    """Extended-sequential 12-bit (SOF1, Pq=1 DQT, 2048 level shift):
+    mean-luma is precision-normalized and the uint8 pixel contract
+    scales from the 12-bit range."""
+    from lingua_ray.stages.jpeg import (decode_jpeg, decode_jpeg_pixels,
+                                        encode_jpeg)
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 4096, (16, 16)).astype(np.uint16)
+    p = encode_jpeg(img, quality=95, precision=12)
+    w, h, luma = decode_jpeg(p)
+    assert (w, h) == (16, 16)
+    assert abs(luma - float(img.mean()) / 4095.0) < 1e-3
+    # smooth ramps survive quantization: scaled pixels within 1 LSB
+    smooth = (np.add.outer(np.arange(24), np.arange(24)) * 80) \
+        .astype(np.uint16)
+    px = decode_jpeg_pixels(encode_jpeg(smooth, quality=95, precision=12))
+    want = np.round(smooth.astype(np.float64) * 255 / 4095)
+    assert np.abs(px.astype(np.float64) - want).max() <= 1.0
+    # 12-bit with baseline SOF0 is malformed -> None
+    bad = bytearray(encode_jpeg(img, precision=12))
+    bad[bad.find(b"\xff\xc1") + 1] = 0xC0
+    assert decode_jpeg(bytes(bad)) is None
+    # 8-bit paths still reject precision-12-only features gracefully
+    assert encode_jpeg(img.astype(np.uint8) >> 0, quality=85) is not None
