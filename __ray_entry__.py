@@ -1988,7 +1988,7 @@ def _q_doc_dup_ngrams(sf_dir: str):
     return ds.map_batches(frac, batch_format="pyarrow")
 
 
-def _substring_dedup_impl(sf_dir: str, stride: int):
+def _substring_dedup_impl(sf_dir: str, stride: int, winnow: int = 0):
     """Cross-document substring-level duplication (training-data span
     dedup): per document, how many of its 40-char window OCCURRENCES
     also appear in at least one OTHER document, plus the round-6 shared
@@ -2009,17 +2009,25 @@ def _substring_dedup_impl(sf_dir: str, stride: int):
     window start (deterministic, position-based, SQL-expressible — see
     window_hashes_batch), cutting the window table S× and guaranteeing
     detection of shared spans ≥ K + S - 1 chars; only the combiner
-    changes, every exchange downstream is identical."""
+    changes, every exchange downstream is identical.  ``winnow=w``
+    (overrides stride) instead selects the content-determined winnowing
+    fingerprints (see winnow_hashes_batch) — the same ~w/2× reduction
+    but shift-robust: spans ≥ K + w - 1 are detected regardless of
+    their alignment, where stride needs matching phase."""
     import ray
     import pyarrow.compute as pc
-    from lingua_ray.stages.dedup import window_hashes_batch
+    from lingua_ray.stages.dedup import (window_hashes_batch,
+                                         winnow_hashes_batch)
 
     K = 40
 
     def pairs(batch: pa.Table) -> pa.Table:
         batch = _pd_plant(batch)
         t = pc.fill_null(batch.column("text"), "")
-        h, offs = window_hashes_batch(t, K, stride=stride)
+        if winnow:
+            h, offs = winnow_hashes_batch(t, K, winnow)
+        else:
+            h, offs = window_hashes_batch(t, K, stride=stride)
         n_w = np.diff(offs)
         doc = np.repeat(batch.column("doc_id").to_numpy(), n_w)
         tbl = pa.table({"doc_id": pa.array(doc),
@@ -2045,7 +2053,8 @@ def _substring_dedup_impl(sf_dir: str, stride: int):
     # two consumers below — spill once instead of recomputing the window
     # pass per consumer or pinning an O(corpus-chars) table in the object
     # store (path lifecycle documented in stages/spill.py).
-    agg = spill(agg, f"subdedup-pairs-s{stride}", Path(sf_dir).name)
+    tag = f"subdedup-pairs-w{winnow}" if winnow else f"subdedup-pairs-s{stride}"
+    agg = spill(agg, tag, Path(sf_dir).name)
 
     def flag_shared(t: pa.Table) -> pa.Table:
         keep = t.filter(pc.greater_equal(t.column("count()"), 2))
@@ -2142,6 +2151,83 @@ def _q_substring_dedup_sampled(sf_dir: str):
     position-based sampling, so the oracle samples the same windows in
     SQL.  [SQL-verified]"""
     return _substring_dedup_impl(sf_dir, stride=_SUBSTR_STRIDE)
+
+
+# Winnowing window width: spans >= 40 + 8 - 1 = 47 chars are always
+# detected; expected selection density 2/(w+1) ~ 0.22 of the census.
+_WINNOW_W = 8
+
+
+def _q_substring_dedup_winnowed(sf_dir: str):
+    """Winnowed cross-document substring dedup (Schleimer/Wilkerson/Aiken
+    SIGMOD'03) — the shift-ROBUST 100-TB scale path: from every run of 8
+    consecutive 40-char window starts, keep the rightmost-minimal-hash
+    window.  Selection is content-determined, so any shared span ≥ 47
+    chars selects at least one identical fingerprint in BOTH documents
+    regardless of alignment — stride sampling (substring_dedup_sampled)
+    only guarantees that when the shared span covers a sampled phase in
+    each.  ~4.5× fewer emitted windows than the exact census; the plan
+    downstream of the combiner is byte-identical.  [SQL-verified — the
+    oracle recomputes the mod-(2^31-1) selection hash and the same
+    combined rightmost-min key with a SQL window function, so it selects
+    exactly the same windows, then compares the substrings themselves]"""
+    return _substring_dedup_impl(sf_dir, stride=1, winnow=_WINNOW_W)
+
+
+def _substring_dedup_winnow_sql(w: int) -> str:
+    """DuckDB oracle for the winnowed variant: same _pd_plant prep, then
+    per-gram selection hash sum(codepoint_j * 31^(40-j)) mod 2^31-1 (the
+    BIGINT products stay < 2^56), combined key h*2^32 + (2^32-1-i), and a
+    forward ROWS window min per doc — the rightmost-min winnowing choice.
+    Selected grams then flow through the same shared-count plan as the
+    stride oracle, comparing substrings (not hashes) across docs."""
+    from lingua_ray.stages.dedup import WINNOW_BASE, WINNOW_MOD
+    K, M, C = 40, WINNOW_MOD, 1 << 32
+    plist = "[" + ",".join(
+        f"CAST({pow(WINNOW_BASE, K - j, M)} AS BIGINT)"
+        for j in range(1, K + 1)) + "]"
+    return f"""
+            WITH prepped AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN coalesce(text, '') || chr(10) || '{_PD_B1}'
+                     ELSE coalesce(text, '') END
+                || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_PD_B2}'
+                        ELSE '' END AS text
+              FROM documents),
+            g AS (
+              SELECT doc_id, i, substring(text, CAST(i AS INT), {K}) AS g
+              FROM prepped,
+                   unnest(generate_series(1, length(text) - {K - 1}))
+                     AS u(i)),
+            k AS (
+              SELECT doc_id, i, g,
+                (list_sum(list_transform(range(1, {K + 1}),
+                   j -> CAST(unicode(substring(g, CAST(j AS INT), 1))
+                             AS BIGINT) * {plist}[j])) % {M})
+                  * {C} + ({C - 1} - i) AS key
+              FROM g),
+            m AS (
+              SELECT doc_id, i, g,
+                min(key) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn
+              FROM k),
+            sel AS (
+              SELECT DISTINCT doc_id, {C - 1} - (mn % {C}) AS pos FROM m),
+            w AS (
+              SELECT m.doc_id, m.g
+              FROM m JOIN sel ON m.doc_id = sel.doc_id AND m.i = sel.pos),
+            c AS (SELECT g, count(DISTINCT doc_id) AS nd FROM w GROUP BY g),
+            per AS (
+              SELECT w.doc_id,
+                CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shared
+              FROM w JOIN c ON w.g = c.g GROUP BY w.doc_id)
+            SELECT doc_id, n_windows, n_shared,
+              round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+            FROM per
+        """
 
 
 def _q_bpe_train(sf_dir: str):
@@ -3244,13 +3330,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounded window (50/round) from the front, so queries that have never
     # received a driver-green row are listed first — SQL-verified ones
     # (strongest check) ahead of rows-only ones — and the queries already
-    # hash-green in rounds 1-3 follow.  The round-4 window holds 47
+    # hash-green in rounds 1-3 follow.  The round-4 window holds 48
     # never-checked entries; with it, the cross-round driver-verified
-    # union covers ALL registered queries except distinct_words_by_lang_hll
-    # (pushed to slot 51 by the late-round BPE additions; its EXACT
-    # SQL-verified twin distinct_words_by_lang sits in the window head and
-    # its sketch error bound is pytest-gated).  Round 5 should lead with it
-    # plus the stalest r01-era greens.  Rows-only queries are the
+    # union covers ALL registered queries except the two HLL sketches
+    # (distinct_words_hll / distinct_words_by_lang_hll, pushed to slots
+    # 51-52 by the late-round BPE + winnowing additions; their EXACT
+    # SQL-verified twins distinct_words_exact / distinct_words_by_lang sit
+    # in the window head and the sketch error bound is pytest-gated).
+    # Round 5 should lead with them plus the stalest r01-era greens.  Rows-only queries are the
     # langid/model family (not SQL-expressible; gated by the pytest
     # kernel-vs-scalar suite) and the approximate sketches (each has an
     # exact SQL-verified twin).
@@ -3298,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         # ---- new in round 4, SQL-verified ----
         "substring_dedup_sampled": _q_substring_dedup_sampled,
+        "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
         "bpe_train": _q_bpe_train,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -3736,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_dedup": _conv_dedup_sql(),
         "substring_dedup": _substring_dedup_sql(1),
         "substring_dedup_sampled": _substring_dedup_sql(_SUBSTR_STRIDE),
+        "substring_dedup_winnowed": _substring_dedup_winnow_sql(_WINNOW_W),
         "orders_price_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n_orders,
               CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT),

@@ -122,6 +122,81 @@ def window_hashes_batch(texts, k: int,
     return h[widx], out_offs
 
 
+# Winnowing selection hash: polynomial base-31 over codepoints mod the
+# Mersenne prime 2^31-1 — chosen because DuckDB can evaluate the identical
+# sum in BIGINT arithmetic (codepoint * 31^(k-j) products stay < 2^56), so
+# the oracle selects byte-for-byte the same fingerprints.
+WINNOW_MOD = 2147483647
+WINNOW_BASE = 31
+_POS_C = 1 << 32  # position field width in the combined (hash, pos) key
+
+
+def winnow_hashes_batch(texts, k: int,
+                        w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing-sampled k-codepoint window hashes per row (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): from every run of ``w`` consecutive
+    window starts, select the window with the minimal selection hash,
+    breaking ties toward the RIGHTMOST position.  Selection depends only
+    on window *content* (plus in-window relative order), so two documents
+    sharing any span of length >= k + w - 1 are guaranteed to select at
+    least one identical window — the shift-robust guarantee stride
+    sampling lacks — while emitting ~2/(w+1) of the stride-1 census.
+
+    Same ``(hashes uint64, offsets int64)`` contract as
+    :func:`window_hashes_batch`; the emitted identity hashes are the same
+    64-bit Horner hashes, so downstream dedup plans are interchangeable.
+    The rightmost-min tie-break is encoded in one int64 key per window,
+    ``h31 * 2^32 + (2^32 - 1 - i)`` (i = 1-based in-row position), whose
+    plain ``min`` over each forward window of ``w`` keys IS the winnowing
+    choice — the identical expression a SQL window function computes, so
+    the DuckDB oracle reproduces the selection exactly.
+    """
+    from ..textprep import encode_texts
+    cps, offs = encode_texts(texts)
+    lens = np.diff(offs)
+    n_full = np.maximum(lens - k + 1, 0)
+    tot = int(n_full.sum())
+    n_rows = len(n_full)
+    if tot == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_rows + 1, np.int64)
+    # selection hash (mod-M Horner; 31*M + codepoint < 2^37, no overflow)
+    s = cps.astype(np.int64) % WINNOW_MOD
+    for kk in range(2, k + 1):
+        s = (s[: len(cps) - kk + 1] * WINNOW_BASE + cps[kk - 1:]) % WINNOW_MOD
+    # identity hash (same recurrence as window_hashes_batch)
+    u = cps.astype(np.uint64)
+    h = u
+    for kk in range(2, k + 1):
+        h = h[: len(u) - kk + 1] * HASH_MULT + u[kk - 1:]
+    in_offs = np.concatenate([[0], np.cumsum(n_full)]).astype(np.int64)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(in_offs[:-1], n_full)
+    widx = np.repeat(offs[:-1], n_full) + within
+    keys = s[widx] * _POS_C + (_POS_C - 1 - (within + 1))
+    # forward sliding-window min with per-row MAX padding: w-1 pad slots
+    # after each row's keys mean a window starting at any key position
+    # never reads a neighbouring row, and tail windows shrink naturally.
+    pad_lens = np.where(n_full > 0, n_full + (w - 1), 0)
+    pofs = np.concatenate([[0], np.cumsum(pad_lens)]).astype(np.int64)
+    padded = np.full(int(pofs[-1]), np.iinfo(np.int64).max, dtype=np.int64)
+    dest = np.repeat(pofs[:-1], n_full) + within
+    padded[dest] = keys
+    mins = keys.copy()
+    for d in range(1, w):  # w gathers instead of a (tot, w) window copy
+        np.minimum(mins, padded[dest + d], out=mins)
+    # a position minimal for several overlapping windows yields a RUN of
+    # equal mins (keys are unique within a row — the pos field disambiguates
+    # hash collisions), so consecutive-dedup per row is exact.
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), n_full)
+    keep = np.ones(tot, dtype=bool)
+    keep[1:] = (mins[1:] != mins[:-1]) | (row[1:] != row[:-1])
+    sel_row = row[keep]
+    sel_i = _POS_C - 1 - (mins[keep] % _POS_C)  # 1-based in-row position
+    g = offs[:-1][sel_row] + sel_i - 1
+    counts = np.bincount(sel_row, minlength=n_rows)
+    out_offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return h[g], out_offs
+
+
 def _mix(h: np.ndarray) -> np.ndarray:
     h = (h ^ (h >> np.uint64(30))) * _MIX
     return h ^ (h >> np.uint64(27))

@@ -519,6 +519,79 @@ def test_window_hashes_batch_stride_sampling():
         assert (sampled == exact[::s]).all()
 
 
+def _scalar_winnow(t: str, k: int, w: int) -> list[int]:
+    """Independent scalar oracle for winnow_hashes_batch: python-int
+    polynomial hashes, explicit per-window min with rightmost tie-break,
+    64-bit identity hashes at the selected positions."""
+    from lingua_ray.models import HASH_MULT
+    from lingua_ray.stages.dedup import WINNOW_BASE, WINNOW_MOD
+
+    n = len(t) - k + 1
+    if n <= 0:
+        return []
+    h31 = []
+    for i in range(n):
+        v = 0
+        for c in t[i:i + k]:
+            v = (v * WINNOW_BASE + ord(c)) % WINNOW_MOD
+        h31.append(v)
+    c32 = 1 << 32
+    keys = [h31[i] * c32 + (c32 - 1 - (i + 1)) for i in range(n)]
+    sel = {(c32 - 1 - (min(keys[j:j + w]) % c32)) for j in range(n)}
+    out = []
+    for i in sorted(sel):
+        v = 0
+        for ch in t[i - 1:i - 1 + k]:
+            v = (v * int(HASH_MULT) + ord(ch)) % (1 << 64)
+        out.append(v)
+    return out
+
+
+def test_winnow_hashes_batch_vs_scalar():
+    """Kernel-vs-scalar: the vectorized winnowing selection (combined
+    rightmost-min key, per-row shrinking tail windows, consecutive-min
+    dedup) matches an explicit per-window scalar implementation on
+    periodic, degenerate, multibyte, short/exact/boundary-length rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lingua_ray.stages.dedup import winnow_hashes_batch
+
+    k, w = 40, 8
+    texts = ["abcdefghij" * 20, "the quick brown fox " * 15,
+             "aaaaaaaaaa" * 12, "short under forty chars", "x" * 40,
+             "x" * 46, "", None,
+             "日本語のテキストが混ざる long mixed content " * 3]
+    h, offs = winnow_hashes_batch(
+        pa.chunked_array([pa.array(texts, type=pa.string())]), k, w)
+    for r, t in enumerate(texts):
+        got = sorted(h[offs[r]:offs[r + 1]].tolist())
+        want = sorted(_scalar_winnow(t or "", k, w))
+        assert got == want, f"row {r}"
+
+
+def test_winnow_shift_robust_guarantee():
+    """The winnowing guarantee the stride sampler lacks: ANY shared span
+    of >= k + w - 1 chars selects at least one identical fingerprint in
+    both documents, for EVERY alignment of the span (stride-S only
+    detects spans whose sampled phases line up)."""
+    import pyarrow as pa
+
+    from lingua_ray.stages.dedup import winnow_hashes_batch
+
+    k, w = 40, 8
+    rng_pad = "qwertyuiopasdfghjklzxcvbnm0123456789"
+    span = ("SHARED-BOILERPLATE-" * 4)[:k + w - 1]   # exactly 47 chars
+    a = "left context padding " * 3 + span + " right side"
+    for shift in range(1, 2 * w + 3):
+        b = rng_pad[:shift] + span + " unrelated tail content"
+        h, offs = winnow_hashes_batch(
+            pa.chunked_array([pa.array([a, b])]), k, w)
+        ha = set(h[offs[0]:offs[1]].tolist())
+        hb = set(h[offs[1]:offs[2]].tolist())
+        assert ha & hb, f"shift {shift}: no common fingerprint"
+
+
 def test_spill_stale_pid_sweep(tmp_path, monkeypatch):
     """sweep_stale removes sibling spill dirs owned by dead pids, keeps
     this process's dir and unrelated tags; spill_path reserves a clean

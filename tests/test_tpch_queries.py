@@ -44,6 +44,7 @@ def oracle_con():
                                   "lineitem_revenue_filter",
                                   "weighted_sample", "embedding_inference",
                                   "gopher_filter", "substring_dedup",
+                                  "substring_dedup_winnowed",
                                   "dedup_indexed"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
