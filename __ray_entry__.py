@@ -2136,8 +2136,9 @@ def _q_substring_dedup(sf_dir: str):
     """Exact (stride-1) cross-document substring dedup — every 40-char
     window occurrence censused.  Right for ≤ TB inputs; at 100 TB the
     window table is O(corpus chars), so production runs use the sampled
-    variant `substring_dedup_sampled` below (identical plan, stride-S
-    combiner).  [SQL-verified — DuckDB compares the substrings
+    variants below — `substring_dedup_sampled` (stride-S combiner) or
+    the shift-robust `substring_dedup_winnowed` (winnowing combiner);
+    both keep this plan byte-identical downstream.  [SQL-verified — DuckDB compares the substrings
     themselves; identical as long as the 64-bit window hash is
     collision-free on the input, which the driver compare would catch]"""
     return _substring_dedup_impl(sf_dir, stride=1)

@@ -140,10 +140,12 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # late-round-3 transcript-table operators
                      "transcript_scrub", "transcript_conv_stats",
                      "conv_dedup", "turn_dedup", "substring_dedup",
-                     # round-4 operators: the stride-7 scale path for
-                     # substring dedup (same plan, ~7x smaller window
-                     # table), plus the skew-bounded adjacency queries
-                     "substring_dedup_sampled", "transcript_turn_gaps",
+                     # round-4 operators: the two sampled scale paths for
+                     # substring dedup (stride-7 and shift-robust
+                     # winnowing; same plan, ~5-7x smaller window table),
+                     # plus the skew-bounded adjacency queries
+                     "substring_dedup_sampled", "substring_dedup_winnowed",
+                     "transcript_turn_gaps",
                      "transcript_role_transitions", "inverted_index"]
     qs = E.queries()
     import ray
