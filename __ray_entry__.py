@@ -1666,6 +1666,39 @@ def _q_embedding_kmeans_sizes(sf_dir: str):
         {"count()": "n_vectors"})
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication over the embedding table: deterministic spherical
+    k-means on a bounded sample, whole-corpus centroid assignment inside
+    map_batches (centroids broadcast via ray.put, fetched once per
+    actor), then per-cluster duplicate components (cosine >= 0.95 edges,
+    union-find) with ONE keeper per component — the member least similar
+    to its cluster centroid, the paper's keep-the-least-prototypical
+    rule.  The k-means pass is what bounds the quadratic pairing: work
+    is O(n²/k) per cluster, and oversize clusters degrade to bounded
+    sub-bucketed pairing (see semdedup_group).  At 100 TB: n_list scales
+    with corpus size (constant expected cluster size), assignment is one
+    streaming matmul pass, and only (id, list_id) pairs ride the single
+    groupby exchange — embeddings stay in their cluster's blocks.
+    [rows-only: k-means + float cosine components are not
+    SQL-expressible; planted-pair + partitioning-invariance pytest in
+    test_dedup_ann.py]"""
+    import ray
+    from lingua_ray.stages.ann import (IvfAssigner, _embedding_matrix,
+                                       semdedup_group, spherical_kmeans)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = _embedding_matrix(
+        ds.limit(4096).take_batch(4096, batch_format="pyarrow"))
+    c = spherical_kmeans(sample, n_list=16)
+    assigned = ds.map_batches(
+        IvfAssigner, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"centroids": ray.put(c)})
+    out = assigned.groupby("list_id").map_groups(
+        semdedup_group, batch_format="pyarrow",
+        fn_kwargs={"threshold": 0.95, "centroids": c})
+    return out.sort("vec_id")
+
+
 def _q_langid_documents_lowacc(sf_dir: str):
     """Language-ID in low-accuracy (trigram-only) mode.  [rows-only]"""
     from lingua_ray.models import ensure_models
@@ -3333,12 +3366,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (strongest check) ahead of rows-only ones — and the queries already
     # hash-green in rounds 1-3 follow.  The round-4 window holds 48
     # never-checked entries; with it, the cross-round driver-verified
-    # union covers ALL registered queries except the two HLL sketches
-    # (distinct_words_hll / distinct_words_by_lang_hll, pushed to slots
-    # 51-52 by the late-round BPE + winnowing additions; their EXACT
-    # SQL-verified twins distinct_words_exact / distinct_words_by_lang sit
-    # in the window head and the sketch error bound is pytest-gated).
-    # Round 5 should lead with them plus the stalest r01-era greens.  Rows-only queries are the
+    # union covers ALL registered queries except three late-round-4
+    # additions at slots 51-53: the two HLL sketches (distinct_words_hll /
+    # distinct_words_by_lang_hll — their EXACT SQL-verified twins
+    # distinct_words_exact / distinct_words_by_lang sit in the window head
+    # and the sketch error bound is pytest-gated) and semantic_dedup
+    # (rows-only; planted-pair pytest).  Round 5 should lead with those
+    # three plus the stalest r01-era greens.  Rows-only queries are the
     # langid/model family (not SQL-expressible; gated by the pytest
     # kernel-vs-scalar suite) and the approximate sketches (each has an
     # exact SQL-verified twin).
@@ -3399,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_persisted": _q_knn_ivf_persisted,
         "distinct_words_hll": _q_distinct_words_hll,
         "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
+        "semantic_dedup": _q_semantic_dedup,
         # ---- driver-green in rounds 1-3, SQL-verified ----
         "conversations_assembled": _q_conversations_assembled,
         "transcript_scrub": _q_transcript_scrub,

@@ -451,3 +451,103 @@ def ivf_query_index(index_dir: str, query: np.ndarray, k: int = 10,
     df = dd.groupby("query_id", sort=True).head(k)
     return pa.Table.from_pandas(df[[c_ for c_ in t.column_names]],
                                 preserve_index=False)
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+def semdedup_group(batch: pa.Table, threshold: float = 0.95,
+                   id_col: str = "vec_id", col: str = "embedding",
+                   centroids: np.ndarray | None = None,
+                   all_pairs_cap: int = 4096) -> pa.Table:
+    """Semantic dedup inside ONE k-means cluster (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): pairwise cosine >= threshold within the
+    cluster defines duplicate edges; connected components are semantic-
+    duplicate groups; each group KEEPS exactly one member — the one with
+    the LOWEST cosine to the cluster centroid (the paper's choice: keep
+    the least prototypical example), ties broken toward the lowest id.
+
+    The cluster bounds the quadratic cost (the whole point of the
+    clustering pass): clusters up to ``all_pairs_cap`` members get the
+    exact all-pairs check; a larger cluster is deterministically
+    sub-bucketed by one sign-LSH band (seeded by its list_id) and paired
+    exactly within each sub-bucket — the same bounded-work degradation
+    the banded-LSH near-dup stage uses, trading recall on oversize
+    clusters for a hard per-task bound.  At scale, size ``n_list`` so the
+    expected cluster is far below the cap and this path never triggers.
+    """
+    n = batch.num_rows
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "list_id": pa.array([], pa.int32()),
+        "group_id": pa.array([], pa.int64()),
+        "group_size": pa.array([], pa.int64()),
+        "cent_cos": pa.array([], pa.float64()),
+        "keep": pa.array([], pa.bool_()),
+    })
+    if n == 0:
+        return empty
+    ids = batch.column(id_col).to_numpy()
+    list_id = int(batch.column("list_id")[0].as_py())
+    m = _normalize(_embedding_matrix(batch, col))
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    cent = (m @ centroids[list_id]
+            if centroids is not None else np.zeros(n))
+    # duplicate edges (as local indices into the sorted-order arrays)
+    if n <= all_pairs_cap:
+        sims = m @ m.T
+        iu = np.triu_indices(n, k=1)
+        hit = sims[iu] >= threshold
+        ea, eb = iu[0][hit], iu[1][hit]
+    else:
+        sub_bits = max(1, int(np.ceil(np.log2(n / all_pairs_cap))) + 1)
+        planes = hyperplanes(m.shape[1], sub_bits)  # deterministic seed
+        w = (1 << np.arange(sub_bits, dtype=np.int64))
+        bucket = ((m @ planes.T) > 0).astype(np.int64) @ w
+        ea_l, eb_l = [], []
+        for b in np.unique(bucket):
+            loc = np.flatnonzero(bucket == b)
+            if len(loc) < 2:
+                continue
+            sims = m[loc] @ m[loc].T
+            iu = np.triu_indices(len(loc), k=1)
+            hit = sims[iu] >= threshold
+            ea_l.append(loc[iu[0][hit]])
+            eb_l.append(loc[iu[1][hit]])
+        ea = np.concatenate(ea_l) if ea_l else np.zeros(0, np.int64)
+        eb = np.concatenate(eb_l) if eb_l else np.zeros(0, np.int64)
+    # union-find over the (bounded) edge list
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(ea.tolist(), eb.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    root = np.array([find(i) for i in range(n)], dtype=np.int64)
+    group_id = ids[root]
+    # keep = the member with the lowest centroid cosine in its component
+    # (ids ascending within equal cent_cos — argsort is stable, so the
+    # first hit per root is the lowest-id among minimal-cos members)
+    ord2 = np.lexsort((ids, cent))
+    first = np.zeros(n, dtype=bool)
+    seen: set[int] = set()
+    for i in ord2.tolist():
+        r = int(root[i])
+        if r not in seen:
+            seen.add(r)
+            first[i] = True
+    sizes = np.bincount(root, minlength=n)[root]
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "list_id": pa.array(np.full(n, list_id), pa.int32()),
+        "group_id": pa.array(group_id, pa.int64()),
+        "group_size": pa.array(sizes.astype(np.int64), pa.int64()),
+        "cent_cos": pa.array(cent.astype(np.float64), pa.float64()),
+        "keep": pa.array(first, pa.bool_()),
+    })

@@ -610,3 +610,83 @@ def test_spill_stale_pid_sweep(tmp_path, monkeypatch):
     assert path == live and os.path.isdir(live)
     assert not os.path.exists(dead)      # dead pid swept
     assert os.path.isdir(other)          # other tags untouched
+
+
+def _semdedup_table(vs, list_ids, ids=None):
+    t = _vec_table(vs, ids)
+    return t.append_column("list_id",
+                           pa.array(np.asarray(list_ids), pa.int32()))
+
+
+def test_semdedup_group_components_and_keep_rule():
+    """Within one cluster: cosine>=threshold edges form components, each
+    component keeps exactly one member — the one with the LOWEST cosine
+    to the centroid (least-prototypical keep rule), ties to lowest id."""
+    from lingua_ray.stages.ann import semdedup_group
+    e = np.eye(8)
+    th = np.arccos(0.97)
+    # component A: vectors 0,1,2 mutually ~0.97+ similar around e0
+    a0 = e[0]
+    a1 = np.cos(th) * e[0] + np.sin(th) * e[1]
+    a2 = np.cos(th) * e[0] + np.sin(th) * e[2]
+    # component B: 3,4 similar around e3; singleton: 5 orthogonal
+    b0 = e[3]
+    b1 = np.cos(th) * e[3] + np.sin(th) * e[4]
+    solo = e[5]
+    cent = np.stack([e[0]])  # cluster 0 centroid = e0
+    t = _semdedup_table([a0, a1, a2, b0, b1, solo], [0] * 6)
+    out = semdedup_group(t, threshold=0.95, centroids=cent)
+    got = {r["vec_id"]: r for r in out.to_pylist()}
+    assert {v["group_id"] for v in got.values()} == {0, 3, 5}
+    assert [got[i]["group_size"] for i in range(6)] == [3, 3, 3, 2, 2, 1]
+    # keep rule: comp A keeps the lowest-cent_cos member.  a1/a2 have
+    # cent_cos 0.97 < a0's 1.0 and tie exactly -> lowest id (1) kept.
+    keeps = {i for i, v in got.items() if v["keep"]}
+    assert 1 in keeps and 0 not in keeps and 2 not in keeps
+    # comp B: both members are orthogonal to centroid e0 (cent_cos 0),
+    # tie -> lowest id 3; singleton always kept
+    assert keeps == {1, 3, 5}
+
+
+def test_semdedup_group_oversize_cluster_bounded_path():
+    """Clusters beyond all_pairs_cap take the sub-bucketed path: still one
+    keeper per found component, exact duplicates always collapse (same
+    vector -> same sign bucket), output covers every member once."""
+    from lingua_ray.stages.ann import semdedup_group
+    rng = np.random.RandomState(11)
+    vs = rng.standard_normal((120, 16))
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+    dup = np.concatenate([vs, vs[:7]])           # ids 120..126 exact dups
+    cent = vs[:1]
+    t = _semdedup_table(dup, [0] * len(dup))
+    out = semdedup_group(t, threshold=0.95, centroids=cent,
+                         all_pairs_cap=32)
+    rows = {r["vec_id"]: r for r in out.to_pylist()}
+    assert len(rows) == 127
+    for i in range(7):
+        assert rows[120 + i]["group_id"] == rows[i]["group_id"]
+        assert rows[i]["keep"] != rows[120 + i]["keep"]  # exactly one kept
+    n_keep = sum(r["keep"] for r in rows.values())
+    assert n_keep == len({r["group_id"] for r in rows.values()})
+
+
+def test_semantic_dedup_query_partitioning_invariant(ray_session):
+    """The registered semantic_dedup query finds planted semantic dups on
+    the real embeddings table and its output is independent of input
+    block structure (override_num_blocks via repartition upstream would
+    be invisible: we just re-run and compare, and check planted rows)."""
+    import __ray_entry__ as E
+    import pyarrow.parquet as pq
+    n_vec = pq.read_metadata(
+        "/root/testdata/sf0.001/embeddings.parquet").num_rows
+    out = E.queries()["semantic_dedup"]("/root/testdata/sf0.001")
+    t = out.take_all()
+    assert len(t) == n_vec               # exactly one row per embedding
+    by_group: dict[int, list] = {}
+    for r in t:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for g, members in by_group.items():
+        assert sum(m["keep"] for m in members) == 1
+        assert all(m["group_size"] == len(members) for m in members)
+    t2 = E.queries()["semantic_dedup"]("/root/testdata/sf0.001").take_all()
+    assert t == t2
