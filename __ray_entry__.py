@@ -347,6 +347,148 @@ def _q_conv_dedup(sf_dir: str):
         {"min(conv_id)": "conv_id"}).select_columns(["conv_id"])
 
 
+def _q_transcript_tool_chains(sf_dir: str):
+    """Consecutive tool→tool invocation chains: global counts of (prev
+    tool, tool) over DIRECTLY adjacent turn pairs where both turns are
+    tool calls — the agent-behavior signal (which tools chain into which)
+    a transcript-analytics pass extracts.  Same skew-bounded adjacency
+    primitive as role_transitions (no group exceeds _TURN_BUCKET+1 turns
+    regardless of conversation size), then a per-block partial count and
+    a tiny (prev_tool, tool) groupby.  [SQL-verified — LAG OVER
+    (PARTITION BY conv_id ORDER BY turn_idx) filtered to both-non-empty]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.adjacency import adjacent_pairs
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "tool"])
+    pairs = adjacent_pairs(ds, "conv_id", "turn_idx", ["tool"],
+                           bucket_size=_TURN_BUCKET)
+
+    def part(batch: pa.Table) -> pa.Table:
+        prev_t = pc.fill_null(batch.column("prev_tool"), "")
+        t = pc.fill_null(batch.column("tool"), "")
+        mask = pc.and_(pc.not_equal(prev_t, ""), pc.not_equal(t, ""))
+        f = batch.filter(mask)
+        tbl = pa.table({"prev_tool": f.column("prev_tool"),
+                        "tool": f.column("tool"),
+                        "n": pa.array(np.ones(f.num_rows, dtype=np.int64))})
+        return tbl.group_by(["prev_tool", "tool"]).aggregate(
+            [("n", "sum")]).rename_columns(["prev_tool", "tool", "n"])
+
+    return pairs.map_batches(part, batch_format="pyarrow") \
+        .groupby(["prev_tool", "tool"]).sum("n") \
+        .rename_columns({"sum(n)": "n"})
+
+
+def _q_conv_context_truncate(sf_dir: str):
+    """Per-conversation context-budget truncation — the training-prep
+    step that keeps each conversation's leading turns while the running
+    character total stays within the context budget (2000 chars here).
+    Running totals via the skew-bounded prefix-sum primitive
+    (stages/adjacency.py::bounded_cumsum): per-block (conv, bucket)
+    partial sums → per-conv bucket-offset prefix (~n/_TURN_BUCKET rows
+    per conv) → one (conv, bucket)-keyed groupby adds offset + local
+    cumsum, with max_total pruning so buckets past the budget do no
+    per-group work — a mega-conversation's tail never costs anything
+    beyond its shuffle ride.  [SQL-verified — SUM(length) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+    <= budget]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.adjacency import bounded_cumsum
+
+    BUDGET = 2000
+
+    def chars(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.utf8_length(pc.fill_null(batch.column("text"), "")),
+                    pa.int64())
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "turn_idx": batch.column("turn_idx"),
+                         "val": c})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    cum = bounded_cumsum(ds.map_batches(chars, batch_format="pyarrow"),
+                         "conv_id", "turn_idx", "val",
+                         bucket_size=_TURN_BUCKET, max_total=BUDGET)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less_equal(batch.column("cum"), BUDGET))
+        return pa.table({"conv_id": f.column("conv_id"),
+                         "turn_idx": f.column("turn_idx"),
+                         "cum_chars": f.column("cum")})
+
+    return cum.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_conv_role_balance(sf_dir: str):
+    """Conversation-level role-balance filter: keep conversations with at
+    least one user and one assistant turn whose user-turn share lies in
+    [0.2, 0.8] — a transcript QA gate against degenerate monologues and
+    runaway agent loops.  Per-block per-conv partials (the conv_stats
+    combiner pattern: a mega-conversation contributes one partial row per
+    block) → one conv-keyed groupby of tiny rows → integer-only HAVING
+    (5*n_user within [n_turns, 4*n_turns]) so no float ratio rides the
+    compare.  [SQL-verified — GROUP BY conv_id HAVING]"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        user = pc.cast(pc.equal(batch.column("role"), "user"), pa.int64())
+        asst = pc.cast(pc.equal(batch.column("role"), "assistant"),
+                       pa.int64())
+        t = pa.table({"conv_id": batch.column("conv_id"),
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "user": user, "asst": asst})
+        return t.group_by(["conv_id"]).aggregate(
+            [("n", "sum"), ("user", "sum"), ("asst", "sum")])
+
+    def having(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_sum)")
+        nu = batch.column("sum(user_sum)")
+        na = batch.column("sum(asst_sum)")
+        nu5 = pc.multiply(nu, pa.scalar(5, pa.int64()))
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(nu, pa.scalar(1, pa.int64())),
+                    pc.greater_equal(na, pa.scalar(1, pa.int64()))),
+            pc.and_(pc.greater_equal(nu5, n),
+                    pc.less_equal(nu5, pc.multiply(
+                        n, pa.scalar(4, pa.int64())))))
+        f = batch.filter(mask)
+        return pa.table({"conv_id": f.column("conv_id"),
+                         "n_turns": f.column("sum(n_sum)"),
+                         "n_user_turns": f.column("sum(user_sum)"),
+                         "n_assistant_turns": f.column("sum(asst_sum)")})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "role"])
+    out = ds.map_batches(part, batch_format="pyarrow") \
+            .groupby("conv_id").aggregate(
+                Sum("n_sum"), Sum("user_sum"), Sum("asst_sum"))
+    return out.map_batches(having, batch_format="pyarrow")
+
+
+def _q_transcript_contamination(sf_dir: str):
+    """Benchmark contamination over the TRANSCRIPT table: every turn
+    tagged with its distinct word-8-gram count and benchmark overlap
+    (turns with turn_idx % 97 == 0 stand in for the eval set — every
+    conversation's opening turn plus deep-conversation samples).  Same
+    broadcast-small-side plan as the documents query: the benchmark hash
+    array ships via ray.put once, the corpus never shuffles; the only
+    difference is the composite (conv_id, turn_idx) key riding along.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.contamination import contamination_check
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.cast(batch.column("turn_idx"), pa.int64())
+                        .to_numpy() % 97, 0)
+        return batch.filter(pa.array(keep))
+
+    bench = ds.map_batches(bench_filter, batch_format="pyarrow")
+    out = contamination_check(ds, bench, n=8)
+    return out.select_columns(["conv_id", "turn_idx", "n_ngrams",
+                               "n_hits"])
+
+
 def _q_conv_quality_rollup(sf_dir: str):
     """Conversation-level verdict over the scored transcript turns:
     dominant language, kept-turn fraction, conversation keep decision
@@ -3366,13 +3508,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (strongest check) ahead of rows-only ones — and the queries already
     # hash-green in rounds 1-3 follow.  The round-4 window holds 48
     # never-checked entries; with it, the cross-round driver-verified
-    # union covers ALL registered queries except three late-round-4
-    # additions at slots 51-53: the two HLL sketches (distinct_words_hll /
+    # union covers ALL registered queries except the late-round-4
+    # additions at slots 51-57: the two HLL sketches (distinct_words_hll /
     # distinct_words_by_lang_hll — their EXACT SQL-verified twins
     # distinct_words_exact / distinct_words_by_lang sit in the window head
-    # and the sketch error bound is pytest-gated) and semantic_dedup
-    # (rows-only; planted-pair pytest).  Round 5 should lead with those
-    # three plus the stalest r01-era greens.  Rows-only queries are the
+    # and the sketch error bound is pytest-gated), semantic_dedup
+    # (rows-only; planted-pair pytest), and the four SQL-verified
+    # transcript additions (transcript_tool_chains, conv_context_truncate,
+    # conv_role_balance, transcript_contamination — locally gate-green at
+    # sf0.01/sf0.1 via tools/check_queries).  Round 5 should lead with
+    # those seven plus the stalest r01-era greens.  Rows-only queries are the
     # langid/model family (not SQL-expressible; gated by the pytest
     # kernel-vs-scalar suite) and the approximate sketches (each has an
     # exact SQL-verified twin).
@@ -3434,6 +3579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_hll": _q_distinct_words_hll,
         "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
         "semantic_dedup": _q_semantic_dedup,
+        "transcript_tool_chains": _q_transcript_tool_chains,
+        "conv_context_truncate": _q_conv_context_truncate,
+        "conv_role_balance": _q_conv_role_balance,
+        "transcript_contamination": _q_transcript_contamination,
         # ---- driver-green in rounds 1-3, SQL-verified ----
         "conversations_assembled": _q_conversations_assembled,
         "transcript_scrub": _q_transcript_scrub,
@@ -3692,6 +3841,75 @@ def _conv_dedup_sql() -> str:
     """)
 
 
+def _transcript_tool_chains_sql() -> str:
+    return _transcript_oracle("""
+        WITH t AS (
+          SELECT conv_id, coalesce(tool, '') AS tool,
+            lag(coalesce(tool, ''))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+          FROM {src})
+        SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev_tool <> '' AND tool <> ''
+        GROUP BY prev_tool, tool
+    """)
+
+
+def _conv_context_truncate_sql() -> str:
+    return _transcript_oracle("""
+        WITH c AS (
+          SELECT conv_id, turn_idx,
+            sum(length(coalesce(text, '')))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_chars
+          FROM {src})
+        SELECT conv_id, turn_idx, CAST(cum_chars AS BIGINT) AS cum_chars
+        FROM c WHERE cum_chars <= 2000
+    """)
+
+
+def _conv_role_balance_sql() -> str:
+    return _transcript_oracle("""
+        SELECT conv_id,
+          CAST(count(*) AS BIGINT) AS n_turns,
+          CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_user_turns,
+          CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_assistant_turns
+        FROM {src} GROUP BY conv_id
+        HAVING n_user_turns >= 1 AND n_assistant_turns >= 1
+           AND 5 * n_user_turns >= n_turns
+           AND 5 * n_user_turns <= 4 * n_turns
+    """)
+
+
+def _transcript_contamination_sql() -> str:
+    return _transcript_oracle("""
+        WITH w AS (SELECT conv_id, turn_idx,
+                          string_split(coalesce(text, ''), ' ') AS ws
+                   FROM {src}),
+        grams AS (
+          SELECT conv_id, turn_idx, array_to_string(ws[gs:gs+7], ' ') AS g
+          FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                 AS t(gs)
+        ),
+        dg AS (SELECT DISTINCT conv_id, turn_idx, g FROM grams),
+        bench AS (SELECT DISTINCT g FROM dg WHERE turn_idx % 97 = 0),
+        s AS (
+          SELECT dg.conv_id, dg.turn_idx, count(*) AS n_ngrams,
+            CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hits
+          FROM dg LEFT JOIN bench ON dg.g = bench.g
+          GROUP BY dg.conv_id, dg.turn_idx
+        )
+        SELECT d.conv_id, d.turn_idx,
+               coalesce(s.n_ngrams, 0) AS n_ngrams,
+               coalesce(s.n_hits, 0) AS n_hits
+        FROM {src} d LEFT JOIN s
+          ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
+    """)
+
+
 def _sql_stopword_list() -> str:
     from lingua_ray.stages.quality import STOPWORDS_EN
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -3852,6 +4070,10 @@ def oracle_sql() -> dict[str, str]:
         "transcript_conv_stats": _transcript_conv_stats_sql(),
         "transcript_role_transitions": _transcript_role_transitions_sql(),
         "transcript_turn_gaps": _transcript_turn_gaps_sql(),
+        "transcript_tool_chains": _transcript_tool_chains_sql(),
+        "conv_context_truncate": _conv_context_truncate_sql(),
+        "conv_role_balance": _conv_role_balance_sql(),
+        "transcript_contamination": _transcript_contamination_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

@@ -1,4 +1,4 @@
-"""Skew-bounded adjacent-pair extraction over a dense per-key ordinal.
+"""Skew-bounded per-key-ordinal primitives: adjacent pairs and prefix sums.
 
 The adjacency primitive behind transcript lag/transition analyses
 (reference semantics: LAG OVER (PARTITION BY key ORDER BY ordinal)).  A
@@ -60,3 +60,92 @@ def adjacent_pairs(ds, key_col: str, order_col: str,
     return (ds.map_batches(add_buckets, batch_format="pyarrow")
               .groupby([key_col, _BUCKET])
               .map_groups(pairs_group, batch_format="pyarrow"))
+
+
+def bounded_cumsum(ds, key_col: str, order_col: str, value_col: str,
+                   bucket_size: int = 100_000,
+                   max_total: int | None = None):
+    """Skew-bounded per-key running total (``SUM ... OVER (PARTITION BY
+    key ORDER BY ordinal) ROWS UNBOUNDED PRECEDING``): returns a Dataset
+    with columns ``key_col``, ``order_col``, ``cum`` (int64, inclusive).
+
+    Plan (three stages, no group ever holds more than one BUCKET of
+    rows, so a 10^8-turn mega-key never lands in one task):
+
+    1. per-block combiner: (key, ordinal // B) partial sums — the first
+       shuffle carries one tiny row per (key, bucket, block);
+    2. per-key exclusive prefix over BUCKET partials (a key contributes
+       ~n/B rows here — 1/bucket_size of its data, the same duplication
+       bound as :func:`adjacent_pairs`);
+    3. offset rows are unioned with the raw rows and a (key,
+       bucket)-keyed groupby adds ``offset + within-bucket cumsum``.
+
+    ``max_total`` prunes: buckets whose exclusive offset already exceeds
+    it can contain no row with ``cum <= max_total`` (values must be
+    non-negative), so their offset rows are dropped in stage 2 and stage
+    3 emits nothing for them — a budget-truncation scan of a mega-key
+    does per-group work only on its head buckets.
+    """
+    B = bucket_size
+
+    def partials(batch: pa.Table) -> pa.Table:
+        o = batch.column(order_col).cast(pa.int64()).to_numpy()
+        t = pa.table({key_col: batch.column(key_col),
+                      _BUCKET: pa.array(o // B),
+                      "__v": batch.column(value_col).cast(pa.int64())})
+        return t.group_by([key_col, _BUCKET]).aggregate(
+            [("__v", "sum")]).rename_columns([key_col, _BUCKET, "__v"])
+
+    def offsets(group: pa.Table) -> pa.Table:
+        b = group.column(_BUCKET).to_numpy()
+        v = group.column("__v").to_numpy()
+        ub, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(sums, inv, v)
+        off = np.concatenate([[0], np.cumsum(sums)[:-1]])
+        if max_total is not None:
+            keep = off <= max_total
+            ub, off = ub[keep], off[keep]
+        key = group.column(key_col)[0].as_py()
+        return pa.table({
+            key_col: pa.array([key] * len(ub),
+                              type=group.schema.field(key_col).type),
+            _BUCKET: pa.array(ub, type=pa.int64()),
+            order_col: pa.array(np.full(len(ub), -1), type=pa.int64()),
+            "__v": pa.array(off, type=pa.int64()),
+            "__is_off": pa.array(np.ones(len(ub), dtype=bool))})
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        o = batch.column(order_col).cast(pa.int64()).to_numpy()
+        return pa.table({key_col: batch.column(key_col),
+                         _BUCKET: pa.array(o // B),
+                         order_col: pa.array(o, type=pa.int64()),
+                         "__v": batch.column(value_col).cast(pa.int64()),
+                         "__is_off": pa.array(np.zeros(len(o), dtype=bool))})
+
+    def cum_group(group: pa.Table) -> pa.Table:
+        is_off = np.asarray(group.column("__is_off").to_numpy(
+            zero_copy_only=False))
+        key_type = group.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          order_col: pa.array([], type=pa.int64()),
+                          "cum": pa.array([], type=pa.int64())})
+        if not is_off.any():          # bucket pruned by max_total
+            return empty
+        off = int(group.column("__v").to_numpy()[is_off][0])
+        rows = group.filter(pa.array(~is_off))
+        if rows.num_rows == 0:        # offset row for an all-elsewhere key
+            return empty
+        o = rows.column(order_col).to_numpy()
+        order = np.argsort(o, kind="stable")
+        cum = off + np.cumsum(rows.column("__v").to_numpy()[order])
+        return pa.table({key_col: rows.column(key_col).take(pa.array(order)),
+                         order_col: pa.array(o[order], type=pa.int64()),
+                         "cum": pa.array(cum, type=pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    offs = parts.groupby(key_col).map_groups(offsets,
+                                             batch_format="pyarrow")
+    rows = ds.map_batches(tag_rows, batch_format="pyarrow")
+    return rows.union(offs).groupby([key_col, _BUCKET]).map_groups(
+        cum_group, batch_format="pyarrow")

@@ -81,3 +81,51 @@ def test_adjacent_pairs_group_bound(ray_session):
     total = sizes.add(clones, fill_value=0)
     assert total.max() <= B + 1
     assert pairs.count() == len(df) - df["key"].nunique()
+
+
+def _oracle_cumsum(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas().sort_values(["key", "idx"])
+    df["cum"] = df.groupby("key")["ts"].cumsum()
+    return df[["key", "idx", "cum"]]
+
+
+@pytest.mark.parametrize("bucket_size", [1, 2, 7, 64, 10_000])
+def test_bounded_cumsum_matches_oracle(ray_session, bucket_size):
+    """Running total must equal the per-key sorted cumsum for every
+    bucket size and be independent of on-disk row order / block count."""
+    import ray.data
+
+    from lingua_ray.stages.adjacency import bounded_cumsum
+
+    tbl = _make_table()
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = bounded_cumsum(ds, "key", "idx", "ts",
+                         bucket_size=bucket_size).to_pandas()
+    want = _oracle_cumsum(tbl)
+    assert len(got) == tbl.num_rows
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_bounded_cumsum_max_total_prunes_but_keeps_boundary(ray_session):
+    """With max_total set, every row whose cum <= max_total must still be
+    emitted (pruning only drops buckets whose EXCLUSIVE offset already
+    exceeds the cap), and no emitted row is wrong."""
+    import ray.data
+
+    from lingua_ray.stages.adjacency import bounded_cumsum
+
+    tbl = _make_table()
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    cap = 20_000
+    got = bounded_cumsum(ds, "key", "idx", "ts", bucket_size=8,
+                         max_total=cap).to_pandas()
+    want = _oracle_cumsum(tbl)
+    merged = got.merge(want, on=["key", "idx"], suffixes=("", "_want"))
+    assert len(merged) == len(got)              # nothing invented
+    assert (merged["cum"] == merged["cum_want"]).all()
+    kept_keys = set(map(tuple, got[["key", "idx"]].itertuples(index=False)))
+    under = want[want["cum"] <= cap]
+    assert set(map(tuple,
+                   under[["key", "idx"]].itertuples(index=False))) \
+        <= kept_keys

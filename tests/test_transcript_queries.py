@@ -19,6 +19,10 @@ NAMES = [
     "conv_lookup",
     "turn_dedup",
     "conv_dedup",
+    "transcript_tool_chains",
+    "conv_context_truncate",
+    "conv_role_balance",
+    "transcript_contamination",
 ]
 
 
