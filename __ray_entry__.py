@@ -1770,6 +1770,37 @@ def _q_knn_ivf(sf_dir: str):
     return ivf_knn(ds, q, k=10, n_list=16, n_probe=6).select(["vec_id"])
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN with exact reranking (ADC+R, Jégou et
+    al. TPAMI 2011 + ICASSP 2011) around the vec_id=0 embedding:
+    codebooks trained on a bounded sample, corpus encoded to 8-byte
+    codes in an actor pool (32× smaller than the float vectors), ADC
+    table-lookup scan for a 100-candidate shortlist, exact cosine rerank
+    of the shortlist to top-10.  [rows-only — quantized shortlists are
+    approximate by construction; recall-vs-bruteforce floor + encoder
+    determinism + residual-IVFPQ variant gated in test_dedup_ann.py]"""
+    from lingua_ray.stages.ann import knn_pq
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_pq(ds, q, k=10, m_sub=8, n_codes=64,
+                  rerank=100).select(["vec_id"])
+
+
+def _q_knn_ivfpq(sf_dir: str):
+    """IVFADC (coarse k-means + PQ over residuals, TPAMI 2011 §IV) with
+    exact reranking: vectors collapse to (list_id, 8-byte residual code),
+    queries ADC-scan only n_probe/n_list of the codes for a shortlist,
+    then rerank exactly.  The production ANN shape at 100 TB — floats
+    touched once at encode, per-query cost bounded by pruning ×
+    compression.  [rows-only; residual-recall pytest in
+    test_dedup_ann.py]"""
+    from lingua_ray.stages.ann import knn_ivfpq
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivfpq(ds, q, k=10, n_list=8, n_probe=4, m_sub=8,
+                     n_codes=64, rerank=100).select(["vec_id"])
+
+
 def _q_knn_ivf_persisted(sf_dir: str):
     """Persisted IVF: index built once as list_id-partitioned parquet,
     probe = partition-pruned read of n_probe/n_list of the index + exact
@@ -3509,15 +3540,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-green in rounds 1-3 follow.  The round-4 window holds 48
     # never-checked entries; with it, the cross-round driver-verified
     # union covers ALL registered queries except the late-round-4
-    # additions at slots 51-57: the two HLL sketches (distinct_words_hll /
+    # additions after slot 50: the two HLL sketches (distinct_words_hll /
     # distinct_words_by_lang_hll — their EXACT SQL-verified twins
     # distinct_words_exact / distinct_words_by_lang sit in the window head
     # and the sketch error bound is pytest-gated), semantic_dedup
-    # (rows-only; planted-pair pytest), and the four SQL-verified
+    # (rows-only; planted-pair pytest), the four SQL-verified
     # transcript additions (transcript_tool_chains, conv_context_truncate,
     # conv_role_balance, transcript_contamination — locally gate-green at
-    # sf0.01/sf0.1 via tools/check_queries).  Round 5 should lead with
-    # those seven plus the stalest r01-era greens.  Rows-only queries are the
+    # sf0.01/sf0.1 via tools/check_queries), and the two PQ ANN queries
+    # (knn_pq / knn_ivfpq — rows-only; recall pytest).  Round 5 should
+    # lead with that tail plus the stalest r01-era greens.  Rows-only queries are the
     # langid/model family (not SQL-expressible; gated by the pytest
     # kernel-vs-scalar suite) and the approximate sketches (each has an
     # exact SQL-verified twin).
@@ -3583,6 +3615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_truncate": _q_conv_context_truncate,
         "conv_role_balance": _q_conv_role_balance,
         "transcript_contamination": _q_transcript_contamination,
+        "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
         "conversations_assembled": _q_conversations_assembled,
         "transcript_scrub": _q_transcript_scrub,

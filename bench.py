@@ -146,7 +146,11 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # plus the skew-bounded adjacency queries
                      "substring_dedup_sampled", "substring_dedup_winnowed",
                      "transcript_turn_gaps",
-                     "transcript_role_transitions", "inverted_index"]
+                     "transcript_role_transitions", "inverted_index",
+                     # late-round-4 transcript additions + semantic dedup
+                     "transcript_tool_chains", "conv_context_truncate",
+                     "conv_role_balance", "transcript_contamination",
+                     "semantic_dedup"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

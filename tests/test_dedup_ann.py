@@ -690,3 +690,111 @@ def test_semantic_dedup_query_partitioning_invariant(ray_session):
         assert all(m["group_size"] == len(members) for m in members)
     t2 = E.queries()["semantic_dedup"]("/root/testdata/sf0.001").take_all()
     assert t == t2
+
+
+def test_pq_train_deterministic_shapes_and_assign_exactness():
+    """Codebooks are deterministic with the documented shape; a vector
+    that IS a concatenation of sub-centroids must encode to exactly those
+    code indices (zero sub-distance)."""
+    from lingua_ray.stages.ann import pq_assign, pq_train
+    rng = np.random.RandomState(5)
+    sample = rng.standard_normal((300, 32))
+    b1 = pq_train(sample, m_sub=8, n_codes=16)
+    b2 = pq_train(sample, m_sub=8, n_codes=16)
+    assert b1.shape == (8, 16, 4)
+    assert np.array_equal(b1, b2)
+    want = rng.randint(0, 16, size=(40, 8))
+    vecs = np.concatenate([b1[j][want[:, j]] for j in range(8)], axis=1)
+    got = pq_assign(vecs, b1)
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_pq_encoder_codes_column_roundtrip():
+    """PQEncoder emits fixed_size_binary codes; _codes_matrix recovers the
+    exact (n, m_sub) uint8 matrix including through a column slice (the
+    nonzero-offset buffer path)."""
+    from lingua_ray.stages.ann import (PQEncoder, _codes_matrix,
+                                       _embedding_matrix, _normalize,
+                                       pq_assign, pq_train)
+    rng = np.random.RandomState(6)
+    vs = rng.standard_normal((50, 16))
+    t = _vec_table(vs)
+    books = pq_train(_normalize(vs.copy()), m_sub=4, n_codes=8)
+    out = PQEncoder(books)(t)
+    codes = _codes_matrix(out.column("code"), 4)
+    want = pq_assign(_normalize(_embedding_matrix(t)), books)
+    assert np.array_equal(codes, want)
+    sliced = out.slice(13, 20)
+    assert np.array_equal(_codes_matrix(sliced.column("code"), 4),
+                          want[13:33])
+
+
+def test_knn_pq_planted_copies_dominate(ray_session):
+    """Plain PQ's guarantee at 8 bytes/vector: near-copies of the query
+    (cos ≈ 0.9999) quantize to (near-)identical codes and must fill the
+    top-k ahead of unrelated spread vectors (pairwise cos ≈ 0)."""
+    import ray.data
+    from lingua_ray.stages.ann import knn_pq
+    rng = np.random.RandomState(12)
+    vs = rng.standard_normal((400, 32))
+    base = vs[7]
+    copies = base[None, :] + rng.standard_normal((5, 32)) * 0.01
+    ds = ray.data.from_arrow(
+        _vec_table(np.concatenate([vs, copies]))).repartition(4)
+    ids = knn_pq(ds, base, k=6, m_sub=8, n_codes=64,
+                 sample_size=405).column("vec_id").to_pylist()
+    assert set(ids) == {7} | set(range(400, 405))
+
+
+def test_knn_ivfpq_clustered_recall(ray_session):
+    """Residual quantization (IVFADC) must rank WITHIN realistic clusters:
+    recall@10 vs exact bruteforce ≥ 0.7, and only in-cluster ids are
+    returned (the coarse quantizer prunes the other clusters)."""
+    import ray.data
+    from lingua_ray.stages.ann import knn_bruteforce, knn_ivfpq
+    rng = np.random.RandomState(12)
+    centers = rng.standard_normal((4, 32)) * 2
+    vs = np.concatenate([c + rng.standard_normal((100, 32))
+                         for c in centers])
+    ds = ray.data.from_arrow(_vec_table(vs)).repartition(4)
+    q = vs[0]
+    bf = set(knn_bruteforce(ds, q, 10).column("vec_id").to_pylist())
+    iv = knn_ivfpq(ds, q, k=10, n_list=8, n_probe=3, m_sub=16,
+                   n_codes=64, sample_size=400).column("vec_id").to_pylist()
+    assert len(iv) == 10
+    assert len(set(iv) & bf) >= 7
+
+
+def test_knn_pq_rerank_recall_real_table(ray_session):
+    """ADC shortlist + exact rerank on the real (unstructured — the
+    hardest ANN case) embeddings table: recall@10 ≥ 0.7 against exact
+    bruteforce, and scores of returned rows are exact cosines."""
+    import ray.data
+    from lingua_ray.stages.ann import knn_bruteforce, knn_pq
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pqt
+    q = np.asarray(pqt.read_table(
+        f"{sf}/embeddings.parquet",
+        filters=[("vec_id", "==", 0)]).column("embedding")[0].as_py())
+    bf = knn_bruteforce(ds, q, 10)
+    got = knn_pq(ds, q, k=10, m_sub=8, n_codes=64, rerank=100)
+    bf_ids = set(bf.column("vec_id").to_pylist())
+    got_ids = got.column("vec_id").to_pylist()
+    assert len(set(got_ids) & bf_ids) >= 7
+    # reranked scores are exact: every id shared with bruteforce carries
+    # the identical cosine
+    bf_map = dict(zip(bf.column("vec_id").to_pylist(),
+                      bf.column("cos").to_pylist()))
+    for i, c in zip(got_ids, got.column("cos").to_pylist()):
+        if i in bf_map:
+            assert c == pytest.approx(bf_map[i], abs=1e-12)
+
+
+def test_knn_pq_registered_query(ray_session):
+    import __ray_entry__ as E
+    out = E.queries()["knn_pq"]("/root/testdata/sf0.001")
+    ids = out.column("vec_id").to_pylist()
+    assert len(ids) == 10 and len(set(ids)) == 10
