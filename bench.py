@@ -148,9 +148,10 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "transcript_turn_gaps",
                      "transcript_role_transitions", "inverted_index",
                      # late-round-4 transcript additions + semantic dedup
+                     # + PQ similarity search
                      "transcript_tool_chains", "conv_context_truncate",
                      "conv_role_balance", "transcript_contamination",
-                     "semantic_dedup"]
+                     "semantic_dedup", "knn_pq", "knn_ivfpq"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
