@@ -50,7 +50,7 @@ def _transcripts_for_sf(sf_dir: str) -> Path:
     from lingua_ray.sources.transcripts import ensure_transcripts
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_turns = max(2000, n_docs * 12)
-    out = Path(f"/tmp/lingua_ray/transcripts-{n_turns}")
+    out = Path(f"/tmp/lingua_ray/transcripts-v2-{n_turns}")
     return ensure_transcripts(out, n_turns=n_turns, seed=42)
 
 
@@ -487,6 +487,67 @@ def _q_transcript_contamination(sf_dir: str):
     out = contamination_check(ds, bench, n=8)
     return out.select_columns(["conv_id", "turn_idx", "n_ngrams",
                                "n_hits"])
+
+
+def _q_transcript_loop_detect(sf_dir: str):
+    """Agent-loop detection: maximal runs of the SAME tool invoked on
+    CONSECUTIVE turns (turn_idx step exactly 1) within a conversation,
+    length >= 2 — the degenerate-agent signal (a tool retried in a tight
+    loop) a transcript QA pass flags for removal or truncation.
+
+    Distributed gaps-and-islands with no skew exposure: rank each
+    tool-turn within its (conv, tool) key via the skew-bounded
+    prefix-sum primitive (stages/adjacency.py::bounded_cumsum, val=1 —
+    no shuffle group ever exceeds one turn-bucket), take island =
+    turn_idx - rank (constant exactly on runs of consecutive turn_idx,
+    strictly increasing across runs), then a per-block partial
+    (min(start), count) per island and a tiny island-keyed groupby — a
+    10^8-turn tool loop contributes one partial row per block, never one
+    task's group.  [SQL-verified — ROW_NUMBER gaps-and-islands]"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from lingua_ray.stages.adjacency import bounded_cumsum
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "tool"])
+
+    def tool_turns(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch.column("tool"), "")
+        f = batch.filter(pc.not_equal(tool, ""))
+        k = pc.binary_join_element_wise(
+            f.column("conv_id"), pc.fill_null(f.column("tool"), ""), "\x1f")
+        return pa.table({
+            "k": k,
+            "turn_idx": pc.cast(f.column("turn_idx"), pa.int64()),
+            "one": pa.array(np.ones(f.num_rows, dtype=np.int64))})
+
+    cum = bounded_cumsum(ds.map_batches(tool_turns, batch_format="pyarrow"),
+                         "k", "turn_idx", "one", bucket_size=_TURN_BUCKET)
+
+    def islands(batch: pa.Table) -> pa.Table:
+        isl = pc.subtract(batch.column("turn_idx"), batch.column("cum"))
+        t = pa.table({
+            "k": batch.column("k"), "isl": isl,
+            "start": batch.column("turn_idx"),
+            "len": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        return t.group_by(["k", "isl"]).aggregate(
+            [("start", "min"), ("len", "sum")]).rename_columns(
+            ["k", "isl", "start", "len"])
+
+    runs = (cum.map_batches(islands, batch_format="pyarrow")
+               .groupby(["k", "isl"]).aggregate(Min("start"), Sum("len")))
+
+    def final(batch: pa.Table) -> pa.Table:
+        ln = batch.column("sum(len)")
+        f = batch.filter(pc.greater_equal(ln, pa.scalar(2, pa.int64())))
+        parts = pc.split_pattern(f.column("k"), "\x1f")
+        return pa.table({
+            "conv_id": pc.list_element(parts, 0),
+            "tool": pc.list_element(parts, 1),
+            "start_turn": pc.cast(f.column("min(start)"), pa.int32()),
+            "run_len": f.column("sum(len)")})
+
+    return runs.map_batches(final, batch_format="pyarrow")
 
 
 def _q_conv_quality_rollup(sf_dir: str):
@@ -3615,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_truncate": _q_conv_context_truncate,
         "conv_role_balance": _q_conv_role_balance,
         "transcript_contamination": _q_transcript_contamination,
+        "transcript_loop_detect": _q_transcript_loop_detect,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
@@ -3888,6 +3950,20 @@ def _transcript_tool_chains_sql() -> str:
     """)
 
 
+def _transcript_loop_detect_sql() -> str:
+    return _transcript_oracle("""
+        WITH t AS (
+          SELECT conv_id, coalesce(tool, '') AS tool, turn_idx,
+            CAST(turn_idx AS BIGINT)
+              - ROW_NUMBER() OVER (PARTITION BY conv_id, coalesce(tool, '')
+                                   ORDER BY turn_idx) AS isl
+          FROM {src} WHERE coalesce(tool, '') <> '')
+        SELECT conv_id, tool, CAST(min(turn_idx) AS INTEGER) AS start_turn,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM t GROUP BY conv_id, tool, isl HAVING count(*) >= 2
+    """)
+
+
 def _conv_context_truncate_sql() -> str:
     return _transcript_oracle("""
         WITH c AS (
@@ -4108,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_context_truncate": _conv_context_truncate_sql(),
         "conv_role_balance": _conv_role_balance_sql(),
         "transcript_contamination": _transcript_contamination_sql(),
+        "transcript_loop_detect": _transcript_loop_detect_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

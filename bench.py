@@ -81,7 +81,7 @@ def run_headline(num_cpus: int, sf_dir: str, mode: str = "e2e") -> dict:
 
     ensure_models()
     n_turns = _n_turns_for_sf(sf_dir)
-    tdir = ensure_transcripts(Path(f"/tmp/lingua_ray/transcripts-{n_turns}"),
+    tdir = ensure_transcripts(Path(f"/tmp/lingua_ray/transcripts-v2-{n_turns}"),
                               n_turns=n_turns, seed=42, n_shards=32)
     # Actor pool ~7/8 of the session CPUs; ~4 input blocks per actor for
     # load balance (measured optimum at this scale).

@@ -101,6 +101,21 @@ def generate_transcripts(n_turns: int, n_convs: int,
     tools = np.array(_TOOLS, dtype=object)[rng.randint(0, len(_TOOLS), size=n)]
     tools = np.where(roles == "tool", tools, "")
 
+    # Injected agent loops: ~1/1000 turns anchors a run of 2-5 consecutive
+    # turns by the SAME named tool inside one conversation — the runaway
+    # tool-retry pattern loop detection (transcript_loop_detect) must
+    # find, present at every scale factor.  Turn layout is per-conversation
+    # contiguous here (the shuffle comes later), so consecutive array
+    # indices are consecutive turn_idx as long as the run stays within one
+    # conversation (the boundary guard below).
+    named = [t for t in _TOOLS if t]
+    for a in rng.randint(0, max(1, n - 6), size=max(1, n // 1000)):
+        run = 2 + int(rng.randint(0, 4))
+        if a + run > n or conv_of_turn[a] != conv_of_turn[a + run - 1]:
+            continue
+        roles[a:a + run] = "tool"
+        tools[a:a + run] = named[rng.randint(len(named))]
+
     base = np.int64(1_700_000_000_000_000)  # µs epoch
     ts = base + conv_of_turn.astype(np.int64) * 3_600_000_000 \
         + turn_idx.astype(np.int64) * 15_000_000
