@@ -550,6 +550,78 @@ def _q_transcript_loop_detect(sf_dir: str):
     return runs.map_batches(final, batch_format="pyarrow")
 
 
+def _q_turn_context_window(sf_dir: str):
+    """Rolling context assembly: each turn paired with the concatenation
+    of its (up to) 3 preceding turns' text plus its own, in turn order —
+    the context window a reward-model or judge pass scores each
+    transcript turn against.
+
+    stages/adjacency.py::rolling_join — bucketed (conv, turn_idx // B)
+    groups with a k-row tail halo cloned into the next bucket, so no
+    task's group exceeds B + k rows for any conversation length and the
+    only duplicated text is k/B of the corpus.  Window assembly is a
+    vectorized repeat/arange gather + pc.binary_join (no per-row Python).
+    [SQL-verified — string_agg OVER (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW)]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.stages.adjacency import rolling_join
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    ctx = rolling_join(ds, "conv_id", "turn_idx", "text", k=3, sep="\x1f",
+                       bucket_size=_TURN_BUCKET)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int32()),
+            "context": batch.column("context")})
+
+    return ctx.map_batches(final, batch_format="pyarrow")
+
+
+def _q_conv_pack_assign(sf_dir: str):
+    """Sequence packing: assign each conversation to a fixed-capacity
+    training pack (8192 chars) by the running char total in conv_id
+    order — the next-fit-with-splits packing a pretraining data loader
+    uses to tile conversations into context windows deterministically.
+
+    Per-block (conv, chars) partials → one tiny conv-keyed groupby →
+    functions/prefix.py::global_cumsum (sample-partitioned exact prefix
+    sum: boundaries from the data's own key sample affect load balance
+    only, never values; one range-keyed shuffle of 24-byte rows).  Text
+    never rides any exchange.  [SQL-verified — SUM OVER (ORDER BY) with
+    integer division]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.functions.prefix import global_cumsum
+
+    CAP = 8192
+    ds = _read_transcripts(sf_dir, ["conv_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": batch.column("conv_id"),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(batch.column("text"), "")), pa.int64())})
+        return t.group_by("conv_id").aggregate(
+            [("n_chars", "sum")]).rename_columns(["conv_id", "n_chars"])
+
+    totals = (ds.map_batches(partials, batch_format="pyarrow")
+                .groupby("conv_id").sum("n_chars")
+                .rename_columns(["conv_id", "n_chars"]))
+    cum = global_cumsum(totals, "conv_id", "n_chars")
+
+    def final(batch: pa.Table) -> pa.Table:
+        excl = pc.subtract(batch.column("cum"), batch.column("n_chars"))
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "n_chars": batch.column("n_chars"),
+            "pack_id": pc.divide(excl, pa.scalar(CAP, pa.int64()))})
+
+    return cum.map_batches(final, batch_format="pyarrow")
+
+
 def _q_conv_quality_rollup(sf_dir: str):
     """Conversation-level verdict over the scored transcript turns:
     dominant language, kept-turn fraction, conversation keep decision
@@ -3677,6 +3749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_balance": _q_conv_role_balance,
         "transcript_contamination": _q_transcript_contamination,
         "transcript_loop_detect": _q_transcript_loop_detect,
+        "turn_context_window": _q_turn_context_window,
+        "conv_pack_assign": _q_conv_pack_assign,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
@@ -3964,6 +4038,30 @@ def _transcript_loop_detect_sql() -> str:
     """)
 
 
+def _turn_context_window_sql() -> str:
+    return _transcript_oracle("""
+        SELECT conv_id, turn_idx,
+               string_agg(text, chr(31)) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS context
+        FROM {src}
+    """)
+
+
+def _conv_pack_assign_sql() -> str:
+    return _transcript_oracle("""
+        WITH c AS (
+          SELECT conv_id, CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                   AS n_chars
+          FROM {src} GROUP BY conv_id)
+        SELECT conv_id, n_chars,
+               CAST((sum(n_chars) OVER (ORDER BY conv_id
+                       ROWS UNBOUNDED PRECEDING) - n_chars) // 8192
+                    AS BIGINT) AS pack_id
+        FROM c
+    """)
+
+
 def _conv_context_truncate_sql() -> str:
     return _transcript_oracle("""
         WITH c AS (
@@ -4185,6 +4283,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_role_balance": _conv_role_balance_sql(),
         "transcript_contamination": _transcript_contamination_sql(),
         "transcript_loop_detect": _transcript_loop_detect_sql(),
+        "turn_context_window": _turn_context_window_sql(),
+        "conv_pack_assign": _conv_pack_assign_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

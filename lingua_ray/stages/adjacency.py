@@ -62,6 +62,83 @@ def adjacent_pairs(ds, key_col: str, order_col: str,
               .map_groups(pairs_group, batch_format="pyarrow"))
 
 
+def rolling_join(ds, key_col: str, order_col: str, text_col: str,
+                 k: int, sep: str = "\n", bucket_size: int = 100_000):
+    """Skew-bounded per-key rolling window assembly (``string_agg(text,
+    sep) OVER (PARTITION BY key ORDER BY ordinal ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW)``): one row per input row with a ``context`` column
+    joining the up-to-``k`` preceding texts plus the row's own.
+
+    The context-window op of transcript processing (each turn sees its
+    recent history).  Same bucketing as :func:`adjacent_pairs`, but the
+    halo runs the other way: each bucket's LAST ``k`` rows are cloned
+    into the NEXT bucket, where they sort first and supply the preceding
+    texts for that bucket's head rows without emitting output themselves.
+    No group ever exceeds ``bucket_size + k`` rows, and the extra text
+    shipped is ``k/bucket_size`` of the corpus.  Window assembly is
+    all-vectorized: a repeat/arange flat gather index into the sorted
+    group, wrapped as a ListArray and joined with ``pc.binary_join``.
+
+    Same DENSE-ordinal contract as the other primitives here.  Requires
+    ``k < bucket_size`` (a window deeper than a bucket would need halo
+    from two buckets back).
+    """
+    import pyarrow.compute as pc
+    if k >= bucket_size:
+        raise ValueError("rolling_join needs k < bucket_size")
+    B = bucket_size
+    _HALO = "__halo"
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        o = batch.column(order_col).cast(pa.int64()).to_numpy()
+        home = o // B
+        out = batch.append_column(_BUCKET, pa.array(home)).append_column(
+            _HALO, pa.array(np.zeros(len(o), dtype=bool)))
+        tail = o % B >= B - k
+        if not tail.any():
+            return out
+        clone = batch.filter(pa.array(tail)).append_column(
+            _BUCKET, pa.array(home[tail] + 1)).append_column(
+            _HALO, pa.array(np.ones(int(tail.sum()), dtype=bool)))
+        return pa.concat_tables([out, clone])
+
+    def ctx_group(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).cast(pa.int64()).to_numpy()
+        order = np.argsort(o, kind="stable")
+        g = group.take(pa.array(order))
+        o = o[order]
+        halo = np.asarray(g.column(_HALO).to_numpy(zero_copy_only=False))
+        home = np.flatnonzero(~halo)
+        if len(home) == 0:      # clones spilled into an empty next bucket
+            return pa.table({
+                key_col: pa.array([], type=group.schema.field(key_col).type),
+                order_col: pa.array([], type=pa.int64()),
+                "context": pa.array([], type=pa.string())})
+        # window length per home row: its own row + up to k preceding
+        # ordinals; with a dense ordinal the halo guarantees they are all
+        # present in this group, so positions home[i]-lens+1 .. home[i]
+        lens = np.minimum(o[home] + 1, k + 1)
+        starts = home - lens + 1
+        # flat gather: concat of [starts[i] .. home[i]] ranges
+        flat = (np.arange(int(lens.sum()))
+                - np.repeat(np.cumsum(lens) - lens, lens)
+                + np.repeat(starts, lens))
+        gathered = g.column(text_col).take(pa.array(flat))
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            gathered.combine_chunks().cast(pa.string()))
+        ctx = pc.binary_join(lst, sep)
+        idx = pa.array(home)
+        return pa.table({key_col: g.column(key_col).take(idx),
+                         order_col: pa.array(o[home], type=pa.int64()),
+                         "context": ctx})
+
+    return (ds.map_batches(add_buckets, batch_format="pyarrow")
+              .groupby([key_col, _BUCKET])
+              .map_groups(ctx_group, batch_format="pyarrow"))
+
+
 def bounded_cumsum(ds, key_col: str, order_col: str, value_col: str,
                    bucket_size: int = 100_000,
                    max_total: int | None = None):

@@ -129,3 +129,44 @@ def test_bounded_cumsum_max_total_prunes_but_keeps_boundary(ray_session):
     assert set(map(tuple,
                    under[["key", "idx"]].itertuples(index=False))) \
         <= kept_keys
+
+
+def _oracle_rolling(tbl: pa.Table, k: int, sep: str) -> pd.DataFrame:
+    df = tbl.to_pandas().sort_values(["key", "idx"])
+    out = []
+    for key, g in df.groupby("key"):
+        vals = g["val"].tolist()
+        for p, (_, row) in enumerate(g.iterrows()):
+            out.append((key, row["idx"],
+                        sep.join(vals[max(0, p - k):p + 1])))
+    return pd.DataFrame(out, columns=["key", "idx", "context"])
+
+
+@pytest.mark.parametrize("bucket_size,k", [(4, 3), (7, 2), (64, 5),
+                                           (10_000, 3), (2, 1)])
+def test_rolling_join_matches_oracle(ray_session, bucket_size, k):
+    """Rolling k-preceding context must match the per-key pandas oracle
+    for every (bucket, k) combination, including windows that always
+    cross bucket boundaries (bucket_size k+1)."""
+    import ray.data
+
+    from lingua_ray.stages.adjacency import rolling_join
+
+    tbl = _make_table()
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = rolling_join(ds, "key", "idx", "val", k=k, sep="|",
+                       bucket_size=bucket_size).to_pandas()
+    want = _oracle_rolling(tbl, k, "|")
+    assert len(got) == tbl.num_rows
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_rolling_join_rejects_window_deeper_than_bucket(ray_session):
+    import ray.data
+
+    from lingua_ray.stages.adjacency import rolling_join
+
+    ds = ray.data.from_arrow(_make_table())
+    with pytest.raises(ValueError):
+        rolling_join(ds, "key", "idx", "val", k=8, bucket_size=8)
