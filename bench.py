@@ -151,7 +151,9 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # + PQ similarity search
                      "transcript_tool_chains", "conv_context_truncate",
                      "conv_role_balance", "transcript_contamination",
-                     "semantic_dedup", "knn_pq", "knn_ivfpq"]
+                     "semantic_dedup", "knn_pq", "knn_ivfpq",
+                     "transcript_loop_detect", "turn_context_window",
+                     "conv_pack_assign"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
