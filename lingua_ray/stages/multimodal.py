@@ -1806,20 +1806,114 @@ def mkv_sample_frames(p: bytes, ts: list[float]):
     return out
 
 
+def parse_y4m(p: bytes):
+    """REAL YUV4MPEG2 (.y4m) parse — the codec-free raw-video format
+    (mjpegtools yuv4mpeg(5) public spec): ASCII stream header
+    ``YUV4MPEG2 W.. H.. F<num>:<den> C<cs> ...\\n`` then per-frame
+    ``FRAME[ params]\\n`` + fixed-size planar YCbCr data, Y plane first.
+    Returns ``{"width", "height", "num", "den", "colourspace",
+    "frames": [(off, len), ...]}`` or None if not Y4M; a truncated
+    final frame is dropped, not decoded from padding."""
+    if not p.startswith(b"YUV4MPEG2"):
+        return None
+    nl = p.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    num, den = 25, 1
+    cs = b"420"
+    for tok in p[9:nl].split(b" "):
+        if len(tok) < 2:
+            continue
+        c, v = tok[:1], tok[1:]
+        try:
+            if c == b"W":
+                w = int(v)
+            elif c == b"H":
+                h = int(v)
+            elif c == b"F":
+                a, b = v.split(b":")
+                num, den = int(a), int(b)
+            elif c == b"C":
+                cs = v
+        except ValueError:
+            return None
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None
+    if cs == b"444alpha":
+        fsz = w * h * 4
+    elif cs.startswith(b"420"):
+        fsz = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs.startswith(b"411"):
+        fsz = w * h + 2 * ((w + 3) // 4) * h
+    elif cs.startswith(b"422"):
+        fsz = w * h * 2
+    elif cs.startswith(b"444"):
+        fsz = w * h * 3
+    elif cs.startswith(b"mono"):
+        fsz = w * h
+    else:
+        return None
+    frames = []
+    i = nl + 1
+    while i < len(p):
+        if p[i:i + 5] != b"FRAME":
+            break
+        nl2 = p.find(b"\n", i)
+        if nl2 < 0 or nl2 + 1 + fsz > len(p):
+            break
+        frames.append((nl2 + 1, fsz))
+        i = nl2 + 1 + fsz
+    if not frames:
+        return None
+    return {"width": w, "height": h, "num": num, "den": den,
+            "colourspace": bytes(cs), "frames": frames}
+
+
+def y4m_frame_timestamps(p: bytes):
+    """Frame-start timestamps (seconds) of a YUV4MPEG2 stream, or None
+    if not Y4M — frame i starts at i·den/num."""
+    info = parse_y4m(p)
+    if info is None:
+        return None
+    dt = info["den"] / info["num"]
+    return [i * dt for i in range(len(info["frames"]))]
+
+
+def y4m_sample_frames(p: bytes, ts: list[float]):
+    """REAL pixel decode of the Y4M frames nearest each timestamp —
+    no entropy coding at all: the Y plane IS the luma, returned as an
+    (h, w) uint8 array per sampled frame."""
+    info = parse_y4m(p)
+    if info is None:
+        return None
+    w, h = info["width"], info["height"]
+    dt = info["den"] / info["num"]
+    out = []
+    for t in ts:
+        off, _ = info["frames"][min(len(info["frames"]) - 1,
+                                    max(0, round(t / dt)))]
+        out.append(np.frombuffer(p, dtype=np.uint8, count=w * h,
+                                 offset=off).reshape(h, w))
+    return out
+
+
 class VideoFrameSampler:
     """Actor-pool frame-sampling stage (brief: decode / feature-extract /
     resize / frame-sample).
 
-    real=True REALLY frame-samples animated GIFs, AVI, MP4 and
-    MKV/WebM containers: the frame timeline comes from
+    real=True REALLY frame-samples animated GIFs, AVI, MP4,
+    MKV/WebM and YUV4MPEG2 streams: the frame timeline comes from
     :func:`gif_frame_timestamps` (pure block walk), :func:`parse_avi`
     (RIFF walk), :func:`parse_mp4` (ISO-BMFF box walk, non-uniform
-    stts deltas honoured) or :func:`parse_mkv` (EBML walk), and the
+    stts deltas honoured), :func:`parse_mkv` (EBML walk) or
+    :func:`parse_y4m` (ASCII header + fixed-size raw frames), and the
     sampler picks the frame nearest each fps-grid tick, capped at
     max_frames.  With ``decode_stats=True``, MJPEG payloads (in AVI,
-    MP4 or MKV) additionally get their SAMPLED frames pixel-decoded
-    (:func:`avi_sample_frames` / :func:`mp4_sample_frames` /
-    :func:`mkv_sample_frames` → :mod:`.jpeg`) and a
+    MP4 or MKV) and raw Y4M frames additionally get their SAMPLED
+    frames pixel-decoded (:func:`avi_sample_frames` /
+    :func:`mp4_sample_frames` / :func:`mkv_sample_frames` → :mod:`.jpeg`;
+    :func:`y4m_sample_frames` reads the Y plane directly) and a
     ``frame_mean_luma`` list column — real video frame decode, no
     codec library.  Inter-frame-coded tracks (avc1/vp8/vp9) raise
     NotImplementedError per payload (ffmpeg/decord are not in this
@@ -1860,11 +1954,13 @@ class VideoFrameSampler:
                 if timeline is None:
                     timeline = mkv_frame_timestamps(p or b"")
                 if timeline is None:
+                    timeline = y4m_frame_timestamps(p or b"")
+                if timeline is None:
                     raise NotImplementedError(
                         "no parseable container timeline (GIF, AVI, "
-                        "MP4 and MKV/WebM parse without codec "
-                        "libraries; raw elementary streams need "
-                        "ffmpeg/decord, unavailable here)")
+                        "MP4, MKV/WebM and YUV4MPEG2 parse without "
+                        "codec libraries; other raw elementary "
+                        "streams need ffmpeg/decord, unavailable here)")
                 picked = self._sample(timeline)
                 all_ts.extend(picked)
                 offsets.append(len(all_ts))
@@ -1875,10 +1971,13 @@ class VideoFrameSampler:
                     if frames is None:
                         frames = mkv_sample_frames(p or b"", picked)
                     if frames is None:
+                        frames = y4m_sample_frames(p or b"", picked)
+                    if frames is None:
                         raise NotImplementedError(
                             "sampled-frame pixel decode needs an "
-                            "MJPEG-in-AVI/MP4/MKV payload (inter-frame "
-                            "codecs need ffmpeg, unavailable here)")
+                            "MJPEG-in-AVI/MP4/MKV or YUV4MPEG2 payload "
+                            "(inter-frame codecs need ffmpeg, "
+                            "unavailable here)")
                     all_luma.extend(
                         float(f.mean()) / 255.0 if f.ndim == 2 else
                         float((f.reshape(-1, 3).astype(np.float64)

@@ -2095,3 +2095,74 @@ def test_jpeg_12bit_precision():
     assert decode_jpeg(bytes(bad)) is None
     # 8-bit paths still reject precision-12-only features gracefully
     assert encode_jpeg(img.astype(np.uint8) >> 0, quality=85) is not None
+
+
+# --------------------------------------------- YUV4MPEG2 raw video
+
+
+def _y4m(planes_y, w, h, cs=b"420jpeg", num=25, den=1, frame_params=b""):
+    """Encoder oracle: assemble a Y4M stream from uint8 Y planes, chroma
+    planes filled with 0x80 (neutral)."""
+    if cs.startswith(b"420"):
+        extra = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs.startswith(b"422"):
+        extra = w * h
+    elif cs.startswith(b"444"):
+        extra = 2 * w * h
+    else:                                   # mono
+        extra = 0
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (w, h, num, den, cs)
+    body = b"".join(b"FRAME" + frame_params + b"\n"
+                    + y.astype(np.uint8).tobytes() + b"\x80" * extra
+                    for y in planes_y)
+    return head + body
+
+
+def _y_planes(n, w, h, seed=5):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            for _ in range(n)]
+
+
+def test_y4m_parse_and_timestamps():
+    from lingua_ray.stages.multimodal import parse_y4m, y4m_frame_timestamps
+
+    ys = _y_planes(4, 12, 6)
+    p = _y4m(ys, 12, 6)
+    info = parse_y4m(p)
+    assert (info["width"], info["height"]) == (12, 6)
+    assert len(info["frames"]) == 4
+    assert y4m_frame_timestamps(p) == pytest.approx([0.0, 0.04, 0.08, 0.12])
+    # 30000:1001 NTSC rate, FRAME params, odd dims (rounded-up chroma)
+    q = _y4m(_y_planes(2, 7, 5), 7, 5, num=30000, den=1001,
+             frame_params=b" Xtag")
+    assert y4m_frame_timestamps(q) == pytest.approx([0.0, 1001 / 30000])
+    # every colourspace frame size
+    for cs in (b"mono", b"422", b"444", b"420mpeg2"):
+        r = _y4m(_y_planes(3, 8, 4), 8, 4, cs=cs)
+        assert len(parse_y4m(r)["frames"]) == 3, cs
+    # malformed / truncated: final partial frame dropped, junk rejected
+    assert parse_y4m(b"") is None
+    assert parse_y4m(b"YUV4MPEG2 W0 H4 F25:1\n") is None
+    assert parse_y4m(b"RIFF" + b"\0" * 32) is None
+    assert len(parse_y4m(p[:-5])["frames"]) == 3
+
+
+def test_y4m_sample_frames_and_sampler():
+    from lingua_ray.stages.multimodal import (VideoFrameSampler,
+                                              y4m_sample_frames)
+
+    ys = _y_planes(6, 16, 8, seed=11)
+    p = _y4m(ys, 16, 8, num=2, den=1)                 # 0.5 s per frame
+    got = y4m_sample_frames(p, [0.0, 1.0])
+    assert np.array_equal(got[0], ys[0])
+    assert np.array_equal(got[1], ys[2])
+
+    batch = pa.table({"payload": pa.array([p], pa.large_binary())})
+    out = VideoFrameSampler(fps=2.0, max_frames=100, real=True,
+                            decode_stats=True)(batch)
+    assert out.column("n_frames")[0].as_py() == 6
+    luma = out.column("frame_mean_luma")[0].as_py()
+    # raw Y plane: luma is EXACT, not codec-approximate
+    for lm, y in zip(luma, ys):
+        assert lm == pytest.approx(float(y.mean()) / 255.0, abs=1e-12)
