@@ -607,9 +607,13 @@ def _q_conv_pack_assign(sf_dir: str):
         return t.group_by("conv_id").aggregate(
             [("n_chars", "sum")]).rename_columns(["conv_id", "n_chars"])
 
+    # global_cumsum consumes its input three times (key sample, range
+    # totals, range shuffle); materializing here pins ONE 24-byte row per
+    # conversation — a bounded aggregate, not the corpus — so the turns
+    # table is scanned once instead of three times.
     totals = (ds.map_batches(partials, batch_format="pyarrow")
                 .groupby("conv_id").sum("n_chars")
-                .rename_columns(["conv_id", "n_chars"]))
+                .rename_columns(["conv_id", "n_chars"])).materialize()
     cum = global_cumsum(totals, "conv_id", "n_chars")
 
     def final(batch: pa.Table) -> pa.Table:
