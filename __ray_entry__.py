@@ -50,7 +50,7 @@ def _transcripts_for_sf(sf_dir: str) -> Path:
     from lingua_ray.sources.transcripts import ensure_transcripts
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_turns = max(2000, n_docs * 12)
-    out = Path(f"/tmp/lingua_ray/transcripts-v2-{n_turns}")
+    out = Path(f"/tmp/lingua_ray/transcripts-v3-{n_turns}")
     return ensure_transcripts(out, n_turns=n_turns, seed=42)
 
 
@@ -578,6 +578,66 @@ def _q_turn_context_window(sf_dir: str):
             "context": batch.column("context")})
 
     return ctx.map_batches(final, batch_format="pyarrow")
+
+
+def _q_transcript_sessionize(sf_dir: str):
+    """Within-conversation session segmentation: a new session starts at
+    any turn whose gap from the previous turn exceeds 5 minutes — the
+    idle-break splitting a long-running agent conversation into training
+    episodes.  session_id is the 0-based running count of breaks.
+
+    Composition of the two skew-bounded adjacency primitives, no
+    map_groups over whole conversations: adjacent_pairs yields each
+    turn's (prev_ts, ts) with bucket-boundary clones, the break
+    indicator is a vectorized compare, and bounded_cumsum turns
+    indicators into session ids (turn 0 rows union in with indicator 0).
+    A 10^8-turn conversation never forms one task's group at any stage.
+    [SQL-verified — SUM(CASE WHEN gap THEN 1) OVER (PARTITION BY conv)]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.stages.adjacency import adjacent_pairs, bounded_cumsum
+
+    GAP_US = 300_000_000
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int64()),
+            "tsu": batch.column("ts").cast(pa.int64())})
+
+    base = ds.map_batches(to_us, batch_format="pyarrow")
+    pairs = adjacent_pairs(base, "conv_id", "turn_idx", ["tsu"],
+                           bucket_size=_TURN_BUCKET)
+
+    def breaks(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(batch.column("tsu"), batch.column("prev_tsu"))
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "val": pc.cast(pc.greater(gap, pa.scalar(GAP_US, pa.int64())),
+                           pa.int64())})
+
+    def heads(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("turn_idx"),
+                                  pa.scalar(0, pa.int64())))
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "turn_idx": f.column("turn_idx"),
+            "val": pa.array(np.zeros(f.num_rows, dtype=np.int64))})
+
+    marks = pairs.map_batches(breaks, batch_format="pyarrow").union(
+        base.map_batches(heads, batch_format="pyarrow"))
+    cum = bounded_cumsum(marks, "conv_id", "turn_idx", "val",
+                         bucket_size=_TURN_BUCKET)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int32()),
+            "session_id": batch.column("cum")})
+
+    return cum.map_batches(final, batch_format="pyarrow")
 
 
 def _q_conv_pack_assign(sf_dir: str):
@@ -3755,6 +3815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_loop_detect": _q_transcript_loop_detect,
         "turn_context_window": _q_turn_context_window,
         "conv_pack_assign": _q_conv_pack_assign,
+        "transcript_sessionize": _q_transcript_sessionize,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
@@ -4052,6 +4113,21 @@ def _turn_context_window_sql() -> str:
     """)
 
 
+def _transcript_sessionize_sql() -> str:
+    return _transcript_oracle("""
+        WITH g AS (
+          SELECT conv_id, turn_idx,
+            epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+          FROM {src})
+        SELECT conv_id, turn_idx,
+          CAST(sum(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g
+    """)
+
+
 def _conv_pack_assign_sql() -> str:
     return _transcript_oracle("""
         WITH c AS (
@@ -4289,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_loop_detect": _transcript_loop_detect_sql(),
         "turn_context_window": _turn_context_window_sql(),
         "conv_pack_assign": _conv_pack_assign_sql(),
+        "transcript_sessionize": _transcript_sessionize_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

@@ -81,7 +81,7 @@ def run_headline(num_cpus: int, sf_dir: str, mode: str = "e2e") -> dict:
 
     ensure_models()
     n_turns = _n_turns_for_sf(sf_dir)
-    tdir = ensure_transcripts(Path(f"/tmp/lingua_ray/transcripts-v2-{n_turns}"),
+    tdir = ensure_transcripts(Path(f"/tmp/lingua_ray/transcripts-v3-{n_turns}"),
                               n_turns=n_turns, seed=42, n_shards=32)
     # Actor pool ~7/8 of the session CPUs; ~4 input blocks per actor for
     # load balance (measured optimum at this scale).
@@ -153,7 +153,7 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_role_balance", "transcript_contamination",
                      "semantic_dedup", "knn_pq", "knn_ivfpq",
                      "transcript_loop_detect", "turn_context_window",
-                     "conv_pack_assign"]
+                     "conv_pack_assign", "transcript_sessionize"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -116,9 +116,24 @@ def generate_transcripts(n_turns: int, n_convs: int,
         roles[a:a + run] = "tool"
         tools[a:a + run] = named[rng.randint(len(named))]
 
+    # Per-turn timestamps: jittered 5-30 s inter-turn gaps plus ~1/200
+    # idle gaps of 5-60 min — the break signal session segmentation
+    # (transcript_sessionize) keys on; constant gaps would make every
+    # conversation one session.  Increments accumulate per conversation
+    # (turns are conv-contiguous here; the shuffle comes later), and
+    # conversations start a day apart so inter-conv deltas never look
+    # like in-conv gaps.
+    inc = rng.randint(5_000_000, 30_000_000, size=n).astype(np.int64)
+    idle = rng.rand(n) < 1.0 / 200
+    inc = np.where(idle, inc + rng.randint(
+        300_000_000, 3_600_000_000, size=n), inc)
+    cs_excl = np.cumsum(inc) - inc
+    first = np.concatenate([[True], conv_of_turn[1:] != conv_of_turn[:-1]])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.concatenate([starts, [n]]))
+    rel = cs_excl - np.repeat(cs_excl[starts], counts)
     base = np.int64(1_700_000_000_000_000)  # µs epoch
-    ts = base + conv_of_turn.astype(np.int64) * 3_600_000_000 \
-        + turn_idx.astype(np.int64) * 15_000_000
+    ts = base + conv_of_turn.astype(np.int64) * 86_400_000_000 + rel
 
     order = rng.permutation(n)
     table = pa.table({
