@@ -640,6 +640,38 @@ def _q_transcript_sessionize(sf_dir: str):
     return cum.map_batches(final, batch_format="pyarrow")
 
 
+def _q_conv_exchange_extract(sf_dir: str):
+    """SFT pair extraction: every (user turn, immediately-following
+    assistant turn) pair — the prompt/response examples a supervised
+    fine-tuning set is built from, with the conversation and prompt turn
+    position kept for traceability.
+
+    stages/adjacency.py::adjacent_pairs on (conv, turn_idx) carrying
+    (role, text); the pair filter is a vectorized mask.  Prompt and
+    response text ride ONE bounded shuffle (group <= bucket+1 rows);
+    nothing assembles whole conversations.  [SQL-verified — LAG OVER
+    (PARTITION BY conv_id ORDER BY turn_idx)]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.stages.adjacency import adjacent_pairs
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    pairs = adjacent_pairs(ds, "conv_id", "turn_idx", ["role", "text"],
+                           bucket_size=_TURN_BUCKET)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("prev_role"), "user"),
+                    pc.equal(batch.column("role"), "assistant"))
+        f = batch.filter(m)
+        return pa.table({
+            "conv_id": f.column("conv_id"),
+            "prompt_turn": pc.cast(f.column("prev_turn_idx"), pa.int32()),
+            "prompt": f.column("prev_text"),
+            "response": f.column("text")})
+
+    return pairs.map_batches(extract, batch_format="pyarrow")
+
+
 def _q_conv_pack_assign(sf_dir: str):
     """Sequence packing: assign each conversation to a fixed-capacity
     training pack (8192 chars) by the running char total in conv_id
@@ -3816,6 +3848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_context_window": _q_turn_context_window,
         "conv_pack_assign": _q_conv_pack_assign,
         "transcript_sessionize": _q_transcript_sessionize,
+        "conv_exchange_extract": _q_conv_exchange_extract,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
@@ -4113,6 +4146,21 @@ def _turn_context_window_sql() -> str:
     """)
 
 
+def _conv_exchange_extract_sql() -> str:
+    return _transcript_oracle("""
+        WITH p AS (
+          SELECT conv_id, turn_idx, role, text,
+            lag(role) OVER w AS prev_role,
+            lag(text) OVER w AS prev_text,
+            lag(turn_idx) OVER w AS prev_turn
+          FROM {src}
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT conv_id, CAST(prev_turn AS INTEGER) AS prompt_turn,
+               prev_text AS prompt, text AS response
+        FROM p WHERE prev_role = 'user' AND role = 'assistant'
+    """)
+
+
 def _transcript_sessionize_sql() -> str:
     return _transcript_oracle("""
         WITH g AS (
@@ -4366,6 +4414,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_context_window": _turn_context_window_sql(),
         "conv_pack_assign": _conv_pack_assign_sql(),
         "transcript_sessionize": _transcript_sessionize_sql(),
+        "conv_exchange_extract": _conv_exchange_extract_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

@@ -153,7 +153,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_role_balance", "transcript_contamination",
                      "semantic_dedup", "knn_pq", "knn_ivfpq",
                      "transcript_loop_detect", "turn_context_window",
-                     "conv_pack_assign", "transcript_sessionize"]
+                     "conv_pack_assign", "transcript_sessionize",
+                     "conv_exchange_extract"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

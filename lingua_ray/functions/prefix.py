@@ -45,7 +45,12 @@ def global_cumsum(ds, order_col: str, value_col: str,
             dtype=np.int64)) if len(idx) else np.array([], dtype=np.int64)
         return pa.table({order_col: keys.take(idx.take(pa.array(take)))})
 
-    pooled = ds.map_batches(sample, batch_format="pyarrow").take_all()
+    # The pooled sample is driver-side; cap it so a 10^6-block input
+    # cannot ship S x n_blocks keys to the driver.  limit() keeps the
+    # EARLIEST blocks' samples — a biased sample can only unbalance the
+    # ranges, never corrupt values (offsets are exact for any bounds).
+    pooled = (ds.map_batches(sample, batch_format="pyarrow")
+                .limit(262_144).take_all())
     keys = sorted(r[order_col] for r in pooled)
     if len(keys) > 1:
         cut = np.unique(np.linspace(0, len(keys) - 1,
