@@ -23,6 +23,11 @@ NAMES = [
     "conv_context_truncate",
     "conv_role_balance",
     "transcript_contamination",
+    "transcript_loop_detect",
+    "turn_context_window",
+    "conv_pack_assign",
+    "transcript_sessionize",
+    "conv_exchange_extract",
 ]
 
 
