@@ -13,11 +13,15 @@ while in its home bucket it is first and so begins no duplicate pair.
 One map_batches + ONE (key, bucket)-keyed shuffle, no second stitch
 pass, ~1/bucket_size row duplication.
 
-Contract: ``order_col`` must be a DENSE ordinal per key (0..n-1, the
-natural contract for assembled transcripts' turn_idx).  With sparse
-ordinals a gap spanning a whole empty bucket would silently drop the
-pair across it — callers with sparse orders must first densify (rank)
-or fall back to a boundary-stitch second pass.
+Contract: for :func:`adjacent_pairs` and :func:`rolling_join`,
+``order_col`` must be a DENSE ordinal per key (0..n-1, the natural
+contract for assembled transcripts' turn_idx).  With sparse ordinals a
+gap spanning a whole empty bucket would silently drop the pair across
+it — callers with sparse orders must first densify (rank) or fall back
+to a boundary-stitch second pass.  :func:`bounded_cumsum` has NO such
+requirement: its bucket offsets are exact sums over whatever ordinals
+exist, so sparse orders (e.g. ranking only the tool turns of a
+conversation) are fine — tested in test_adjacency.py.
 """
 
 from __future__ import annotations

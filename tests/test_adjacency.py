@@ -170,3 +170,29 @@ def test_rolling_join_rejects_window_deeper_than_bucket(ray_session):
     ds = ray.data.from_arrow(_make_table())
     with pytest.raises(ValueError):
         rolling_join(ds, "key", "idx", "val", k=8, bucket_size=8)
+
+
+def test_bounded_cumsum_sparse_ordinals(ray_session):
+    """bounded_cumsum must be exact on SPARSE ordinals (unlike the pair
+    primitives' dense contract) — transcript_loop_detect feeds it only
+    the tool turns of each conversation."""
+    import ray.data
+
+    from lingua_ray.stages.adjacency import bounded_cumsum
+
+    rng = np.random.RandomState(0)
+    rows = [("a", i, 1) for i in range(0, 3000, 3)]
+    rows += [("b", int(o), int(v)) for o, v in
+             zip(rng.choice(10_000, 500, replace=False),
+                 rng.randint(1, 5, 500))]
+    k, o, v = zip(*rows)
+    tbl = pa.table({"key": pa.array(k), "idx": pa.array(o, pa.int64()),
+                    "ts": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = bounded_cumsum(ds, "key", "idx", "ts",
+                         bucket_size=64).to_pandas() \
+        .sort_values(["key", "idx"], ignore_index=True)
+    want = tbl.to_pandas().sort_values(["key", "idx"], ignore_index=True)
+    want["cum"] = want.groupby("key")["ts"].cumsum()
+    assert len(got) == len(want)
+    assert (got["cum"].values == want["cum"].values).all()
