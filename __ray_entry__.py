@@ -626,8 +626,15 @@ def _q_transcript_sessionize(sf_dir: str):
             "turn_idx": f.column("turn_idx"),
             "val": pa.array(np.zeros(f.num_rows, dtype=np.int64))})
 
-    marks = pairs.map_batches(breaks, batch_format="pyarrow").union(
-        base.map_batches(heads, batch_format="pyarrow"))
+    # bounded_cumsum consumes its input twice; without a spill that
+    # re-executes the adjacent_pairs shuffle.  The marks table is 3 thin
+    # columns per turn — spill once, stream twice (stages/spill.py owns
+    # the /tmp lifecycle; a production run points this at shared storage).
+    from lingua_ray.stages.spill import spill
+    marks = spill(
+        pairs.map_batches(breaks, batch_format="pyarrow").union(
+            base.map_batches(heads, batch_format="pyarrow")),
+        "sessmarks", Path(sf_dir).name)
     cum = bounded_cumsum(marks, "conv_id", "turn_idx", "val",
                          bucket_size=_TURN_BUCKET)
 
