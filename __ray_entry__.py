@@ -853,6 +853,21 @@ def _q_gopher_filter(sf_dir: str):
                               "gopher_keep"])
 
 
+_BM25_TERMS = ("scan", "merge", "window", "batch", "vector")
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Top-50 documents by BM25 (k1=1.2, b=0.75, Lucene idf) against a
+    fixed broadcast term set — ranked retrieval for curriculum /
+    contamination scoring.  Stats pass ships ≤ |Q|+1 rows per block;
+    score pass is shuffle-free; top-k cut on the rounded score with
+    doc-id tie-break so both engines agree at the boundary.
+    [SQL-verified]"""
+    from lingua_ray.stages.bm25 import bm25_topk
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=50)
+
+
 def _q_doc_scrub(sf_dir: str):
     """PII scrub + toxicity count.  [SQL-verified — both engines are RE2]"""
     from lingua_ray.stages.scrub import scrub_batch
@@ -3832,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_inference": _q_embedding_inference,
         "gopher_filter": _q_gopher_filter,
         # ---- new in round 4, SQL-verified ----
+        "bm25_topk": _q_bm25_topk,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
@@ -4649,6 +4665,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id
         """,
         "doc_split": _doc_split_sql(),
+        "bm25_topk": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            dl AS (SELECT doc_id, count(*) AS len FROM w GROUP BY doc_id),
+            st AS (SELECT count(*) AS n,
+                          CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+                   FROM dl),
+            q(term) AS (SELECT unnest(
+                ['scan', 'merge', 'window', 'batch', 'vector'])),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM w JOIN q ON w.word = q.term GROUP BY doc_id, word),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df
+                   FROM w JOIN q ON w.word = q.term GROUP BY word),
+            sc AS (SELECT tf.doc_id,
+                     round(sum(
+                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.len / st.avgdl))), 6)
+                       AS bm25
+                   FROM tf JOIN df USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, bm25 FROM sc
+            ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
         "gopher_filter": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS text
                        FROM documents),

@@ -154,7 +154,9 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "semantic_dedup", "knn_pq", "knn_ivfpq",
                      "transcript_loop_detect", "turn_context_window",
                      "conv_pack_assign", "transcript_sessionize",
-                     "conv_exchange_extract"]
+                     "conv_exchange_extract",
+                     # final-round-4 retrieval / selection operators
+                     "bm25_topk"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
