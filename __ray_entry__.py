@@ -868,6 +868,19 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_TERMS, k=50)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
+    documents that look most like the lang='en' target under hashed-
+    unigram bag LMs — md5-bucketed features (1024 buckets, SQL-parity),
+    add-one smoothing, Gumbel top-k with the shared md5-of-id consistent
+    uniform.  Count pass ships ≤ 1024 sparse rows per block; score pass
+    is shuffle-free; k-safe tree-reduce cut on the rounded score.
+    [SQL-verified]"""
+    from lingua_ray.stages.dsir import dsir_select
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return dsir_select(ds, "lang", "en", k=100)
+
+
 def _q_doc_scrub(sf_dir: str):
     """PII scrub + toxicity count.  [SQL-verified — both engines are RE2]"""
     from lingua_ray.stages.scrub import scrub_batch
@@ -3848,6 +3861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         # ---- new in round 4, SQL-verified ----
         "bm25_topk": _q_bm25_topk,
+        "dsir_select": _q_dsir_select,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
@@ -4690,6 +4704,33 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, bm25 FROM sc
             ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
+        "dsir_select": """
+            WITH w AS (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            b AS (SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(word), 1, 13))::UBIGINT % 1024
+                         AS BIGINT) AS bucket
+                  FROM w),
+            cnt AS (SELECT bucket,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+                      count(*) AS cr
+                    FROM b GROUP BY bucket),
+            tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM cnt),
+            llr AS (SELECT bucket,
+                      ln((ct + 1.0) / (t + 1024.0))
+                      - ln((cr + 1.0) / (r + 1024.0)) AS llr
+                    FROM cnt CROSS JOIN tot),
+            sc AS (SELECT b.doc_id, sum(llr.llr) AS logw
+                   FROM b JOIN llr USING (bucket) GROUP BY b.doc_id),
+            g AS (SELECT doc_id, logw,
+                    -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 13))::UBIGINT + 1)
+                            / 4503599627370497.0)) AS gum
+                  FROM sc)
+            SELECT doc_id, round(logw + gum, 6) AS dsir_score FROM g
+            ORDER BY dsir_score DESC, doc_id LIMIT 100
         """,
         "gopher_filter": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS text

@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 
 from .tfidf import _doc_word_hashes
-from .util import round_half_away
+from .util import round_half_away, topk_reduce
 from ..functions.textstats import fingerprint64_array
 
 # sentinel key for the (n_docs, total_len) stats row; a real term hash
@@ -90,15 +90,6 @@ def _collect_stats(ds, terms: tuple[str, ...], text_col: str,
     return df, n_docs, avgdl
 
 
-def _topk_block(batch: pa.Table, k: int, id_col: str) -> pa.Table:
-    if batch.num_rows <= k:
-        return batch
-    s = batch.column("bm25").to_numpy()
-    d = batch.column(id_col).to_numpy()
-    order = np.lexsort((d, -s))[:k]
-    return batch.take(pa.array(order))
-
-
 def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id", n_reduce: int = 16) -> pa.Table:
@@ -127,23 +118,5 @@ def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
             "bm25": pa.array(round_half_away(total[hit], 6),
                              type=pa.float64())})
 
-    local = (ds.map_batches(score, batch_format="pyarrow")
-             .map_batches(_topk_block, batch_format="pyarrow",
-                          fn_kwargs={"k": k, "id_col": id_col}))
-
-    def _salt(batch: pa.Table) -> pa.Table:
-        s = (batch.column(id_col).to_numpy() % n_reduce).astype(np.int32)
-        return batch.append_column("salt", pa.array(s))
-
-    def _topk_group(group: pa.Table) -> pa.Table:
-        return _topk_block(group.drop_columns(["salt"]), k, id_col)
-
-    reduced = (local.map_batches(_salt, batch_format="pyarrow")
-               .groupby("salt").map_groups(_topk_group,
-                                           batch_format="pyarrow"))
-    t = pa.Table.from_pylist(
-        reduced.take_all(),
-        schema=pa.schema([(id_col, pa.int64()), ("bm25", pa.float64())]))
-    order = np.lexsort((t.column(id_col).to_numpy(),
-                        -t.column("bm25").to_numpy()))[:k]
-    return t.take(pa.array(order))
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk_reduce(scored, "bm25", id_col, k, n_reduce=n_reduce)

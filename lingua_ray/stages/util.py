@@ -53,6 +53,49 @@ def empty_typed_dataset(ds, cols: dict):
          for name, typ in cols.items()}))
 
 
+def topk_by_score(batch: pa.Table, score_col: str, id_col: str,
+                  k: int) -> pa.Table:
+    """The k rows with the largest ``score_col`` (ties: ``id_col``
+    ascending) — one lexsort, no Python row loop."""
+    import numpy as np
+    if batch.num_rows <= k:
+        return batch
+    order = np.lexsort((batch.column(id_col).to_numpy(),
+                        -batch.column(score_col).to_numpy()))[:k]
+    return batch.take(pa.array(order))
+
+
+def topk_reduce(ds, score_col: str, id_col: str, k: int,
+                n_reduce: int = 16) -> pa.Table:
+    """Global top-k of a (id, score) Dataset: per-block top-k → one
+    salted tree-reduce level → driver merge.  k-safe for any row
+    partitioning (a row dropped from a block's top-k is beaten by ≥ k
+    rows there, so it cannot be in the global top-k); the driver sees
+    ≤ n_reduce × k rows no matter how many blocks the input has."""
+    import numpy as np
+
+    local = ds.map_batches(topk_by_score, batch_format="pyarrow",
+                           fn_kwargs={"score_col": score_col,
+                                      "id_col": id_col, "k": k})
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        s = (batch.column(id_col).to_numpy() % n_reduce).astype("int32")
+        return batch.append_column("salt", pa.array(s))
+
+    def _topk_group(group: pa.Table) -> pa.Table:
+        return topk_by_score(group.drop_columns(["salt"]), score_col,
+                             id_col, k)
+
+    reduced = (local.map_batches(_salt, batch_format="pyarrow")
+               .groupby("salt").map_groups(_topk_group,
+                                           batch_format="pyarrow"))
+    t = pa.Table.from_pylist(
+        reduced.take_all(),
+        schema=pa.schema([(id_col, pa.int64()),
+                          (score_col, pa.float64())]))
+    return topk_by_score(t, score_col, id_col, k)
+
+
 def set_column(batch: pa.Table, name: str, arr) -> pa.Table:
     """Append a column, replacing any existing column of the same name (input
     tables may already carry columns like ``lang`` or ``n_chars``)."""

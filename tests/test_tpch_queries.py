@@ -45,7 +45,8 @@ def oracle_con():
                                   "weighted_sample", "embedding_inference",
                                   "gopher_filter", "substring_dedup",
                                   "substring_dedup_winnowed",
-                                  "dedup_indexed", "bm25_topk"])
+                                  "dedup_indexed", "bm25_topk",
+                                  "dsir_select"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
