@@ -868,6 +868,45 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_TERMS, k=50)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    every document ranked within its language by a quality score (word
+    entropy, richer = better — the sandbox stand-in for LM perplexity,
+    same plan) and cut into head/middle/tail terciles.  Uses the
+    partitioned row_number/ntile primitive: sampled range boundaries on
+    the composite (lang, score, id) key, per-(range, lang) offset table,
+    ONE range-keyed shuffle of 24-byte triples — no global sort, no
+    bounded-score-cardinality assumption, text never rides the exchange.
+    [SQL-verified — NTILE semantics reproduced exactly]"""
+    from lingua_ray.functions.rank import partitioned_row_number
+    from lingua_ray.stages.quality import entropy_batch
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = entropy_batch(batch)
+        su = np.rint(b.column("entropy").to_numpy() * 1e6).astype(np.int64)
+        # rank DESC on entropy (head = richest) = ASC on the negation
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "neg_score": pa.array(-su)})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    ranked = partitioned_row_number(scored, "lang", "neg_score", "doc_id",
+                                    ntile=3)
+
+    def label(batch: pa.Table) -> pa.Table:
+        tile = batch.column("tile").to_numpy()
+        names = np.array(["head", "middle", "tail"])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "score_u": pa.array(-batch.column("neg_score").to_numpy()),
+            "rn": batch.column("rn"),
+            "bucket": pa.array(names[tile - 1])})
+
+    return ranked.map_batches(label, batch_format="pyarrow")
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
     documents that look most like the lang='en' target under hashed-
@@ -3862,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- new in round 4, SQL-verified ----
         "bm25_topk": _q_bm25_topk,
         "dsir_select": _q_dsir_select,
+        "ccnet_buckets": _q_ccnet_buckets,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
@@ -4704,6 +4744,30 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY tf.doc_id)
             SELECT doc_id, bm25 FROM sc
             ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
+        "ccnet_buckets": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT doc_id, word, count(*) AS n FROM w
+                  GROUP BY doc_id, word),
+            t AS (SELECT doc_id, sum(n) AS tot FROM c GROUP BY doc_id),
+            e AS (SELECT c.doc_id,
+                    round(-sum((CAST(n AS DOUBLE) / tot) *
+                               ln(CAST(n AS DOUBLE) / tot)), 6) AS entropy
+                  FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY c.doc_id),
+            s AS (SELECT d.doc_id, d.lang,
+                    CAST(round(e.entropy * 1000000.0) AS BIGINT) AS score_u
+                  FROM documents d JOIN e ON d.doc_id = e.doc_id),
+            r AS (SELECT doc_id, lang, score_u,
+                    CAST(row_number() OVER win AS BIGINT) AS rn,
+                    ntile(3) OVER win AS tile
+                  FROM s
+                  WINDOW win AS (PARTITION BY lang
+                                 ORDER BY score_u DESC, doc_id))
+            SELECT doc_id, lang, score_u, rn,
+              CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM r
         """,
         "dsir_select": """
             WITH w AS (SELECT doc_id, lang,

@@ -33,3 +33,51 @@ def test_global_row_number_matches_pandas(ray_session):
     want = df.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(
         got[["doc_id", "rn", "tile"]], want[["doc_id", "rn", "tile"]])
+
+
+def test_partitioned_row_number_matches_duckdb(ray_session):
+    """Skewed partitions + continuous values + duplicate (part, value)
+    pairs straddling range boundaries, forced through MANY ranges."""
+    import duckdb
+    import ray.data
+
+    from lingua_ray.functions.rank import partitioned_row_number
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    part = rng.choice(["en", "de", "fr", "megalang"], size=n,
+                      p=[0.1, 0.1, 0.1, 0.7])
+    value = rng.randint(0, 50, size=n).astype(np.int64)  # heavy ties
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"lang": pa.array(part.tolist()), "v": pa.array(value),
+                  "doc_id": pa.array(ids)})
+
+    got = partitioned_row_number(
+        ray.data.from_arrow(t).repartition(13), "lang", "v", "doc_id",
+        ntile=3, n_ranges=16, sample_per_block=8).to_pandas()
+    got = got.sort_values(["lang", "v", "doc_id"],
+                          ignore_index=True)[["lang", "v", "doc_id",
+                                              "rn", "tile"]]
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT lang, v, doc_id,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          CAST(ntile(3) OVER w AS BIGINT) AS tile
+        FROM t WINDOW w AS (PARTITION BY lang ORDER BY v, doc_id)
+        ORDER BY lang, v, doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_partitioned_row_number_empty(ray_session):
+    import ray.data
+
+    from lingua_ray.functions.rank import partitioned_row_number
+
+    t = pa.table({"lang": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.int64()),
+                  "doc_id": pa.array([], type=pa.int64())})
+    out = partitioned_row_number(ray.data.from_arrow(t), "lang", "v",
+                                 "doc_id", ntile=3)
+    assert out.count() == 0

@@ -46,7 +46,7 @@ def oracle_con():
                                   "gopher_filter", "substring_dedup",
                                   "substring_dedup_winnowed",
                                   "dedup_indexed", "bm25_topk",
-                                  "dsir_select"])
+                                  "dsir_select", "ccnet_buckets"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
