@@ -679,6 +679,86 @@ def _q_conv_exchange_extract(sf_dir: str):
     return pairs.map_batches(extract, batch_format="pyarrow")
 
 
+def _q_dpo_pairs(sf_dir: str):
+    """Preference-pair (DPO/RLHF) construction: for every prompt (user
+    turn) that received ≥ 2 DISTINCT assistant replies anywhere in the
+    corpus, emit (prompt, chosen, rejected) — chosen/rejected the
+    max/min reply under the deterministic (length, text) order (the
+    sandbox stand-in for a reward-model score; same plan).
+
+    Scale shape: SFT pairs via the bucketed adjacency primitive, then a
+    per-block min/max combiner — ONE row per distinct prompt per block
+    (prompt + two candidate replies) rides the prompt-keyed shuffle, so
+    a hot prompt ("hello" × 10^8) costs one row per block, never a
+    mega-group of replies.  ≥2-distinct ⟺ global max ≠ global min under
+    a total order, so no distinct-count set is ever materialized.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.adjacency import adjacent_pairs
+    from lingua_ray.stages.util import utf8_filled
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    pairs = adjacent_pairs(ds, "conv_id", "turn_idx", ["role", "text"],
+                           bucket_size=_TURN_BUCKET)
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        """One (prompt, best, worst) row per distinct prompt of t —
+        ``best``/``worst`` columns may pre-exist (merge pass) or be the
+        raw response (combiner pass)."""
+        idx = pc.sort_indices(t, sort_keys=[("ph", "ascending"),
+                                            ("len", "ascending"),
+                                            ("resp", "ascending")])
+        s = t.take(idx)
+        ph = s.column("ph").to_numpy()
+        first = np.flatnonzero(
+            np.concatenate([[True], ph[1:] != ph[:-1]]))
+        last = np.concatenate([first[1:] - 1, [len(ph) - 1]])
+        lo, hi = s.take(pa.array(first)), s.take(pa.array(last))
+        return pa.table({"ph": lo.column("ph"),
+                         "prompt": lo.column("prompt"),
+                         "worst": lo.column("resp"),
+                         "best": hi.column("resp")})
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("prev_role"), "user"),
+                    pc.equal(batch.column("role"), "assistant"))
+        f = batch.filter(m)
+        prompt = utf8_filled(f.column("prev_text"))
+        resp = utf8_filled(f.column("text"))
+        t = pa.table({"ph": pa.array(
+                          fingerprint64_array(prompt).view(np.int64)),
+                      "prompt": prompt, "resp": resp,
+                      "len": pc.utf8_length(resp)})
+        return _minmax(t)
+
+    def merge(group: pa.Table) -> pa.Table:
+        # re-run the same kernel over the per-block winners: the worst
+        # column can only produce the global min, best the global max
+        both = pa.table({
+            "ph": pa.concat_arrays(
+                [group.column("ph").combine_chunks(),
+                 group.column("ph").combine_chunks()]),
+            "prompt": pa.concat_arrays(
+                [group.column("prompt").combine_chunks(),
+                 group.column("prompt").combine_chunks()]),
+            "resp": pa.concat_arrays(
+                [group.column("worst").combine_chunks(),
+                 group.column("best").combine_chunks()])})
+        both = both.append_column(
+            "len", pc.utf8_length(both.column("resp")))
+        mm = _minmax(both)
+        keep = pc.not_equal(mm.column("best"), mm.column("worst"))
+        f = mm.filter(keep)
+        return pa.table({"prompt": f.column("prompt"),
+                         "chosen": f.column("best"),
+                         "rejected": f.column("worst")})
+
+    return (pairs.map_batches(combiner, batch_format="pyarrow")
+            .groupby("ph").map_groups(merge, batch_format="pyarrow"))
+
+
 def _q_conv_pack_assign(sf_dir: str):
     """Sequence packing: assign each conversation to a fixed-capacity
     training pack (8192 chars) by the running char total in conv_id
@@ -3926,6 +4006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_pack_assign": _q_conv_pack_assign,
         "transcript_sessionize": _q_transcript_sessionize,
         "conv_exchange_extract": _q_conv_exchange_extract,
+        "dpo_pairs": _q_dpo_pairs,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
@@ -4238,6 +4319,31 @@ def _conv_exchange_extract_sql() -> str:
     """)
 
 
+def _dpo_pairs_sql() -> str:
+    return _transcript_oracle("""
+        WITH p AS (
+          SELECT conv_id, lag(role) OVER w AS prev_role,
+            coalesce(lag(text) OVER w, '') AS prompt,
+            coalesce(text, '') AS response, role
+          FROM {src}
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        pr AS (SELECT prompt, response FROM p
+               WHERE prev_role = 'user' AND role = 'assistant'),
+        r AS (SELECT prompt, response,
+                row_number() OVER (PARTITION BY prompt
+                  ORDER BY length(response) DESC, response DESC) AS rbest,
+                row_number() OVER (PARTITION BY prompt
+                  ORDER BY length(response) ASC, response ASC) AS rworst,
+                count(DISTINCT response)
+                  OVER (PARTITION BY prompt) AS nd
+              FROM pr)
+        SELECT prompt,
+          max(CASE WHEN rbest = 1 THEN response END) AS chosen,
+          max(CASE WHEN rworst = 1 THEN response END) AS rejected
+        FROM r WHERE nd >= 2 GROUP BY prompt
+    """)
+
+
 def _transcript_sessionize_sql() -> str:
     return _transcript_oracle("""
         WITH g AS (
@@ -4492,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_pack_assign": _conv_pack_assign_sql(),
         "transcript_sessionize": _transcript_sessionize_sql(),
         "conv_exchange_extract": _conv_exchange_extract_sql(),
+        "dpo_pairs": _dpo_pairs_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

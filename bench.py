@@ -156,7 +156,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_pack_assign", "transcript_sessionize",
                      "conv_exchange_extract",
                      # final-round-4 retrieval / selection operators
-                     "bm25_topk", "dsir_select", "ccnet_buckets"]
+                     "bm25_topk", "dsir_select", "ccnet_buckets",
+                     "dpo_pairs"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

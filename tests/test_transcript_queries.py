@@ -28,6 +28,7 @@ NAMES = [
     "conv_pack_assign",
     "transcript_sessionize",
     "conv_exchange_extract",
+    "dpo_pairs",
 ]
 
 
