@@ -3920,22 +3920,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounded window (50/round) from the front, so queries that have never
     # received a driver-green row are listed first — SQL-verified ones
     # (strongest check) ahead of rows-only ones — and the queries already
-    # hash-green in rounds 1-3 follow.  The round-4 window holds 48
-    # never-checked entries; with it, the cross-round driver-verified
-    # union covers ALL registered queries except the late-round-4
-    # additions after slot 50: the two HLL sketches (distinct_words_hll /
-    # distinct_words_by_lang_hll — their EXACT SQL-verified twins
-    # distinct_words_exact / distinct_words_by_lang sit in the window head
-    # and the sketch error bound is pytest-gated), semantic_dedup
-    # (rows-only; planted-pair pytest), the four SQL-verified
-    # transcript additions (transcript_tool_chains, conv_context_truncate,
-    # conv_role_balance, transcript_contamination — locally gate-green at
-    # sf0.01/sf0.1 via tools/check_queries), and the two PQ ANN queries
-    # (knn_pq / knn_ivfpq — rows-only; recall pytest).  Round 5 should
-    # lead with that tail plus the stalest r01-era greens.  Rows-only queries are the
-    # langid/model family (not SQL-expressible; gated by the pytest
-    # kernel-vs-scalar suite) and the approximate sketches (each has an
-    # exact SQL-verified twin).
+    # hash-green in rounds 1-3 follow.  The round-4 window leads with 44
+    # never-checked round-1-3 entries plus the four final-round-4
+    # SQL-verified operators (bm25_topk, dsir_select, ccnet_buckets,
+    # dpo_pairs — each locally gate-green at sf0.001/sf0.01 via
+    # tools/check_queries).  Still after slot 50 for round 5: the
+    # rows-only ANN tail (knn_lsh/ivf/ivf_persisted/kmeans, knn_pq,
+    # knn_ivfpq — recall-pytest-gated), the two HLL sketches (EXACT
+    # SQL-verified twins distinct_words_exact / distinct_words_by_lang
+    # sit in the window head), semantic_dedup (planted-pair pytest), the
+    # four SQL-verified mid-round-4 transcript additions
+    # (transcript_tool_chains, conv_context_truncate, conv_role_balance,
+    # transcript_contamination), bpe/conv_quality_rollup/linear_probe
+    # rows-only entries, and the stalest r01-era greens.  Rows-only
+    # queries are the langid/model family (not SQL-expressible; gated by
+    # the pytest kernel-vs-scalar suite) and the approximate sketches
+    # (each has an exact SQL-verified twin).
     return {
         # ---- round-4 additions, SQL-verified (window head) ----
         "media_dims": _q_media_dims,
@@ -3982,6 +3982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
+        "dpo_pairs": _q_dpo_pairs,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
@@ -4006,7 +4007,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_pack_assign": _q_conv_pack_assign,
         "transcript_sessionize": _q_transcript_sessionize,
         "conv_exchange_extract": _q_conv_exchange_extract,
-        "dpo_pairs": _q_dpo_pairs,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         # ---- driver-green in rounds 1-3, SQL-verified ----
