@@ -987,6 +987,19 @@ def _q_ccnet_buckets(sf_dir: str):
     return ranked.map_batches(label, batch_format="pyarrow")
 
 
+def _q_nb_lang_classify(sf_dir: str):
+    """Train a multinomial Naive Bayes language classifier on the corpus
+    (md5-hashed bag-of-words, add-one smoothing) and classify every
+    document — distributed training is ONE sparse-count combiner + tiny
+    groupby (≤ labels × buckets rows per block, tokens never ride);
+    inference is shuffle-free with the broadcast log-prob matrix.
+    Argmax on the rounded score with label-asc tie-break keeps both
+    engines on the same winner at float boundaries.  [SQL-verified]"""
+    from lingua_ray.stages.nbayes import nb_classify
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return nb_classify(ds, "lang")
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
     documents that look most like the lang='en' target under hashed-
@@ -3983,6 +3996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
         "dpo_pairs": _q_dpo_pairs,
+        "nb_lang_classify": _q_nb_lang_classify,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
@@ -4875,6 +4889,44 @@ def oracle_sql() -> dict[str, str]:
               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                    ELSE 'tail' END AS bucket
             FROM r
+        """,
+        "nb_lang_classify": """
+            WITH w AS (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            b AS (SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(word), 1, 13))::UBIGINT % 1024
+                         AS BIGINT) AS bucket
+                  FROM w),
+            cnt AS (SELECT lang, bucket, count(*) AS n
+                    FROM b GROUP BY lang, bucket),
+            tok AS (SELECT lang, sum(n) AS tot FROM cnt GROUP BY lang),
+            docs AS (SELECT lang, count(*) AS nd
+                     FROM documents GROUP BY lang),
+            tot AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT db.doc_id, l.lang,
+                     sum(ln((coalesce(cnt.n, 0) + 1.0)
+                            / (tok.tot + 1024.0))) AS ll
+                   FROM (SELECT doc_id, bucket FROM b) db
+                   CROSS JOIN (SELECT lang FROM docs) l
+                   LEFT JOIN cnt ON cnt.lang = l.lang
+                                AND cnt.bucket = db.bucket
+                   JOIN tok ON tok.lang = l.lang
+                   GROUP BY db.doc_id, l.lang),
+            fin AS (SELECT sc.doc_id, sc.lang,
+                      round(sc.ll + ln(CAST(docs.nd AS DOUBLE) / tot.n), 6)
+                        AS score
+                    FROM sc JOIN docs ON docs.lang = sc.lang
+                    CROSS JOIN tot),
+            r AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) AS rn
+                  FROM fin)
+            SELECT r.doc_id, r.lang AS pred_lang, r.score,
+              CAST(CASE WHEN r.lang = d.lang THEN 1 ELSE 0 END
+                   AS INTEGER) AS hit
+            FROM r JOIN documents d ON d.doc_id = r.doc_id
+            WHERE rn = 1
         """,
         "dsir_select": """
             WITH w AS (SELECT doc_id, lang,

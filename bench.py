@@ -157,7 +157,7 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_exchange_extract",
                      # final-round-4 retrieval / selection operators
                      "bm25_topk", "dsir_select", "ccnet_buckets",
-                     "dpo_pairs"]
+                     "dpo_pairs", "nb_lang_classify"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -46,3 +46,31 @@ def test_dsir_partitioning_invariant(ray_session, corpus):
     assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
     assert np.allclose(a.column("dsir_score").to_numpy(),
                        b.column("dsir_score").to_numpy())
+
+
+def test_nb_classifier_learns_separable_labels(ray_session, corpus):
+    """Disjoint vocabularies are perfectly separable: every doc must be
+    classified to its vocabulary family's majority label, and accuracy
+    on the training set must be 100% for the distinctive halves."""
+    import ray.data
+
+    from lingua_ray.stages.nbayes import nb_classify
+
+    rows = [{"doc_id": r["doc_id"],
+             "lang": "tech" if r["doc_id"] < 20 else "chat",
+             "text": r["text"]} for r in corpus]
+    out = nb_classify(ray.data.from_items(rows), "lang").to_pandas()
+    assert (out["hit"] == 1).all()
+
+
+def test_nb_partitioning_invariant(ray_session, corpus):
+    import ray.data
+
+    from lingua_ray.stages.nbayes import nb_classify
+
+    a = nb_classify(ray.data.from_items(corpus), "lang").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = nb_classify(ray.data.from_items(corpus).repartition(9),
+                    "lang").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

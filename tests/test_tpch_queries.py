@@ -46,7 +46,8 @@ def oracle_con():
                                   "gopher_filter", "substring_dedup",
                                   "substring_dedup_winnowed",
                                   "dedup_indexed", "bm25_topk",
-                                  "dsir_select", "ccnet_buckets"])
+                                  "dsir_select", "ccnet_buckets",
+                                  "nb_lang_classify"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
