@@ -759,6 +759,29 @@ def _q_dpo_pairs(sf_dir: str):
             .groupby("ph").map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_conv_lang_switches(sf_dir: str):
+    """Per-conversation language consistency: every turn through the
+    REAL langid actor pool (models loaded once per actor), then (a)
+    code-switch count — adjacent turns whose detected language differs —
+    via the bucketed adjacency primitive, and (b) majority language via
+    a per-block (conv, lang) histogram combiner.  Both reduce through
+    ONE conv-keyed shuffle of tiny count rows (union-tagged, group size
+    ≤ distinct-langs-per-conv + bucket partials — mega-conversation
+    proof); turn text never rides an exchange.  [rows-only: langid is
+    not SQL-expressible; gated by the crafted-fixture pytest +
+    kernel-vs-scalar conformance suite]"""
+    from lingua_ray.stages.langid import LangIdScorer
+    from lingua_ray.stages.langstats import lang_switch_stats
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    tagged = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4), num_cpus=1,
+        fn_constructor_kwargs={"with_ppl": False}
+    ).select_columns(["conv_id", "turn_idx", "lang"])
+    return lang_switch_stats(tagged, bucket_size=_TURN_BUCKET)
+
+
 def _q_conv_pack_assign(sf_dir: str):
     """Sequence packing: assign each conversation to a fixed-capacity
     training pack (8192 chars) by the running char total in conv_id
@@ -3997,6 +4020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
+        "conv_lang_switches": _q_conv_lang_switches,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----

@@ -1,0 +1,78 @@
+"""Per-conversation language-consistency statistics.
+
+Composes the langid actor pool with the bucketed adjacency primitive:
+(a) code-switch count — adjacent turns whose DETECTED language differs —
+and (b) majority language + distinct-language count per conversation.
+
+Scale shape: both signals reduce to per-block partial counts before the
+single conv-keyed shuffle — a mega-conversation contributes one
+switch-sum row and ≤ distinct-langs histogram rows per block, so no
+group is ever O(conversation length); turn text never rides an
+exchange.  The union-tagged rows (lang NULL ⇒ switch partial) let one
+``groupby(conv_id)`` finalize both signals without a join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .adjacency import adjacent_pairs
+
+
+def lang_switch_stats(tagged, bucket_size: int = 64):
+    """``tagged``: Dataset with (conv_id, turn_idx, lang) — one row per
+    turn, ``lang`` already detected.  Returns a Dataset of (conv_id,
+    majority_lang, n_langs, n_switches)."""
+    pairs = adjacent_pairs(tagged, "conv_id", "turn_idx", ["lang"],
+                           bucket_size=bucket_size)
+
+    def switch_partial(batch: pa.Table) -> pa.Table:
+        sw = np.asarray(pc.fill_null(
+            pc.not_equal(batch.column("prev_lang"), batch.column("lang")),
+            False).to_numpy(zero_copy_only=False), dtype=np.int64)
+        c = np.asarray(batch.column("conv_id")
+                       .to_numpy(zero_copy_only=False))
+        uc, codes = np.unique(c, return_inverse=True)
+        sums = np.bincount(codes, weights=sw, minlength=len(uc))
+        return pa.table({
+            "conv_id": pa.array(uc),
+            "lang": pa.nulls(len(uc), pa.string()),
+            "n": pa.array(sums.astype(np.int64))})
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("conv_id")
+                       .to_numpy(zero_copy_only=False))
+        l = np.asarray(batch.column("lang").to_numpy(zero_copy_only=False))
+        key = np.char.add(np.char.add(c.astype(str), "\x00"),
+                          l.astype(str))
+        uk, idx, ucnt = np.unique(key, return_index=True,
+                                  return_counts=True)
+        return pa.table({
+            "conv_id": pa.array(c[idx]), "lang": pa.array(l[idx]),
+            "n": pa.array(ucnt.astype(np.int64))})
+
+    sw = pairs.map_batches(switch_partial, batch_format="pyarrow")
+    hist = tagged.map_batches(lang_partial, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")
+        n = group.column("n").to_numpy()
+        is_sw = np.asarray(pc.is_null(lang).to_numpy(zero_copy_only=False))
+        n_switches = int(n[is_sw].sum())
+        langs = np.asarray(lang.to_numpy(zero_copy_only=False))[~is_sw]
+        counts: dict = {}
+        for lg, c in zip(langs, n[~is_sw]):
+            counts[lg] = counts.get(lg, 0) + int(c)
+        top = max(counts.values()) if counts else 0
+        major = min(lg for lg, c in counts.items() if c == top) \
+            if counts else ""  # tie-break: max count, then lang ascending
+        return pa.table({
+            "conv_id": group.column("conv_id").slice(0, 1),
+            "majority_lang": pa.array([major]),
+            "n_langs": pa.array([len(counts)], type=pa.int64()),
+            "n_switches": pa.array([n_switches], type=pa.int64())})
+
+    return sw.union(hist).groupby("conv_id").map_groups(
+        finalize, batch_format="pyarrow")
