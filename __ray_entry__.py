@@ -770,16 +770,19 @@ def _q_conv_lang_switches(sf_dir: str):
     proof); turn text never rides an exchange.  [rows-only: langid is
     not SQL-expressible; gated by the crafted-fixture pytest +
     kernel-vs-scalar conformance suite]"""
+    from lingua_ray.models import ensure_models
     from lingua_ray.stages.langid import LangIdScorer
     from lingua_ray.stages.langstats import lang_switch_stats
 
+    ensure_models()
     ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     tagged = ds.map_batches(
-        LangIdScorer, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4), num_cpus=1,
+        LangIdScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=_langid_concurrency(), num_cpus=1,
         fn_constructor_kwargs={"with_ppl": False}
     ).select_columns(["conv_id", "turn_idx", "lang"])
-    return lang_switch_stats(tagged, bucket_size=_TURN_BUCKET)
+    return lang_switch_stats(tagged, bucket_size=_TURN_BUCKET,
+                             spill_input=Path(sf_dir).name)
 
 
 def _q_conv_pack_assign(sf_dir: str):

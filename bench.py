@@ -157,7 +157,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_exchange_extract",
                      # final-round-4 retrieval / selection operators
                      "bm25_topk", "dsir_select", "ccnet_buckets",
-                     "dpo_pairs", "nb_lang_classify"]
+                     "dpo_pairs", "nb_lang_classify",
+                     "conv_lang_switches"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

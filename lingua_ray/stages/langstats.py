@@ -21,10 +21,23 @@ import pyarrow.compute as pc
 from .adjacency import adjacent_pairs
 
 
-def lang_switch_stats(tagged, bucket_size: int = 64):
+def lang_switch_stats(tagged, bucket_size: int = 64,
+                      spill_input: str | None = None):
     """``tagged``: Dataset with (conv_id, turn_idx, lang) — one row per
     turn, ``lang`` already detected.  Returns a Dataset of (conv_id,
-    majority_lang, n_langs, n_switches)."""
+    majority_lang, n_langs, n_switches).
+
+    ``tagged`` is consumed by BOTH the adjacency branch and the
+    histogram branch; when it is the output of an expensive stage (the
+    langid actor pool), pass ``spill_input`` (a name keying the input,
+    e.g. the sf dir) so the table spills to parquet ONCE and both
+    branches re-read it lazily — otherwise the upstream stage executes
+    twice, and an actor-pool stage would demand two full pools of CPUs
+    at once (observed live: 2 × 14 langid actors starving a 16-CPU
+    session into a hang)."""
+    if spill_input is not None:
+        from .spill import spill
+        tagged = spill(tagged, "langswitch", spill_input)
     pairs = adjacent_pairs(tagged, "conv_id", "turn_idx", ["lang"],
                            bucket_size=bucket_size)
 
