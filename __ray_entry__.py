@@ -785,6 +785,129 @@ def _q_conv_lang_switches(sf_dir: str):
                              spill_input=Path(sf_dir).name)
 
 
+def _q_multilang_turns(sf_dir: str):
+    """Mixed-language turn detection over transcripts: every turn
+    through the multi-language section scorer (script-boundary split +
+    per-section langid, models once per actor) — the per-turn analogue
+    of ``multilang_documents``, surfacing code-switching INSIDE a turn
+    (``conv_lang_switches`` covers switching ACROSS turns).  Shuffle-
+    free.  [rows-only: langid is not SQL-expressible; the section
+    machinery is gated by test_multilang.py's 110 ported rule cases]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.models import ensure_models
+    from lingua_ray.multilang import MultiLangScorer
+
+    ensure_models()
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        MultiLangScorer, batch_format="pyarrow", batch_size=256,
+        concurrency=_langid_concurrency(batch_size=256), num_cpus=1)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        secs = batch.column("sections")
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "n_sections": pc.cast(pc.list_value_length(secs), pa.int64()),
+            "first_lang": pa.array(
+                [(row[0]["lang"] if row else "un")
+                 for row in secs.to_pylist()], type=pa.string())})
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_conv_neardup(sf_dir: str):
+    """Near-duplicate CONVERSATIONS: assemble each conversation's text
+    in turn order, then the spilled-signature MinHash+LSH+verify plan of
+    ``dedup_minhash`` over the assembled documents — retraining-set
+    hygiene for agent transcripts, where whole sessions recur with tiny
+    diffs (retries, timestamps).  Conversation bodies ride exactly one
+    conv-keyed assembly shuffle; afterwards only 512-byte signatures and
+    8-byte ids move.  [rows-only; planted near-dup pytest]"""
+    import pyarrow.compute as pc
+    import ray
+
+    from lingua_ray.stages.assemble import assemble_conversations
+    from lingua_ray.stages.dedup import (bucket_pairs_group, lsh_band_batch,
+                                         minhash_signature_batch,
+                                         verify_minhash_candidates)
+    from lingua_ray.stages.spill import spill
+
+    ds = ray.data.read_parquet(str(_transcripts_for_sf(sf_dir)),
+                               columns=["conv_id", "turn_idx", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        """The synthetic conversations are all distinct, so near-dup
+        sessions are planted deterministically (the dedup_incremental
+        pattern): every conv with numeric id % 17 == 3 gets a clone at
+        id + 10^8 whose FIRST turn is edited — a retry with a tweaked
+        opening, near-identical thereafter."""
+        num = pc.cast(pc.utf8_slice_codeunits(batch.column("conv_id"),
+                                              4, 99), pa.int64())
+        m = pa.array(num.to_numpy() % 17 == 3)
+        f = batch.filter(m)
+        if f.num_rows == 0:
+            return batch
+        fnum = pc.add(pc.cast(pc.utf8_slice_codeunits(
+            f.column("conv_id"), 4, 99), pa.int64()), 100_000_000)
+        cid = pc.binary_join_element_wise(
+            pa.array(["conv"] * f.num_rows),
+            pc.cast(fnum, pa.string()), "")
+        first = pc.equal(f.column("turn_idx"), 0)
+        base = pc.cast(f.column("text"), pa.string())
+        text = pc.if_else(first,
+                          pc.binary_join_element_wise(
+                              base,
+                              pa.array([" (retry attempt)"] * f.num_rows),
+                              ""),
+                          base)
+        clone = pa.table({"conv_id": cid,
+                          "turn_idx": f.column("turn_idx"),
+                          "text": text})
+        clone = clone.select(batch.column_names).cast(batch.schema)
+        return pa.concat_tables([batch, clone])
+
+    conv = assemble_conversations(ds.map_batches(plant,
+                                                 batch_format="pyarrow"))
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        # conv_id = "conv%08d": numeric suffix → int64 so the pair
+        # machinery shuffles 8-byte keys, not strings
+        ids = pc.cast(pc.utf8_slice_codeunits(batch.column("conv_id"),
+                                              4, 99), pa.int64())
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    sig = conv.map_batches(to_ids, batch_format="pyarrow") \
+        .map_batches(minhash_signature_batch, batch_format="pyarrow")
+    sig = spill(sig, "convsig", Path(sf_dir).name,
+                columns=["doc_id", "minhash"])
+    bands = sig.map_batches(lsh_band_batch, batch_format="pyarrow")
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs_group, batch_format="pyarrow")
+    cand = (cand.groupby(["doc_id", "dup_of"]).count()
+                .select_columns(["doc_id", "dup_of"]))
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    verified = verify_minhash_candidates(cand, sig, threshold=0.5,
+                                         num_partitions=nparts)
+
+    def back(batch: pa.Table) -> pa.Table:
+        def name(col):
+            return pc.binary_join_element_wise(
+                pa.array(["conv"] * batch.num_rows),
+                pc.utf8_lpad(pc.cast(col, pa.string()), 8, "0"), "")
+        return pa.table({"conv_id": name(batch.column("doc_id")),
+                         "dup_of": name(batch.column("dup_of")),
+                         "jaccard_est": batch.column("jaccard_est")})
+
+    def _min_verified(group):
+        return group.sort_by([("dup_of", "ascending")]).slice(0, 1)
+
+    return (verified.groupby("doc_id")
+            .map_groups(_min_verified, batch_format="pyarrow")
+            .map_batches(back, batch_format="pyarrow"))
+
+
 def _q_conv_pack_assign(sf_dir: str):
     """Sequence packing: assign each conversation to a fixed-capacity
     training pack (8192 chars) by the running char total in conv_id
@@ -4024,6 +4147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "conv_lang_switches": _q_conv_lang_switches,
+        "multilang_turns": _q_multilang_turns,
+        "conv_neardup": _q_conv_neardup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         # ---- never-driver-checked, rows-only (pytest-gated) ----

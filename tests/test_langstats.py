@@ -59,3 +59,29 @@ def test_conv_lang_switches_detects_real_languages(ray_session, tmp_path):
     y = out[out.conv_id == "y"].iloc[0]
     assert x.majority_lang == "en" and x.n_switches == 2 and x.n_langs == 2
     assert y.majority_lang == "ja" and y.n_switches == 0 and y.n_langs == 1
+
+
+def test_conv_neardup_finds_planted_retries(ray_session, monkeypatch):
+    """Every planted clone (conv id + 10^8, first turn edited) must pair
+    with its original at high estimated Jaccard."""
+    import __ray_entry__ as E
+
+    monkeypatch.setenv("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    out = E.queries()["conv_neardup"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    clones = out[out.conv_id.str.len() > 12]  # conv1000000NN
+    assert len(clones) > 0
+    for _, r in clones.iterrows():
+        assert int(r.conv_id[4:]) - 100_000_000 == int(r.dup_of[4:])
+        assert r.jaccard_est >= 0.5
+
+
+def test_multilang_turns_flags_mixed_turns(ray_session):
+    import __ray_entry__ as E
+
+    out = E.queries()["multilang_turns"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(out) == 6000
+    # the fixture contains known mixed-script turns — some must split
+    assert (out.n_sections >= 2).any()
+    assert set(out.first_lang) - {""} != set()
