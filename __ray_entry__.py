@@ -785,6 +785,41 @@ def _q_conv_lang_switches(sf_dir: str):
                              spill_input=Path(sf_dir).name)
 
 
+def _q_transcript_refusals(sf_dir: str):
+    """Boilerplate-refusal detection over assistant turns — the filter
+    an SFT curation pass uses to drop or downweight canned refusals.
+    The synthetic turns contain no refusal phrases, so markers are
+    PLANTED deterministically (assistant turns with turn_idx % 23 == 7
+    get a canned apology appended — inlined identically in the oracle,
+    the dedup_incremental planting pattern).  One shuffle-free RE2 pass;
+    both engines are RE2.  [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.stages.scrub import refusal_batch
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("role"), "assistant"))
+        planted = pa.array(
+            f.column("turn_idx").to_numpy(zero_copy_only=False) % 23 == 7)
+        base = pc.cast(pc.fill_null(f.column("text"), ""), pa.string())
+        text = pc.if_else(
+            planted,
+            pc.binary_join_element_wise(
+                base, pa.array([" I am sorry, I cannot help with that."]
+                               * f.num_rows), ""),
+            base)
+        return pa.table({"conv_id": f.column("conv_id"),
+                         "turn_idx": f.column("turn_idx"),
+                         "text": text})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(refusal_batch, batch_format="pyarrow")
+    return out.select_columns(["conv_id", "turn_idx",
+                               "n_refusal_markers", "is_refusal"])
+
+
 def _q_multilang_turns(sf_dir: str):
     """Mixed-language turn detection over transcripts: every turn
     through the multi-language section scorer (script-boundary split +
@@ -4147,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "conv_lang_switches": _q_conv_lang_switches,
+        "transcript_refusals": _q_transcript_refusals,
         "multilang_turns": _q_multilang_turns,
         "conv_neardup": _q_conv_neardup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
@@ -4510,6 +4546,25 @@ def _dpo_pairs_sql() -> str:
     """)
 
 
+def _transcript_refusals_sql() -> str:
+    from lingua_ray.stages.scrub import REFUSAL_PATTERN
+    return _transcript_oracle(f"""
+        WITH t AS (
+          SELECT conv_id, turn_idx,
+            lower(coalesce(text, '') ||
+                  CASE WHEN turn_idx % 23 = 7
+                       THEN ' I am sorry, I cannot help with that.'
+                       ELSE '' END) AS lt
+          FROM {{src}} WHERE role = 'assistant')
+        SELECT conv_id, turn_idx,
+          CAST(length(regexp_extract_all(lt, '{REFUSAL_PATTERN}'))
+               AS BIGINT) AS n_refusal_markers,
+          CAST(CASE WHEN regexp_matches(lt, '{REFUSAL_PATTERN}')
+               THEN 1 ELSE 0 END AS INTEGER) AS is_refusal
+        FROM t
+    """)
+
+
 def _transcript_sessionize_sql() -> str:
     return _transcript_oracle("""
         WITH g AS (
@@ -4765,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_sessionize": _transcript_sessionize_sql(),
         "conv_exchange_extract": _conv_exchange_extract_sql(),
         "dpo_pairs": _dpo_pairs_sql(),
+        "transcript_refusals": _transcript_refusals_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

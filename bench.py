@@ -158,7 +158,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      # final-round-4 retrieval / selection operators
                      "bm25_topk", "dsir_select", "ccnet_buckets",
                      "dpo_pairs", "nb_lang_classify",
-                     "conv_lang_switches", "conv_neardup"]
+                     "conv_lang_switches", "conv_neardup",
+                     "transcript_refusals"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -35,6 +35,24 @@ TOX_WORDS = ("damn", "hell", "idiot", "stupid", "hate", "kill")
 TOX_PATTERN = r"\b(?:" + "|".join(TOX_WORDS) + r")\b"
 
 
+# Assistant-refusal markers (counted on lowercased text) — the
+# boilerplate-refusal filter an SFT/RLHF curation pass drops or
+# downweights.  Apostrophe-free so the DuckDB oracle needs no quote
+# escaping; RE2 in both engines.
+REFUSAL_MARKERS = ("i cannot", "i am unable to", "as an ai",
+                   "i apologize", "i am sorry")
+REFUSAL_PATTERN = r"\b(?:" + "|".join(REFUSAL_MARKERS) + r")\b"
+
+
+def refusal_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_refusal_markers`` (int64) and ``is_refusal`` (int32)."""
+    lt = pc.utf8_lower(utf8_filled(batch.column(text_col)))
+    n = pc.cast(pc.count_substring_regex(lt, REFUSAL_PATTERN), pa.int64())
+    batch = set_column(batch, "n_refusal_markers", n)
+    return set_column(batch, "is_refusal",
+                      pc.cast(pc.greater(n, 0), pa.int32()))
+
+
 def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = utf8_filled(batch.column(text_col))
     current = col

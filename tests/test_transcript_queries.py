@@ -29,6 +29,7 @@ NAMES = [
     "transcript_sessionize",
     "conv_exchange_extract",
     "dpo_pairs",
+    "transcript_refusals",
 ]
 
 
