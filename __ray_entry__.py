@@ -1795,6 +1795,18 @@ def _q_weighted_sample(sf_dir: str):
                            id_col="doc_id")
 
 
+def _q_weighted_sample_by_lang(sf_dir: str):
+    """20 documents per language by weighted sampling without
+    replacement (Efraimidis–Spirakis, weight = n_chars, md5-of-id
+    consistent uniforms) — the per-stratum weighted draw a
+    temperature-mixed multilingual sampler makes.  Combiner keeps ≤ k
+    rows per (lang, batch) on the wire.  [SQL-verified — DuckDB
+    reproduces the key byte-for-byte]"""
+    from lingua_ray.stages.sampling import weighted_sample_by_key
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample_by_key(ds, "lang", k=20, weight_col="n_chars")
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by md5 threshold
     bands — shuffle-free, stable across partitionings; thresholds
@@ -4183,6 +4195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "conv_lang_switches": _q_conv_lang_switches,
         "transcript_refusals": _q_transcript_refusals,
+        "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "multilang_turns": _q_multilang_turns,
         "conv_neardup": _q_conv_neardup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
@@ -5135,6 +5148,17 @@ def oracle_sql() -> dict[str, str]:
                    AS INTEGER) AS hit
             FROM r JOIN documents d ON d.doc_id = r.doc_id
             WHERE rn = 1
+        """,
+        "weighted_sample_by_lang": """
+            SELECT lang, doc_id, n_chars, rn FROM (
+              SELECT lang, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY
+                  -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                       )::UBIGINT + 1) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE),
+                  doc_id) AS BIGINT) AS rn
+              FROM documents WHERE n_chars > 0
+            ) WHERE rn <= 20
         """,
         "dsir_select": """
             WITH w AS (SELECT doc_id, lang,

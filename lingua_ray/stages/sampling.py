@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pyarrow as pa
 
 from .util import md5_hex_ranks
@@ -132,6 +133,51 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
     partial = ds.map_batches(combiner, batch_format="pyarrow")
     return partial.groupby("_g").map_groups(finalize,
                                             batch_format="pyarrow")
+
+
+def weighted_sample_by_key(ds, key_col: str, k: int, weight_col: str,
+                           id_col: str = "doc_id"):
+    """Per-group weighted sampling WITHOUT replacement: for every
+    distinct ``key_col`` value, the k rows with the smallest
+    Efraimidis–Spirakis keys (md5-of-id consistent uniforms — the
+    stratified_sample × weighted_sample composition a temperature-mixed
+    multilingual sampler needs).
+
+    Shape: each batch keeps its k smallest keys PER GROUP (the global
+    per-group winners are among the per-batch ones), then one
+    key-grouped finalize — the shuffle carries ≤ k rows per (group,
+    batch).  Returns (key_col, id_col, weight_col, rn), rn the 1-based
+    within-group rank.
+    """
+    def _smallest_k_per_key(t: pa.Table) -> pa.Table:
+        s = t.sort_by([(key_col, "ascending"), ("_key", "ascending"),
+                       (id_col, "ascending")])
+        g = np.asarray(s.column(key_col).to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(np.concatenate([[True], g[1:] != g[:-1]]))
+        local = np.arange(len(g), dtype=np.int64)
+        local -= np.repeat(starts,
+                           np.diff(np.concatenate([starts, [len(g)]])))
+        return s.filter(pa.array(local < k)), local[local < k]
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, id_col, weight_col])
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(w > 0))
+        keys = _es_keys(t.column(id_col).to_pylist(),
+                        t.column(weight_col).to_pylist())
+        t = t.append_column("_key", pa.array(keys, type=pa.float64()))
+        return _smallest_k_per_key(t)[0]
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t, local = _smallest_k_per_key(group)
+        return pa.table({
+            key_col: t.column(key_col), id_col: t.column(id_col),
+            weight_col: t.column(weight_col),
+            "rn": pa.array(local + 1, type=pa.int64())})
+
+    partial = ds.map_batches(combiner, batch_format="pyarrow")
+    return partial.groupby(key_col).map_groups(finalize,
+                                               batch_format="pyarrow")
 
 
 def _md5_threshold(rate: float) -> str:

@@ -47,7 +47,8 @@ def oracle_con():
                                   "substring_dedup_winnowed",
                                   "dedup_indexed", "bm25_topk",
                                   "dsir_select", "ccnet_buckets",
-                                  "nb_lang_classify"])
+                                  "nb_lang_classify",
+                                  "weighted_sample_by_lang"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
