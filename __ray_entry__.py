@@ -647,6 +647,66 @@ def _q_transcript_sessionize(sf_dir: str):
     return cum.map_batches(final, batch_format="pyarrow")
 
 
+def _q_session_turn_dedup(sf_dir: str):
+    """Within-session duplicate-turn removal: keep the FIRST occurrence
+    of each distinct turn text inside every (conversation, session)
+    episode — retries and agent loops inside one working session
+    collapse, while a legitimately repeated greeting in a LATER session
+    survives.  Composition: the skew-bounded sessionize pipeline →
+    shuffle-free fingerprint pass → one hash join on (conv, turn) →
+    per-batch min-combiner → 3-key groupby min (16-byte keys + the conv
+    id on the wire, never text).  [SQL-verified]"""
+    import pyarrow.compute as pc
+    import ray
+
+    from lingua_ray.functions.textstats import fingerprint64_array
+
+    sessions = _q_transcript_sessionize(sf_dir)
+    base = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("turn_idx"), pa.int32()),
+            "fp": pa.array(fingerprint64_array(batch.column("text"))
+                           .view(np.int64))})
+
+    fps = base.map_batches(fp, batch_format="pyarrow")
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    j = sessions.join(fps, "inner", nparts,
+                      on=("conv_id", "turn_idx"))
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("conv_id")
+                       .to_numpy(zero_copy_only=False))
+        s = batch.column("session_id").to_numpy().astype(np.int64)
+        f = batch.column("fp").to_numpy().astype(np.int64)
+        t = batch.column("turn_idx").to_numpy().astype(np.int64)
+        _, codes = np.unique(c, return_inverse=True)
+        order = np.lexsort((t, f, s, codes))
+        cc, ss, ff, tt = codes[order], s[order], f[order], t[order]
+        first = np.concatenate(
+            [[True], (cc[1:] != cc[:-1]) | (ss[1:] != ss[:-1])
+             | (ff[1:] != ff[:-1])])
+        idx = np.flatnonzero(first)
+        take = np.asarray(order)[idx]
+        return pa.table({"conv_id": pa.array(c[take]),
+                         "session_id": pa.array(s[take]),
+                         "fp": pa.array(f[take]),
+                         "turn_idx": pa.array(t[take])})
+
+    merged = (j.map_batches(min_partial, batch_format="pyarrow")
+              .groupby(["conv_id", "session_id", "fp"]).min("turn_idx"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": pc.cast(batch.column("min(turn_idx)"), pa.int32()),
+            "session_id": batch.column("session_id")})
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
 def _q_conv_exchange_extract(sf_dir: str):
     """SFT pair extraction: every (user turn, immediately-following
     assistant turn) pair — the prompt/response examples a supervised
@@ -4196,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_lang_switches": _q_conv_lang_switches,
         "transcript_refusals": _q_transcript_refusals,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
+        "session_turn_dedup": _q_session_turn_dedup,
         "multilang_turns": _q_multilang_turns,
         "conv_neardup": _q_conv_neardup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
@@ -4593,6 +4654,30 @@ def _transcript_sessionize_sql() -> str:
     """)
 
 
+def _session_turn_dedup_sql() -> str:
+    return _transcript_oracle("""
+        WITH g AS (
+          SELECT conv_id, turn_idx,
+            epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+          FROM {src}),
+        s AS (
+          SELECT conv_id, turn_idx,
+            CAST(sum(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM g),
+        j AS (
+          SELECT s.conv_id, s.turn_idx, s.session_id,
+                 coalesce(t.text, '') AS text
+          FROM s JOIN {src} t
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+        SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
+               session_id
+        FROM j GROUP BY conv_id, session_id, text
+    """)
+
+
 def _conv_pack_assign_sql() -> str:
     return _transcript_oracle("""
         WITH c AS (
@@ -4834,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_exchange_extract": _conv_exchange_extract_sql(),
         "dpo_pairs": _dpo_pairs_sql(),
         "transcript_refusals": _transcript_refusals_sql(),
+        "session_turn_dedup": _session_turn_dedup_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

@@ -159,7 +159,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "bm25_topk", "dsir_select", "ccnet_buckets",
                      "dpo_pairs", "nb_lang_classify",
                      "conv_lang_switches", "conv_neardup",
-                     "transcript_refusals", "weighted_sample_by_lang"]
+                     "transcript_refusals", "weighted_sample_by_lang",
+                     "session_turn_dedup"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

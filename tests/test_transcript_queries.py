@@ -30,6 +30,7 @@ NAMES = [
     "conv_exchange_extract",
     "dpo_pairs",
     "transcript_refusals",
+    "session_turn_dedup",
 ]
 
 
