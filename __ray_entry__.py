@@ -4257,10 +4257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_refusals": _q_transcript_refusals,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
-        "multilang_turns": _q_multilang_turns,
-        "conv_neardup": _q_conv_neardup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "multilang_turns": _q_multilang_turns,
+        "conv_neardup": _q_conv_neardup,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
         "bpe_train": _q_bpe_train,
         "bpe_token_counts": _q_bpe_token_counts,
