@@ -838,7 +838,7 @@ def _q_conv_lang_switches(sf_dir: str):
     ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     tagged = ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=2048,
-        concurrency=_langid_concurrency(), num_cpus=1,
+        concurrency=_langid_concurrency(_turn_rows(sf_dir)), num_cpus=1,
         fn_constructor_kwargs={"with_ppl": False}
     ).select_columns(["conv_id", "turn_idx", "lang"])
     return lang_switch_stats(tagged, bucket_size=_TURN_BUCKET,
@@ -861,6 +861,11 @@ def _q_transcript_refusals(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         f = batch.filter(pc.equal(batch.column("role"), "assistant"))
+        if f.num_rows == 0:  # all-user/system block: typed empty, not a
+            return pa.table({  # null-typed-literal ArrowNotImplementedError
+                "conv_id": f.column("conv_id"),
+                "turn_idx": f.column("turn_idx"),
+                "text": pa.array([], type=pa.string())})
         planted = pa.array(
             f.column("turn_idx").to_numpy(zero_copy_only=False) % 23 == 7)
         base = pc.cast(pc.fill_null(f.column("text"), ""), pa.string())
@@ -897,7 +902,8 @@ def _q_multilang_turns(sf_dir: str):
     ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     ds = ds.map_batches(
         MultiLangScorer, batch_format="pyarrow", batch_size=256,
-        concurrency=_langid_concurrency(batch_size=256), num_cpus=1)
+        concurrency=_langid_concurrency(_turn_rows(sf_dir),
+                                        batch_size=256), num_cpus=1)
 
     def flatten(batch: pa.Table) -> pa.Table:
         secs = batch.column("sections")
@@ -1094,6 +1100,12 @@ def _doc_rows(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
 
+def _turn_rows(sf_dir: str) -> int:
+    """Transcript fixture row count (the _transcripts_for_sf sizing
+    formula) without generating the fixture."""
+    return max(2000, _doc_rows(sf_dir) * 12)
+
+
 def _q_langid_documents(sf_dir: str):
     """Language-ID over the documents table.  [rows-only]"""
     from lingua_ray.models import ensure_models
@@ -1215,8 +1227,10 @@ def _q_ccnet_buckets(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     scored = ds.map_batches(score, batch_format="pyarrow")
+    # spill_input: the rank primitive reads its input 3x; spill the
+    # scored triples once so the entropy pass doesn't re-run per pass
     ranked = partitioned_row_number(scored, "lang", "neg_score", "doc_id",
-                                    ntile=3)
+                                    ntile=3, spill_input=Path(sf_dir).name)
 
     def label(batch: pa.Table) -> pa.Table:
         tile = batch.column("tile").to_numpy()

@@ -87,7 +87,8 @@ def global_row_number(ds, value_col: str, id_col: str, ntile: int | None = None)
 
 def partitioned_row_number(ds, part_col: str, value_col: str, id_col: str,
                            ntile: int | None = None, n_ranges: int = 64,
-                           sample_per_block: int = 64):
+                           sample_per_block: int = 64,
+                           spill_input: str | None = None):
     """``row_number() OVER (PARTITION BY part ORDER BY value, id)`` (and
     optional ``ntile(k)`` over the same window) WITHOUT a global sort and
     WITHOUT the bounded-value-cardinality assumption ``global_row_number``
@@ -108,8 +109,20 @@ def partitioned_row_number(ds, part_col: str, value_col: str, id_col: str,
        payload columns); each range task lexsorts its ~n/n_ranges rows
        and adds the broadcast offset; ``ntile`` follows from the rank and
        the per-part total by the SQL remainder rule.
+
+    The triple table is consumed three times (sample, counts, rank).
+    Ray Datasets are lazy, so when ``ds``'s upstream is expensive (a
+    scoring pass over every document) pass ``spill_input`` (a name
+    keying the input) to spill the PROJECTED 24-byte triples to parquet
+    once and re-read per consumer — otherwise the upstream re-executes
+    per pass (the sessionize/lang_switch_stats spill convention).
     """
     import ray
+
+    ds = ds.select_columns([part_col, value_col, id_col])
+    if spill_input is not None:
+        from ..stages.spill import spill
+        ds = spill(ds, "prank", spill_input)
 
     def sample(batch: pa.Table) -> pa.Table:
         t = batch.select([part_col, value_col, id_col])

@@ -35,6 +35,16 @@ def lang_switch_stats(tagged, bucket_size: int = 64,
     twice, and an actor-pool stage would demand two full pools of CPUs
     at once (observed live: 2 × 14 langid actors starving a 16-CPU
     session into a hang)."""
+    def _fill(batch: pa.Table) -> pa.Table:
+        # null detections count as "un": lang IS NULL is reserved as the
+        # switch-partial sentinel below, so a null-emitting upstream
+        # detector must not leak nulls into the histogram rows
+        from .util import set_column
+        return set_column(batch, "lang",
+                          pc.fill_null(pc.cast(batch.column("lang"),
+                                               pa.string()), "un"))
+
+    tagged = tagged.map_batches(_fill, batch_format="pyarrow")
     if spill_input is not None:
         from .spill import spill
         tagged = spill(tagged, "langswitch", spill_input)

@@ -56,13 +56,14 @@ def empty_typed_dataset(ds, cols: dict):
 def topk_by_score(batch: pa.Table, score_col: str, id_col: str,
                   k: int) -> pa.Table:
     """The k rows with the largest ``score_col`` (ties: ``id_col``
-    ascending) — one lexsort, no Python row loop."""
-    import numpy as np
+    ascending) — one Arrow multi-key sort, any id/score type, no Python
+    row loop."""
+    import pyarrow.compute as pc
     if batch.num_rows <= k:
         return batch
-    order = np.lexsort((batch.column(id_col).to_numpy(),
-                        -batch.column(score_col).to_numpy()))[:k]
-    return batch.take(pa.array(order))
+    idx = pc.sort_indices(batch, sort_keys=[(score_col, "descending"),
+                                            (id_col, "ascending")])
+    return batch.take(idx.slice(0, k))
 
 
 def topk_reduce(ds, score_col: str, id_col: str, k: int,
@@ -74,12 +75,23 @@ def topk_reduce(ds, score_col: str, id_col: str, k: int,
     ≤ n_reduce × k rows no matter how many blocks the input has."""
     import numpy as np
 
+    base = ds.schema().base_schema
+    schema = pa.schema([(id_col, base.field(id_col).type),
+                        (score_col, base.field(score_col).type)])
+    numeric_id = pa.types.is_integer(schema.field(id_col).type)
+
     local = ds.map_batches(topk_by_score, batch_format="pyarrow",
                            fn_kwargs={"score_col": score_col,
                                       "id_col": id_col, "k": k})
 
     def _salt(batch: pa.Table) -> pa.Table:
-        s = (batch.column(id_col).to_numpy() % n_reduce).astype("int32")
+        if numeric_id:
+            s = (batch.column(id_col).to_numpy() % n_reduce).astype("int32")
+        else:  # string/other ids: hash-salt instead of numeric modulo
+            from ..functions.textstats import fingerprint64_array
+            s = (fingerprint64_array(
+                pc_cast_string(batch.column(id_col)))
+                % np.uint64(n_reduce)).astype("int32")
         return batch.append_column("salt", pa.array(s))
 
     def _topk_group(group: pa.Table) -> pa.Table:
@@ -89,11 +101,15 @@ def topk_reduce(ds, score_col: str, id_col: str, k: int,
     reduced = (local.map_batches(_salt, batch_format="pyarrow")
                .groupby("salt").map_groups(_topk_group,
                                            batch_format="pyarrow"))
-    t = pa.Table.from_pylist(
-        reduced.take_all(),
-        schema=pa.schema([(id_col, pa.int64()),
-                          (score_col, pa.float64())]))
+    t = pa.Table.from_pylist(reduced.take_all(), schema=schema)
     return topk_by_score(t, score_col, id_col, k)
+
+
+def pc_cast_string(col) -> pa.Array:
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(col, pa.string())
 
 
 def set_column(batch: pa.Table, name: str, arr) -> pa.Table:
