@@ -1258,6 +1258,22 @@ def _q_nb_lang_classify(sf_dir: str):
     return nb_classify(ds, "lang")
 
 
+def _q_bm25_indexed(sf_dir: str):
+    """BM25 against a PERSISTED df index: build once (hive-partitioned
+    by word-hash bucket, meta-as-commit-marker), then probe reading ONLY
+    the query terms' bucket directories — repeated query sets skip the
+    corpus stats pass entirely.  Same scores as ``bm25_topk``, so the
+    same oracle gates it.  Index lives under the shared spill lifecycle
+    (per-(sf, pid), cleared up front, stale-pid sweep).  [SQL-verified]"""
+    from lingua_ray.stages.bm25 import bm25_query_index, build_bm25_index
+    from lingua_ray.stages.spill import spill_path
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = spill_path("bm25idx", Path(sf_dir).name)
+    build_bm25_index(ds, idx)
+    return bm25_query_index(ds, idx, _BM25_TERMS, k=50)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
     documents that look most like the lang='en' target under hashed-
@@ -4263,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         # ---- new in round 4, SQL-verified ----
         "bm25_topk": _q_bm25_topk,
+        "bm25_indexed": _q_bm25_indexed,
         "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
         "dpo_pairs": _q_dpo_pairs,
@@ -4836,7 +4853,7 @@ def oracle_sql() -> dict[str, str]:
     ) k JOIN documents d ON k.doc_id = d.doc_id
     GROUP BY d.lang
     """
-    return {
+    sqls = {
         "doc_quality": quality,
         "clean_corpus_stats": clean_corpus,
         "doc_scrub": scrub,
@@ -5633,3 +5650,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
     }
+    # identical scores by construction: the persisted-index probe reads
+    # the SAME df/stats the in-pipeline pass computes
+    sqls["bm25_indexed"] = sqls["bm25_topk"]
+    return sqls

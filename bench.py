@@ -160,7 +160,7 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "dpo_pairs", "nb_lang_classify",
                      "conv_lang_switches", "conv_neardup",
                      "transcript_refusals", "weighted_sample_by_lang",
-                     "session_turn_dedup"]
+                     "session_turn_dedup", "bm25_indexed"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

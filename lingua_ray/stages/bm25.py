@@ -90,18 +90,8 @@ def _collect_stats(ds, terms: tuple[str, ...], text_col: str,
     return df, n_docs, avgdl
 
 
-def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
-              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
-              id_col: str = "doc_id", n_reduce: int = 16) -> pa.Table:
-    """Top-k documents by BM25 against the broadcast ``terms``.
-
-    Returns an Arrow table (id_col, bm25) — docs matching no term are
-    excluded, score rounded to 6 decimals before the rank cut.
-    """
-    df, n_docs, avgdl = _collect_stats(ds, terms, text_col, id_col)
-    th = _term_hashes(terms)
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-
+def _make_score_fn(th: np.ndarray, idf: np.ndarray, avgdl: float,
+                   k1: float, b: float, text_col: str, id_col: str):
     def score(batch: pa.Table) -> pa.Table:
         wh, rows = _doc_word_hashes(batch, text_col, id_col)
         wh = wh.view(np.int64)
@@ -117,6 +107,141 @@ def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
             id_col: batch.column(id_col).filter(pa.array(hit)),
             "bm25": pa.array(round_half_away(total[hit], 6),
                              type=pa.float64())})
+    return score
 
+
+def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id", n_reduce: int = 16) -> pa.Table:
+    """Top-k documents by BM25 against the broadcast ``terms``.
+
+    Returns an Arrow table (id_col, bm25) — docs matching no term are
+    excluded, score rounded to 6 decimals before the rank cut.
+    """
+    df, n_docs, avgdl = _collect_stats(ds, terms, text_col, id_col)
+    th = _term_hashes(terms)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    score = _make_score_fn(th, idf, avgdl, k1, b, text_col, id_col)
     scored = ds.map_batches(score, batch_format="pyarrow")
     return topk_reduce(scored, "bm25", id_col, k, n_reduce=n_reduce)
+
+
+# ------------------------------------------------------- persisted index
+
+_META_FILE = "_index_meta.json"
+
+
+def build_bm25_index(ds, index_dir: str, n_buckets: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> None:
+    """Persist the corpus document-frequency table, hive-partitioned by
+    ``bucket = word_hash mod n_buckets``, plus (n_docs, total token
+    count) — the statistics every later BM25 query needs, so repeated
+    query sets touch only their terms' bucket directories instead of
+    re-scanning the corpus.  The meta file is written LAST (the
+    fingerprint-index commit-marker convention,
+    :mod:`lingua_ray.stages.dedup_index`): a crash mid-build leaves a
+    metaless directory the probe refuses."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    out = Path(index_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wh, rows = _doc_word_hashes(batch, text_col, id_col)
+        wh = wh.view(np.int64)
+        order = np.lexsort((wh, rows))
+        h, r = wh[order], rows[order]
+        first = np.ones(len(h), dtype=bool)
+        if len(h):
+            first[1:] = (h[1:] != h[:-1]) | (r[1:] != r[:-1])
+        vals, cnts = np.unique(h[first], return_counts=True)
+        return pa.table({
+            "word_hash": pa.array(
+                np.concatenate([vals, [_STATS_KEY]]), type=pa.int64()),
+            "df": pa.array(
+                np.concatenate([cnts, [0]]).astype(np.int64)),
+            "n_docs": pa.array([0] * len(vals) + [batch.num_rows],
+                               type=pa.int64()),
+            "total_len": pa.array([0] * len(vals) + [len(wh)],
+                                  type=pa.int64())})
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("word_hash").sum(["df", "n_docs", "total_len"]))
+
+    def split(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pa.array(batch.column("word_hash").to_numpy() != _STATS_KEY))
+        h = keep.column("word_hash").to_numpy()
+        return pa.table({
+            "word_hash": keep.column("word_hash"),
+            "df": keep.column("sum(df)"),
+            "bucket": pa.array(
+                (h.view(np.uint64) % np.uint64(n_buckets))
+                .astype(np.int32))})
+
+    # one row per distinct word: vocabulary-sized (the same
+    # vocabulary-fits assumption tfidf's broadcast makes), pinned only
+    # for the duration of the two consumers below
+    summed = summed.materialize()
+    summed.map_batches(split, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+
+    def only_stats(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(
+            batch.column("word_hash").to_numpy() == _STATS_KEY))
+
+    stats = summed.map_batches(only_stats,
+                               batch_format="pyarrow").take_all()
+    (out / _META_FILE).write_text(json.dumps({
+        "kind": "bm25", "n_buckets": n_buckets,
+        "n_docs": int(stats[0]["sum(n_docs)"]) if stats else 0,
+        "total_len": int(stats[0]["sum(total_len)"]) if stats else 0}))
+
+
+def bm25_query_index(ds, index_dir: str, terms: tuple[str, ...],
+                     k: int = 50, k1: float = 1.2, b: float = 0.75,
+                     n_buckets: int = 64, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Score ``ds`` against the persisted index: only the query terms'
+    bucket directories leave storage (the dedup_index/IVF directory-
+    pruning idiom) — the corpus-wide stats pass is skipped entirely."""
+    import json
+    from pathlib import Path
+
+    import ray.data
+
+    p = Path(index_dir) / _META_FILE
+    if not p.exists():
+        raise FileNotFoundError(
+            f"{index_dir} has no {_META_FILE}: not a BM25 index (or an "
+            "interrupted build — rebuild it)")
+    meta = json.loads(p.read_text())
+    if meta.get("kind") != "bm25" or meta.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"index meta {meta} does not match kind=bm25 "
+            f"n_buckets={n_buckets} — a silent mismatch would probe the "
+            "wrong buckets and miss every term")
+
+    th = _term_hashes(terms)
+    touched = sorted({int(h) % n_buckets
+                      for h in th.view(np.uint64)})
+    paths = [str(f) for bk in touched
+             for f in sorted((Path(index_dir)
+                              / f"bucket={bk}").glob("*.parquet"))]
+    df = np.zeros(len(th), dtype=np.int64)
+    if paths:
+        rows = ray.data.read_parquet(
+            paths, columns=["word_hash", "df"]).take_all()
+        lut = {r["word_hash"]: r["df"] for r in rows}
+        for i, t in enumerate(th):
+            df[i] = lut.get(int(t), 0)
+    n_docs, total_len = meta["n_docs"], meta["total_len"]
+    avgdl = total_len / n_docs if n_docs else 1.0
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    score = _make_score_fn(th, idf, avgdl, k1, b, text_col, id_col)
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk_reduce(scored, "bm25", id_col, k)
