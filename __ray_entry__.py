@@ -4284,12 +4284,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
-        "conv_lang_switches": _q_conv_lang_switches,
         "transcript_refusals": _q_transcript_refusals,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "conv_lang_switches": _q_conv_lang_switches,
         "multilang_turns": _q_multilang_turns,
         "conv_neardup": _q_conv_neardup,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
