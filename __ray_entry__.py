@@ -1274,6 +1274,53 @@ def _q_bm25_indexed(sf_dir: str):
     return bm25_query_index(ds, idx, _BM25_TERMS, k=50)
 
 
+def _q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail with the REAL perplexity: the langid actor
+    pool's fused char-trigram ppl scores every document, then the same
+    partitioned ntile primitive cuts per-LANGUAGE terciles (lower ppl =
+    better = head, CCNet's actual recipe — ``ccnet_buckets`` is the
+    SQL-verifiable entropy twin of this query and gates the ntile
+    machinery).  ppl is quantized to micro-units for exact rank
+    ordering; detected (not labeled) language partitions the window.
+    [rows-only: the ppl model is not SQL-expressible; ntile semantics
+    are DuckDB-verified via ccnet_buckets + test_rank.py]"""
+    from lingua_ray.functions.rank import partitioned_row_number
+    from lingua_ray.models import ensure_models
+    from lingua_ray.stages.langid import LangIdScorer
+
+    ensure_models()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=_langid_concurrency(_doc_rows(sf_dir)), num_cpus=1,
+        fn_constructor_kwargs={"text_col": "text", "with_ppl": True})
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        p = batch.column("ppl").to_numpy()
+        # non-finite ppl (empty/no-letter docs) ranks worst, determinately
+        pu = np.where(np.isfinite(p), p * 1e6, np.float64(2**62))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "ppl_u": pa.array(np.rint(pu).astype(np.int64))})
+
+    ranked = partitioned_row_number(
+        scored.map_batches(quantize, batch_format="pyarrow"),
+        "lang", "ppl_u", "doc_id", ntile=3,
+        spill_input=Path(sf_dir).name + "-ppl")
+
+    def label(batch: pa.Table) -> pa.Table:
+        names = np.array(["head", "middle", "tail"])
+        tile = batch.column("tile").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "ppl_u": batch.column("ppl_u"),
+            "rn": batch.column("rn"),
+            "bucket": pa.array(names[tile - 1])})
+
+    return ranked.map_batches(label, batch_format="pyarrow")
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
     documents that look most like the lang='en' target under hashed-
@@ -4291,6 +4338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
         "conv_lang_switches": _q_conv_lang_switches,
         "multilang_turns": _q_multilang_turns,
+        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "conv_neardup": _q_conv_neardup,
         # ---- never-driver-checked, rows-only (pytest-gated) ----
         "bpe_train": _q_bpe_train,

@@ -81,3 +81,29 @@ def test_partitioned_row_number_empty(ray_session):
     out = partitioned_row_number(ray.data.from_arrow(t), "lang", "v",
                                  "doc_id", ntile=3)
     assert out.count() == 0
+
+
+def test_ccnet_ppl_buckets_semantics(ray_session):
+    """Real-perplexity terciles: every (lang) partition's buckets are
+    contiguous rank ranges with the SQL ntile size rule, and head ppl
+    <= tail ppl within each language."""
+    import pandas as pd  # noqa: F401  (kept for symmetry with siblings)
+
+    import __ray_entry__ as E
+
+    out = E.queries()["ccnet_ppl_buckets"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(out) == 500
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("rn")
+        n = len(g)
+        q, r = divmod(n, 3)
+        sizes = g.groupby("bucket").size()
+        if q > 0:
+            expect = {"head": q + (1 if r >= 1 else 0),
+                      "middle": q + (1 if r >= 2 else 0), "tail": q}
+            assert {k: sizes.get(k, 0) for k in expect} == expect
+        head = g[g.bucket == "head"]["ppl_u"]
+        tail = g[g.bucket == "tail"]["ppl_u"]
+        if len(head) and len(tail):
+            assert head.max() <= tail.min()
