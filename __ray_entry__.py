@@ -885,6 +885,108 @@ def _q_transcript_refusals(sf_dir: str):
                                "n_refusal_markers", "is_refusal"])
 
 
+def _q_transcript_validation(sf_dir: str):
+    """Data-quality audit of the transcripts table: null-text turns,
+    unknown roles, timestamp disorder within a conversation, duplicate
+    (conv, turn) keys — the ingest gate a 100-TB transcript run fails
+    fast on.  The clean fixture has zero violations, so each class is
+    PLANTED deterministically (mutations first, then duplicate clones
+    of the mutated rows — inlined identically in the oracle; disorder
+    is counted on the pre-duplication table because LAG over duplicate
+    ordinals is order-ambiguous).  Counters are per-block partials
+    (one row per block per aggregate) + a key-hashed dup count; only
+    12-byte keys ride the one shuffle.  [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("turn_idx"), pa.int64()).to_numpy()
+        role = pc.if_else(pa.array(t % 29 == 11),
+                          pa.scalar("robot"),
+                          pc.cast(batch.column("role"), pa.string()))
+        text = pc.if_else(pa.array(t % 41 == 13),
+                          pa.scalar(None, pa.string()),
+                          pc.cast(batch.column("text"), pa.string()))
+        tsu = batch.column("ts").cast(pa.int64()).to_numpy()
+        tsu = np.where(t % 37 == 9, tsu - 3_600_000_000, tsu)
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "turn_idx": pa.array(t),
+                         "role": role, "text": text,
+                         "tsu": pa.array(tsu)})
+
+    m = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "role",
+                                   "text", "ts"]) \
+        .map_batches(mutate, batch_format="pyarrow")
+
+    def dup_clones(batch: pa.Table) -> pa.Table:
+        t = batch.column("turn_idx").to_numpy()
+        clone = batch.filter(pa.array(t % 31 == 5))
+        return pa.concat_tables([batch, clone])
+
+    full = m.map_batches(dup_clones, batch_format="pyarrow")
+
+    def counters(batch: pa.Table) -> pa.Table:
+        role = batch.column("role")
+        bad = pc.sum(pc.cast(pc.invert(pc.is_in(
+            role, value_set=pa.array(["user", "assistant", "system",
+                                      "tool"]))), pa.int64())).as_py() or 0
+        nulls = batch.column("text").null_count
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n_turns": pa.array([batch.num_rows], pa.int64()),
+                         "n_null_text": pa.array([nulls], pa.int64()),
+                         "n_bad_role": pa.array([int(bad)], pa.int64())})
+
+    base_counts = (full.map_batches(counters, batch_format="pyarrow")
+                   .groupby("g").sum(["n_turns", "n_null_text",
+                                      "n_bad_role"]).take_all())[0]
+
+    from lingua_ray.stages.adjacency import adjacent_pairs
+    pairs = adjacent_pairs(m.select_columns(["conv_id", "turn_idx",
+                                             "tsu"]),
+                           "conv_id", "turn_idx", ["tsu"],
+                           bucket_size=_TURN_BUCKET)
+
+    def disorder(batch: pa.Table) -> pa.Table:
+        d = pc.sum(pc.cast(pc.greater(batch.column("prev_tsu"),
+                                      batch.column("tsu")),
+                           pa.int64())).as_py() or 0
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n": pa.array([int(d)], pa.int64())})
+
+    n_disorder = (pairs.map_batches(disorder, batch_format="pyarrow")
+                  .groupby("g").sum("n").take_all())[0]["sum(n)"]
+
+    from lingua_ray.functions.textstats import fingerprint64_array
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        kh = fingerprint64_array(pc.binary_join_element_wise(
+            pc.cast(batch.column("conv_id"), pa.string()),
+            pc.cast(batch.column("turn_idx"), pa.string()),
+            "\x00")).view(np.int64)
+        uk, uc = np.unique(kh, return_counts=True)
+        return pa.table({"kh": pa.array(uk),
+                         "cnt": pa.array(uc.astype(np.int64))})
+
+    dup_rows = (full.map_batches(key_counts, batch_format="pyarrow")
+                .groupby("kh").sum("cnt"))
+
+    def over_one(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(cnt)").to_numpy()
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n": pa.array([int((c > 1).sum())], pa.int64())})
+
+    n_dup = (dup_rows.map_batches(over_one, batch_format="pyarrow")
+             .groupby("g").sum("n").take_all())[0]["sum(n)"]
+
+    return pa.table({
+        "n_turns": pa.array([base_counts["sum(n_turns)"]], pa.int64()),
+        "n_null_text": pa.array([base_counts["sum(n_null_text)"]],
+                                pa.int64()),
+        "n_bad_role": pa.array([base_counts["sum(n_bad_role)"]],
+                               pa.int64()),
+        "n_ts_disorder": pa.array([n_disorder], pa.int64()),
+        "n_dup_keys": pa.array([n_dup], pa.int64())})
+
+
 def _q_multilang_turns(sf_dir: str):
     """Mixed-language turn detection over transcripts: every turn
     through the multi-language section scorer (script-boundary split +
@@ -4332,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "transcript_refusals": _q_transcript_refusals,
+        "transcript_validation": _q_transcript_validation,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
@@ -4733,6 +4836,43 @@ def _transcript_sessionize_sql() -> str:
     """)
 
 
+def _transcript_validation_sql() -> str:
+    return _transcript_oracle("""
+        WITH m AS (
+          SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+            CASE WHEN turn_idx % 29 = 11 THEN 'robot' ELSE role END
+              AS role,
+            CASE WHEN turn_idx % 41 = 13 THEN NULL ELSE text END AS text,
+            epoch_us(ts) - CASE WHEN turn_idx % 37 = 9
+                                THEN 3600000000 ELSE 0 END AS tsu
+          FROM {src}),
+        full_t AS (
+          SELECT * FROM m
+          UNION ALL SELECT * FROM m WHERE turn_idx % 31 = 5),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_turns,
+            CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null_text,
+            CAST(sum(CASE WHEN role NOT IN
+                  ('user', 'assistant', 'system', 'tool')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_role
+          FROM full_t),
+        o AS (
+          SELECT CAST(coalesce(sum(CASE WHEN prev_tsu > tsu
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ts_disorder
+          FROM (SELECT tsu, lag(tsu) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS prev_tsu
+                FROM m)),
+        d AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dup_keys FROM (
+            SELECT conv_id, turn_idx FROM full_t
+            GROUP BY conv_id, turn_idx HAVING count(*) > 1))
+        SELECT a.n_turns, a.n_null_text, a.n_bad_role, o.n_ts_disorder,
+               d.n_dup_keys
+        FROM a CROSS JOIN o CROSS JOIN d
+    """)
+
+
 def _session_turn_dedup_sql() -> str:
     return _transcript_oracle("""
         WITH g AS (
@@ -4999,6 +5139,7 @@ def oracle_sql() -> dict[str, str]:
         "dpo_pairs": _dpo_pairs_sql(),
         "transcript_refusals": _transcript_refusals_sql(),
         "session_turn_dedup": _session_turn_dedup_sql(),
+        "transcript_validation": _transcript_validation_sql(),
         "conv_lookup": _transcript_oracle("""
             SELECT conv_id, turn_idx, text FROM {src}
             WHERE conv_id = 'conv00000000'

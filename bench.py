@@ -160,7 +160,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "dpo_pairs", "nb_lang_classify",
                      "conv_lang_switches", "conv_neardup",
                      "transcript_refusals", "weighted_sample_by_lang",
-                     "session_turn_dedup", "bm25_indexed"]
+                     "session_turn_dedup", "bm25_indexed",
+                     "transcript_validation"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -31,6 +31,7 @@ NAMES = [
     "dpo_pairs",
     "transcript_refusals",
     "session_turn_dedup",
+    "transcript_validation",
 ]
 
 
