@@ -4389,7 +4389,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dims": _q_media_dims,
         "audio_meta": _q_audio_meta,
         "embedding_pca_stats": _q_embedding_pca_stats,
-        "embedding_pca_project": _q_embedding_pca_project,
         # ---- never-driver-checked, SQL-verified (round-4 window head) ----
         "orders_price_quantiles": _q_orders_price_quantiles,
         "events_sessions": _q_events_sessions,
@@ -4439,6 +4438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "embedding_pca_project": _q_embedding_pca_project,
         "conv_lang_switches": _q_conv_lang_switches,
         "multilang_turns": _q_multilang_turns,
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
