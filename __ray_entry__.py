@@ -4368,22 +4368,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounded window (50/round) from the front, so queries that have never
     # received a driver-green row are listed first — SQL-verified ones
     # (strongest check) ahead of rows-only ones — and the queries already
-    # hash-green in rounds 1-3 follow.  The round-4 window leads with 44
-    # never-checked round-1-3 entries plus the four final-round-4
-    # SQL-verified operators (bm25_topk, dsir_select, ccnet_buckets,
-    # dpo_pairs — each locally gate-green at sf0.001/sf0.01 via
-    # tools/check_queries).  Still after slot 50 for round 5: the
+    # hash-green in rounds 1-3 follow.  The round-4 window is 50/50
+    # SQL-verified never-checked entries: ~38 round-1-3 survivors plus
+    # the final-round-4 operators (bm25_topk + bm25_indexed, dsir_select,
+    # ccnet_buckets, dpo_pairs, nb_lang_classify, transcript_refusals,
+    # transcript_validation, weighted_sample_by_lang, session_turn_dedup,
+    # and the two sampled substring-dedup scale paths — each locally
+    # gate-green at sf0.001/sf0.01/sf0.1 via tools/check_queries).
+    # Still after slot 50 for round 5, in priority order: the new
+    # rows-only compositions (conv_lang_switches, multilang_turns,
+    # conv_neardup, ccnet_ppl_buckets — pytest-gated),
+    # embedding_pca_project (its SQL twin pca_stats is in-window), the
     # rows-only ANN tail (knn_lsh/ivf/ivf_persisted/kmeans, knn_pq,
     # knn_ivfpq — recall-pytest-gated), the two HLL sketches (EXACT
-    # SQL-verified twins distinct_words_exact / distinct_words_by_lang
-    # sit in the window head), semantic_dedup (planted-pair pytest), the
-    # four SQL-verified mid-round-4 transcript additions
-    # (transcript_tool_chains, conv_context_truncate, conv_role_balance,
-    # transcript_contamination), bpe/conv_quality_rollup/linear_probe
-    # rows-only entries, and the stalest r01-era greens.  Rows-only
-    # queries are the langid/model family (not SQL-expressible; gated by
-    # the pytest kernel-vs-scalar suite) and the approximate sketches
-    # (each has an exact SQL-verified twin).
+    # SQL-verified twins sit in the window head), semantic_dedup
+    # (planted-pair pytest), the four SQL-verified mid-round-4
+    # transcript additions (transcript_tool_chains, conv_context_truncate,
+    # conv_role_balance, transcript_contamination), bpe/
+    # conv_quality_rollup/linear_probe rows-only entries, and the
+    # stalest r01-era greens.  Rows-only queries are the langid/model
+    # family (not SQL-expressible; gated by the pytest kernel-vs-scalar
+    # suite) and the approximate sketches (each has an exact
+    # SQL-verified twin).
     return {
         # ---- round-4 additions, SQL-verified (window head) ----
         "media_dims": _q_media_dims,
