@@ -3994,6 +3994,52 @@ _EVENTS_TOP_SPENDERS_SQL = """
 """
 
 
+def _q_events_funnel_count(sf_dir: str):
+    """MAX DISJOINT completed funnels (view→click→purchase triples, each
+    event used at most once) per user — the CEP-style state machine a
+    multi-pattern detector runs, vectorized via the ballot-style
+    prefix-slack identity instead of a per-row loop::
+
+        matched_pairs(i)  = c(i) − max(0, max_{j≤i}(c(j) − v(j)))
+        funnels           = p(n) − max(0, max_i(p(i) − matched_pairs(i)))
+
+    (equal to the greedy earliest-match counter — property-verified
+    against the scalar greedy on 20k random sequences in
+    test_windows.py).  Irrelevant event types are dropped at the
+    read-side map; one user-keyed shuffle; the per-group kernel is
+    cumsums + one accumulate-max.  [SQL-verified — nested running
+    windows reproduce the identity]"""
+    import pyarrow.compute as pc
+
+    def keep3(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["view", "click", "purchase"]))
+        return batch.filter(m).select(["user_id", "ts", "event_id",
+                                       "event_type"])
+
+    def count_group(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        et = np.asarray(group.column("event_type")
+                        .to_numpy(zero_copy_only=False))[order]
+        v = np.cumsum(et == "view")
+        c = np.cumsum(et == "click")
+        p = np.cumsum(et == "purchase")
+        m2 = c - np.maximum(np.maximum.accumulate(c - v), 0)
+        n = int(p[-1] - max(np.max(p - m2), 0)) if len(et) else 0
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_funnels": pa.array([n], type=pa.int64())})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return (ds.map_batches(keep3, batch_format="pyarrow")
+            .groupby("user_id").map_groups(count_group,
+                                           batch_format="pyarrow"))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel analysis (view → click → purchase): per user, the
     furthest stage reached with strictly increasing timestamps between
@@ -4440,6 +4486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "transcript_refusals": _q_transcript_refusals,
         "transcript_validation": _q_transcript_validation,
+        "events_funnel_count": _q_events_funnel_count,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
@@ -5460,6 +5507,34 @@ def oracle_sql() -> dict[str, str]:
                    AS INTEGER) AS hit
             FROM r JOIN documents d ON d.doc_id = r.doc_id
             WHERE rn = 1
+        """,
+        "events_funnel_count": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                CASE event_type WHEN 'view' THEN 1 ELSE 0 END AS iv,
+                CASE event_type WHEN 'click' THEN 1 ELSE 0 END AS ic,
+                CASE event_type WHEN 'purchase' THEN 1 ELSE 0 END AS ip
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+            r AS (
+              SELECT user_id, ts, event_id,
+                sum(iv) OVER w AS v, sum(ic) OVER w AS c,
+                sum(ip) OVER w AS p
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            s AS (
+              SELECT user_id, p,
+                c - GREATEST(max(c - v) OVER w, 0) AS m2
+              FROM r
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            g AS (
+              SELECT user_id, max(p) AS ptot,
+                     GREATEST(max(p - m2), 0) AS d3
+              FROM s GROUP BY user_id)
+            SELECT user_id, CAST(ptot - d3 AS BIGINT) AS n_funnels
+            FROM g
         """,
         "weighted_sample_by_lang": """
             SELECT lang, doc_id, n_chars, rn FROM (

@@ -54,3 +54,37 @@ def test_sessionize_dataset(ray_session):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user["a"]) == [1, 2]
     assert sorted(per_user["b"]) == [1, 1]
+
+
+def test_funnel_count_formula_matches_greedy():
+    """The ballot-style prefix-slack identity behind events_funnel_count
+    equals the greedy earliest-match counter on random sequences."""
+    import random
+
+    import numpy as np
+
+    def greedy(seq):
+        c1 = c2 = c3 = 0
+        for e in seq:
+            if e == "v":
+                c1 += 1
+            elif e == "c" and c2 < c1:
+                c2 += 1
+            elif e == "p" and c3 < c2:
+                c3 += 1
+        return c3
+
+    def formula(seq):
+        et = np.array(seq)
+        if len(et) == 0:
+            return 0
+        v = np.cumsum(et == "v")
+        c = np.cumsum(et == "c")
+        p = np.cumsum(et == "p")
+        m2 = c - np.maximum(np.maximum.accumulate(c - v), 0)
+        return int(p[-1] - max(np.max(p - m2), 0))
+
+    rng = random.Random(7)
+    for _ in range(5000):
+        seq = [rng.choice("vcpx") for _ in range(rng.randint(0, 15))]
+        assert greedy(seq) == formula(seq), seq
