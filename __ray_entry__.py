@@ -4468,7 +4468,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": _q_top_unshipped_orders,
         "events_pivot": _q_events_pivot,
         "orders_price_bands": _q_orders_price_bands,
-        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "events_cumsum": _q_events_cumsum,
         "events_funnel": _q_events_funnel,
         "events_top_spenders": _q_events_top_spenders,
@@ -4491,6 +4490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "embedding_pca_project": _q_embedding_pca_project,
         "conv_lang_switches": _q_conv_lang_switches,
         "multilang_turns": _q_multilang_turns,
