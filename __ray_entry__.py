@@ -1423,6 +1423,41 @@ def _q_ccnet_ppl_buckets(sf_dir: str):
     return ranked.map_batches(label, batch_format="pyarrow")
 
 
+def _q_nb_confusion(sf_dir: str):
+    """Confusion matrix of the Naive Bayes language classifier — the
+    eval-metrics rollup a model-quality dashboard needs, computed at
+    corpus scale: classify (shuffle-free, broadcast model, truth kept)
+    → per-block (truth, pred, n) combiner → one tiny groupby (≤ labels²
+    rows ride the exchange).  [SQL-verified]"""
+    from lingua_ray.stages.nbayes import nb_classify
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    pred = nb_classify(ds, "lang", keep_label=True)
+
+    def confusion_partial(batch: pa.Table) -> pa.Table:
+        truth = np.asarray(batch.column("lang")
+                           .to_numpy(zero_copy_only=False))
+        p = np.asarray(batch.column("pred_lang")
+                       .to_numpy(zero_copy_only=False))
+        key = np.char.add(np.char.add(truth.astype(str), "\x00"),
+                          p.astype(str))
+        uk, idx, uc = np.unique(key, return_index=True,
+                                return_counts=True)
+        return pa.table({"lang": pa.array(truth[idx]),
+                         "pred_lang": pa.array(p[idx]),
+                         "n": pa.array(uc.astype(np.int64))})
+
+    out = (pred.map_batches(confusion_partial, batch_format="pyarrow")
+           .groupby(["lang", "pred_lang"]).sum("n"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("lang"),
+                         "pred_lang": batch.column("pred_lang"),
+                         "n": batch.column("sum(n)")})
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (arXiv:2302.03169): select the 100 raw
     documents that look most like the lang='en' target under hashed-
@@ -4040,6 +4075,63 @@ def _q_events_funnel_count(sf_dir: str):
                                            batch_format="pyarrow"))
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort retention: users bucketed by their FIRST active week
+    (epoch-week integer — identical arithmetic in both engines), then
+    distinct-user counts per (cohort_week, week_offset) — the
+    product-analytics triangle.  Per-block distinct (user, week)
+    combiner → groupby distinct → per-user map_groups (group =
+    weeks-per-user, bounded by the time span) emitting (cohort, offset)
+    rows → tiny count rollup.  [SQL-verified]"""
+    _WEEK_US = 604_800_000_000
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        w = (batch.column("ts").cast(pa.int64()).to_numpy()
+             // _WEEK_US).astype(np.int64)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        first = np.ones(len(us), dtype=bool)
+        first[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        return pa.table({"user_id": pa.array(us[first]),
+                         "week": pa.array(ws[first])})
+
+    def offsets_group(group: pa.Table) -> pa.Table:
+        w = np.unique(group.column("week").to_numpy())
+        return pa.table({
+            "cohort_week": pa.array(np.full(len(w), w.min(),
+                                            dtype=np.int64)),
+            "week_offset": pa.array(w - w.min())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("cohort_week").to_numpy().astype(np.int64)
+        o = batch.column("week_offset").to_numpy().astype(np.int64)
+        order = np.lexsort((o, c))
+        cs, os_ = c[order], o[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = (cs[1:] != cs[:-1]) | (os_[1:] != os_[:-1])
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.concatenate([starts, [len(cs)]]))
+        return pa.table({
+            "cohort_week": pa.array(cs[starts]),
+            "week_offset": pa.array(os_[starts]),
+            "n_users": pa.array(runs.astype(np.int64))})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    pairs = (ds.map_batches(pairs_partial, batch_format="pyarrow")
+             .groupby(["user_id", "week"]).count()
+             .select_columns(["user_id", "week"]))
+    offs = pairs.groupby("user_id").map_groups(offsets_group,
+                                               batch_format="pyarrow")
+    return (offs.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"]).sum("n_users")
+            .map_batches(lambda b: pa.table({
+                "cohort_week": b.column("cohort_week"),
+                "week_offset": b.column("week_offset"),
+                "n_users": b.column("sum(n_users)")}),
+                batch_format="pyarrow"))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel analysis (view → click → purchase): per user, the
     furthest stage reached with strictly increasing timestamps between
@@ -4483,13 +4575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
+        "nb_confusion": _q_nb_confusion,
         "transcript_refusals": _q_transcript_refusals,
         "transcript_validation": _q_transcript_validation,
-        "events_funnel_count": _q_events_funnel_count,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "events_funnel_count": _q_events_funnel_count,
+        "events_retention": _q_events_retention,
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
         "embedding_pca_project": _q_embedding_pca_project,
         "conv_lang_switches": _q_conv_lang_switches,
@@ -5508,6 +5602,18 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN documents d ON d.doc_id = r.doc_id
             WHERE rn = 1
         """,
+        "events_retention": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+              FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week
+                  FROM p GROUP BY user_id)
+            SELECT c.cohort_week, p.week - c.cohort_week AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN c ON p.user_id = c.user_id
+            GROUP BY c.cohort_week, p.week - c.cohort_week
+        """,
         "events_funnel_count": """
             WITH e AS (
               SELECT user_id, ts, event_id,
@@ -5923,4 +6029,13 @@ def oracle_sql() -> dict[str, str]:
     # identical scores by construction: the persisted-index probe reads
     # the SAME df/stats the in-pipeline pass computes
     sqls["bm25_indexed"] = sqls["bm25_topk"]
+    # the confusion matrix reuses the NB classifier's CTE chain verbatim
+    # and only changes the final projection to a (truth, pred) rollup
+    sqls["nb_confusion"] = (
+        sqls["nb_lang_classify"].rsplit("SELECT r.doc_id", 1)[0]
+        + """SELECT d.lang, r.lang AS pred_lang,
+              CAST(count(*) AS BIGINT) AS n
+            FROM r JOIN documents d ON d.doc_id = r.doc_id
+            WHERE rn = 1 GROUP BY d.lang, r.lang
+        """)
     return sqls

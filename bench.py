@@ -161,7 +161,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "conv_lang_switches", "conv_neardup",
                      "transcript_refusals", "weighted_sample_by_lang",
                      "session_turn_dedup", "bm25_indexed",
-                     "transcript_validation", "events_funnel_count"]
+                     "transcript_validation", "events_funnel_count",
+                     "events_retention", "nb_confusion"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

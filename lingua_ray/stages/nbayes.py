@@ -75,9 +75,11 @@ def train_nb(ds, label_col: str, text_col: str = "text",
 
 
 def nb_classify(ds, label_col: str, text_col: str = "text",
-                id_col: str = "doc_id", n_buckets: int = 1024):
+                id_col: str = "doc_id", n_buckets: int = 1024,
+                keep_label: bool = False):
     """Train on ``ds`` and classify every row of it: Dataset of
-    (id, ``pred_<label_col>``, ``score``, ``hit``)."""
+    (id, ``pred_<label_col>``, ``score``, ``hit``); with ``keep_label``
+    the true label column rides along (confusion-matrix input)."""
     import ray
 
     labels, m, priors = train_nb(ds, label_col, text_col=text_col,
@@ -96,10 +98,13 @@ def nb_classify(ds, label_col: str, text_col: str = "text",
         pred = scores.argmax(axis=1)  # first max = label-asc tie-break
         truth = np.asarray(utf8_filled(batch.column(label_col))
                            .to_numpy(zero_copy_only=False))
-        return pa.table({
+        cols = {
             id_col: batch.column(id_col),
             "pred_" + label_col: pa.array(lbl[pred]),
             "score": pa.array(scores[np.arange(n), pred]),
-            "hit": pa.array((lbl[pred] == truth).astype(np.int32))})
+            "hit": pa.array((lbl[pred] == truth).astype(np.int32))}
+        if keep_label:
+            cols[label_col] = pa.array(truth)
+        return pa.table(cols)
 
     return ds.map_batches(classify, batch_format="pyarrow")

@@ -88,3 +88,22 @@ def test_funnel_count_formula_matches_greedy():
     for _ in range(5000):
         seq = [rng.choice("vcpx") for _ in range(rng.randint(0, 15))]
         assert greedy(seq) == formula(seq), seq
+
+
+def test_events_retention_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["events_retention"](sf).to_pandas()
+    got = got[sorted(got.columns)].sort_values(
+        by=sorted(got.columns), ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(E.oracle_sql()["events_retention"]).df()
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
