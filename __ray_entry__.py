@@ -935,9 +935,11 @@ def _q_transcript_validation(sf_dir: str):
                          "n_null_text": pa.array([nulls], pa.int64()),
                          "n_bad_role": pa.array([int(bad)], pa.int64())})
 
-    base_counts = (full.map_batches(counters, batch_format="pyarrow")
-                   .groupby("g").sum(["n_turns", "n_null_text",
-                                      "n_bad_role"]).take_all())[0]
+    bc_rows = (full.map_batches(counters, batch_format="pyarrow")
+               .groupby("g").sum(["n_turns", "n_null_text",
+                                  "n_bad_role"]).take_all())
+    base_counts = bc_rows[0] if bc_rows else {
+        "sum(n_turns)": 0, "sum(n_null_text)": 0, "sum(n_bad_role)": 0}
 
     from lingua_ray.stages.adjacency import adjacent_pairs
     pairs = adjacent_pairs(m.select_columns(["conv_id", "turn_idx",
@@ -952,8 +954,9 @@ def _q_transcript_validation(sf_dir: str):
         return pa.table({"g": pa.array([0], pa.int32()),
                          "n": pa.array([int(d)], pa.int64())})
 
-    n_disorder = (pairs.map_batches(disorder, batch_format="pyarrow")
-                  .groupby("g").sum("n").take_all())[0]["sum(n)"]
+    dis_rows = (pairs.map_batches(disorder, batch_format="pyarrow")
+                .groupby("g").sum("n").take_all())
+    n_disorder = dis_rows[0]["sum(n)"] if dis_rows else 0
 
     from lingua_ray.functions.textstats import fingerprint64_array
 
@@ -974,8 +977,9 @@ def _q_transcript_validation(sf_dir: str):
         return pa.table({"g": pa.array([0], pa.int32()),
                          "n": pa.array([int((c > 1).sum())], pa.int64())})
 
-    n_dup = (dup_rows.map_batches(over_one, batch_format="pyarrow")
-             .groupby("g").sum("n").take_all())[0]["sum(n)"]
+    dk_rows = (dup_rows.map_batches(over_one, batch_format="pyarrow")
+               .groupby("g").sum("n").take_all())
+    n_dup = dk_rows[0]["sum(n)"] if dk_rows else 0
 
     return pa.table({
         "n_turns": pa.array([base_counts["sum(n_turns)"]], pa.int64()),
@@ -5119,6 +5123,45 @@ def _sql_stopword_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 
+# Shared CTE chain of the Naive Bayes classifier oracle: hashed-unigram
+# counts → per-label smoothed log-probs → per-(doc, label) scores →
+# rounded-score argmax rank.  Both nb_lang_classify and nb_confusion
+# compose their final projection onto this.
+_NB_CTE = """
+            WITH w AS (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            b AS (SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(word), 1, 13))::UBIGINT % 1024
+                         AS BIGINT) AS bucket
+                  FROM w),
+            cnt AS (SELECT lang, bucket, count(*) AS n
+                    FROM b GROUP BY lang, bucket),
+            tok AS (SELECT lang, sum(n) AS tot FROM cnt GROUP BY lang),
+            docs AS (SELECT lang, count(*) AS nd
+                     FROM documents GROUP BY lang),
+            tot AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT db.doc_id, l.lang,
+                     sum(ln((coalesce(cnt.n, 0) + 1.0)
+                            / (tok.tot + 1024.0))) AS ll
+                   FROM (SELECT doc_id, bucket FROM b) db
+                   CROSS JOIN (SELECT lang FROM docs) l
+                   LEFT JOIN cnt ON cnt.lang = l.lang
+                                AND cnt.bucket = db.bucket
+                   JOIN tok ON tok.lang = l.lang
+                   GROUP BY db.doc_id, l.lang),
+            fin AS (SELECT sc.doc_id, sc.lang,
+                      round(sc.ll + ln(CAST(docs.nd AS DOUBLE) / tot.n), 6)
+                        AS score
+                    FROM sc JOIN docs ON docs.lang = sc.lang
+                    CROSS JOIN tot),
+            r AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) AS rn
+                  FROM fin)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from lingua_ray.stages.quality import LOGOGRAM_RE_CLASS
     quality = f"""
@@ -5564,38 +5607,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'tail' END AS bucket
             FROM r
         """,
-        "nb_lang_classify": """
-            WITH w AS (SELECT doc_id, lang,
-                              unnest(string_split(text, ' ')) AS word
-                       FROM documents),
-            b AS (SELECT doc_id, lang,
-                    CAST(('0x' || substr(md5(word), 1, 13))::UBIGINT % 1024
-                         AS BIGINT) AS bucket
-                  FROM w),
-            cnt AS (SELECT lang, bucket, count(*) AS n
-                    FROM b GROUP BY lang, bucket),
-            tok AS (SELECT lang, sum(n) AS tot FROM cnt GROUP BY lang),
-            docs AS (SELECT lang, count(*) AS nd
-                     FROM documents GROUP BY lang),
-            tot AS (SELECT count(*) AS n FROM documents),
-            sc AS (SELECT db.doc_id, l.lang,
-                     sum(ln((coalesce(cnt.n, 0) + 1.0)
-                            / (tok.tot + 1024.0))) AS ll
-                   FROM (SELECT doc_id, bucket FROM b) db
-                   CROSS JOIN (SELECT lang FROM docs) l
-                   LEFT JOIN cnt ON cnt.lang = l.lang
-                                AND cnt.bucket = db.bucket
-                   JOIN tok ON tok.lang = l.lang
-                   GROUP BY db.doc_id, l.lang),
-            fin AS (SELECT sc.doc_id, sc.lang,
-                      round(sc.ll + ln(CAST(docs.nd AS DOUBLE) / tot.n), 6)
-                        AS score
-                    FROM sc JOIN docs ON docs.lang = sc.lang
-                    CROSS JOIN tot),
-            r AS (SELECT doc_id, lang, score,
-                    row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY score DESC, lang) AS rn
-                  FROM fin)
+        "nb_lang_classify": _NB_CTE + """
             SELECT r.doc_id, r.lang AS pred_lang, r.score,
               CAST(CASE WHEN r.lang = d.lang THEN 1 ELSE 0 END
                    AS INTEGER) AS hit
@@ -6029,13 +6041,12 @@ def oracle_sql() -> dict[str, str]:
     # identical scores by construction: the persisted-index probe reads
     # the SAME df/stats the in-pipeline pass computes
     sqls["bm25_indexed"] = sqls["bm25_topk"]
-    # the confusion matrix reuses the NB classifier's CTE chain verbatim
-    # and only changes the final projection to a (truth, pred) rollup
-    sqls["nb_confusion"] = (
-        sqls["nb_lang_classify"].rsplit("SELECT r.doc_id", 1)[0]
-        + """SELECT d.lang, r.lang AS pred_lang,
+    # the confusion matrix reuses the NB classifier's CTE chain (the
+    # shared _NB_CTE constant) and only changes the final projection
+    sqls["nb_confusion"] = _NB_CTE + """
+            SELECT d.lang, r.lang AS pred_lang,
               CAST(count(*) AS BIGINT) AS n
             FROM r JOIN documents d ON d.doc_id = r.doc_id
             WHERE rn = 1 GROUP BY d.lang, r.lang
-        """)
+        """
     return sqls

@@ -198,6 +198,7 @@ def build_bm25_index(ds, index_dir: str, n_buckets: int = 64,
                                batch_format="pyarrow").take_all()
     (out / _META_FILE).write_text(json.dumps({
         "kind": "bm25", "n_buckets": n_buckets,
+        "text_col": text_col, "id_col": id_col,
         "n_docs": int(stats[0]["sum(n_docs)"]) if stats else 0,
         "total_len": int(stats[0]["sum(total_len)"]) if stats else 0}))
 
@@ -212,7 +213,6 @@ def bm25_query_index(ds, index_dir: str, terms: tuple[str, ...],
     import json
     from pathlib import Path
 
-    import ray.data
 
     p = Path(index_dir) / _META_FILE
     if not p.exists():
@@ -220,11 +220,15 @@ def bm25_query_index(ds, index_dir: str, terms: tuple[str, ...],
             f"{index_dir} has no {_META_FILE}: not a BM25 index (or an "
             "interrupted build — rebuild it)")
     meta = json.loads(p.read_text())
-    if meta.get("kind") != "bm25" or meta.get("n_buckets") != n_buckets:
+    want = {"kind": "bm25", "n_buckets": n_buckets,
+            "text_col": text_col, "id_col": id_col}
+    got = {k: meta.get(k) for k in want}
+    if got != want:
         raise ValueError(
-            f"index meta {meta} does not match kind=bm25 "
-            f"n_buckets={n_buckets} — a silent mismatch would probe the "
-            "wrong buckets and miss every term")
+            f"index meta {got} does not match {want} — a silent "
+            "mismatch would probe the wrong buckets (or score a column "
+            "the df table was never built over) and corrupt every "
+            "score, not error")
 
     th = _term_hashes(terms)
     touched = sorted({int(h) % n_buckets
@@ -234,11 +238,17 @@ def bm25_query_index(ds, index_dir: str, terms: tuple[str, ...],
                               / f"bucket={bk}").glob("*.parquet"))]
     df = np.zeros(len(th), dtype=np.int64)
     if paths:
-        rows = ray.data.read_parquet(
-            paths, columns=["word_hash", "df"]).take_all()
-        lut = {r["word_hash"]: r["df"] for r in rows}
-        for i, t in enumerate(th):
-            df[i] = lut.get(int(t), 0)
+        # a handful of small bucket files for |Q| rows: direct pyarrow
+        # read with a pushed-down term filter — no Ray job round-trip,
+        # and untouched rows never reach the driver
+        import pyarrow.parquet as pq
+        t = pq.read_table(paths, columns=["word_hash", "df"],
+                          filters=[("word_hash", "in",
+                                    [int(x) for x in th])])
+        lut = dict(zip(t.column("word_hash").to_pylist(),
+                       t.column("df").to_pylist()))
+        for i, x in enumerate(th):
+            df[i] = lut.get(int(x), 0)
     n_docs, total_len = meta["n_docs"], meta["total_len"]
     avgdl = total_len / n_docs if n_docs else 1.0
     idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)

@@ -50,22 +50,23 @@ def test_mismatched_buckets_refused(ray_session, corpus_ds, tmp_path):
 
 def test_probe_reads_only_touched_buckets(ray_session, corpus_ds,
                                           tmp_path, monkeypatch):
-    """Directory-pruning spy: the probe's read_parquet path list must
-    only name the query terms' buckets."""
-    import ray.data
+    """Directory-pruning spy: the probe's parquet path list must only
+    name the query terms' buckets (the probe reads the index directly
+    via pyarrow with a pushed-down term filter — no Ray job)."""
+    import pyarrow.parquet as pq_mod
 
     from lingua_ray.stages import bm25
 
     idx = str(tmp_path / "idx")
     bm25.build_bm25_index(corpus_ds, idx)
     seen = []
-    orig = ray.data.read_parquet
+    orig = pq_mod.read_table
 
     def spy(paths, **kw):
         seen.append(list(paths) if isinstance(paths, list) else [paths])
         return orig(paths, **kw)
 
-    monkeypatch.setattr(ray.data, "read_parquet", spy)
+    monkeypatch.setattr(pq_mod, "read_table", spy)
     bm25.bm25_query_index(corpus_ds, idx, ("alpha",), k=5)
     import numpy as np
     th = bm25._term_hashes(("alpha",))

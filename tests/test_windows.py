@@ -85,7 +85,7 @@ def test_funnel_count_formula_matches_greedy():
         return int(p[-1] - max(np.max(p - m2), 0))
 
     rng = random.Random(7)
-    for _ in range(5000):
+    for _ in range(20000):
         seq = [rng.choice("vcpx") for _ in range(rng.randint(0, 15))]
         assert greedy(seq) == formula(seq), seq
 
