@@ -107,3 +107,20 @@ def test_ccnet_ppl_buckets_semantics(ray_session):
         tail = g[g.bucket == "tail"]["ppl_u"]
         if len(head) and len(tail):
             assert head.max() <= tail.min()
+
+
+def test_topk_reduce_string_ids(ray_session):
+    """The shared k-safe reduction must handle non-int64 id columns
+    (hash-salted tree level, schema derived from the input)."""
+    import ray.data
+
+    from lingua_ray.stages.util import topk_reduce
+
+    rows = [{"name": f"doc{i:03d}", "score": float(i % 17)}
+            for i in range(200)]
+    t = topk_reduce(ray.data.from_items(rows).repartition(7),
+                    "score", "name", k=5)
+    assert t.column("score").to_pylist() == [16.0] * 5
+    # ties broken by id ascending
+    assert t.column("name").to_pylist() == [
+        "doc016", "doc033", "doc050", "doc067", "doc084"]
