@@ -991,6 +991,84 @@ def _q_transcript_validation(sf_dir: str):
         "n_dup_keys": pa.array([n_dup], pa.int64())})
 
 
+def _q_corpus_datacard(sf_dir: str):
+    """One-row corpus data card — the summary a dataset release ships:
+    doc/char/token totals, quality keep count (flags == 0 under the
+    driver-verified quality kernel), exact-distinct text count, language
+    count and majority language.  Three independent shuffle-light
+    aggregates (per-block counter partials, a lang histogram, a
+    fingerprint-keyed distinct count) combined into one row — the
+    transcript_validation pattern over the documents table.
+    [SQL-verified — reuses the quality-flag CTE verbatim]"""
+    import pyarrow.compute as pc
+
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.quality import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        keep = int(pc.sum(pc.cast(pc.equal(
+            q.column("quality_flags"), 0), pa.int64())).as_py() or 0)
+        col = pc.fill_null(batch.column("text"), "")
+        chars = int(pc.sum(pc.utf8_length(col)).as_py() or 0)
+        toks = int(pc.sum(pc.count_substring_regex(col, r"[^ ]+"))
+                   .as_py() or 0)
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n_docs": pa.array([batch.num_rows], pa.int64()),
+                         "n_chars": pa.array([chars], pa.int64()),
+                         "n_ws_tokens": pa.array([toks], pa.int64()),
+                         "n_keep": pa.array([keep], pa.int64())})
+
+    c_rows = (ds.map_batches(counters, batch_format="pyarrow")
+              .groupby("g").sum(["n_docs", "n_chars", "n_ws_tokens",
+                                 "n_keep"]).take_all())
+    c = c_rows[0] if c_rows else {
+        "sum(n_docs)": 0, "sum(n_chars)": 0, "sum(n_ws_tokens)": 0,
+        "sum(n_keep)": 0}
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        l = np.asarray(pc.fill_null(batch.column("lang"), "")
+                       .to_numpy(zero_copy_only=False))
+        ul, uc = np.unique(l, return_counts=True)
+        return pa.table({"lang": pa.array(ul),
+                         "n": pa.array(uc.astype(np.int64))})
+
+    langs = (ds.map_batches(lang_partial, batch_format="pyarrow")
+             .groupby("lang").sum("n").take_all())
+    n_langs = len(langs)
+    if langs:  # mode with lang-ascending tie-break
+        top = max(r["sum(n)"] for r in langs)
+        top_lang = min(r["lang"] for r in langs if r["sum(n)"] == top)
+    else:
+        top_lang = ""
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        fp = np.unique(fingerprint64_array(batch.column("text"))
+                       .view(np.int64))
+        return pa.table({"fp": pa.array(fp)})
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    d_rows = (ds.map_batches(fp_partial, batch_format="pyarrow")
+              .groupby("fp").count()
+              .map_batches(count_rows, batch_format="pyarrow")
+              .groupby("g").sum("n").take_all())
+    n_distinct = d_rows[0]["sum(n)"] if d_rows else 0
+
+    return pa.table({
+        "n_docs": pa.array([c["sum(n_docs)"]], pa.int64()),
+        "n_chars": pa.array([c["sum(n_chars)"]], pa.int64()),
+        "n_ws_tokens": pa.array([c["sum(n_ws_tokens)"]], pa.int64()),
+        "n_keep": pa.array([c["sum(n_keep)"]], pa.int64()),
+        "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "top_lang": pa.array([top_lang], pa.string())})
+
+
 def _q_multilang_turns(sf_dir: str):
     """Mixed-language turn detection over transcripts: every turn
     through the multi-language section scorer (script-boundary split +
@@ -4580,6 +4658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "nb_confusion": _q_nb_confusion,
+        "corpus_datacard": _q_corpus_datacard,
         "transcript_refusals": _q_transcript_refusals,
         "transcript_validation": _q_transcript_validation,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
@@ -5231,9 +5310,29 @@ def oracle_sql() -> dict[str, str]:
     ) k JOIN documents d ON k.doc_id = d.doc_id
     GROUP BY d.lang
     """
+    datacard = f"""
+    WITH qq AS ({quality}),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        CAST(sum(length(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+          AS n_ws_tokens,
+        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents),
+    k AS (SELECT CAST(sum(CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_keep FROM qq),
+    m AS (SELECT lang AS top_lang FROM (
+            SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ORDER BY c DESC, lang LIMIT 1))
+    SELECT base.n_docs, base.n_chars, base.n_ws_tokens, k.n_keep,
+           base.n_distinct_texts, base.n_langs, m.top_lang
+    FROM base CROSS JOIN k CROSS JOIN m
+    """
     sqls = {
         "doc_quality": quality,
         "clean_corpus_stats": clean_corpus,
+        "corpus_datacard": datacard,
         "doc_scrub": scrub,
         "doc_tokens": tokens,
         "doc_fingerprint":

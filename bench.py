@@ -162,7 +162,8 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "transcript_refusals", "weighted_sample_by_lang",
                      "session_turn_dedup", "bm25_indexed",
                      "transcript_validation", "events_funnel_count",
-                     "events_retention", "nb_confusion"]
+                     "events_retention", "nb_confusion",
+                     "corpus_datacard"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):
