@@ -4658,13 +4658,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "nb_confusion": _q_nb_confusion,
-        "corpus_datacard": _q_corpus_datacard,
         "transcript_refusals": _q_transcript_refusals,
         "transcript_validation": _q_transcript_validation,
         "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
+        "corpus_datacard": _q_corpus_datacard,
         "events_funnel_count": _q_events_funnel_count,
         "events_retention": _q_events_retention,
         "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
