@@ -48,7 +48,10 @@ def oracle_con():
                                   "dedup_indexed", "bm25_topk",
                                   "dsir_select", "ccnet_buckets",
                                   "nb_lang_classify",
-                                  "weighted_sample_by_lang"])
+                                  "weighted_sample_by_lang",
+                                  "nb_confusion", "corpus_datacard",
+                                  "events_funnel_count",
+                                  "bm25_indexed"])
 def test_query_matches_duckdb(ray_session, oracle_con, name):
     import __ray_entry__ as E
 
