@@ -4588,34 +4588,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # bounded window (50/round) from the front, so queries that have never
     # received a driver-green row are listed first — SQL-verified ones
     # (strongest check) ahead of rows-only ones — and the queries already
-    # hash-green in rounds 1-3 follow.  The round-4 window is 50/50
-    # SQL-verified never-checked entries: ~38 round-1-3 survivors plus
-    # the final-round-4 operators (bm25_topk + bm25_indexed, dsir_select,
-    # ccnet_buckets, dpo_pairs, nb_lang_classify, transcript_refusals,
-    # transcript_validation, weighted_sample_by_lang, session_turn_dedup,
-    # and the two sampled substring-dedup scale paths — each locally
-    # gate-green at sf0.001/sf0.01/sf0.1 via tools/check_queries).
-    # Still after slot 50 for round 5, in priority order: the new
-    # rows-only compositions (conv_lang_switches, multilang_turns,
-    # conv_neardup, ccnet_ppl_buckets — pytest-gated),
-    # embedding_pca_project (its SQL twin pca_stats is in-window), the
-    # rows-only ANN tail (knn_lsh/ivf/ivf_persisted/kmeans, knn_pq,
-    # knn_ivfpq — recall-pytest-gated), the two HLL sketches (EXACT
-    # SQL-verified twins sit in the window head), semantic_dedup
-    # (planted-pair pytest), the four SQL-verified mid-round-4
-    # transcript additions (transcript_tool_chains, conv_context_truncate,
-    # conv_role_balance, transcript_contamination), bpe/
-    # conv_quality_rollup/linear_probe rows-only entries, and the
-    # stalest r01-era greens.  Rows-only queries are the langid/model
-    # family (not SQL-expressible; gated by the pytest kernel-vs-scalar
-    # suite) and the approximate sketches (each has an exact
-    # SQL-verified twin).
+    # hash-green in earlier rounds follow.  The round-5 window closes the
+    # book: the final 32 never-driver-checked entries (13 SQL-verified +
+    # 19 rows-only — the ANN family, HLL/BPE pairs, and the round-4
+    # rows-only compositions) head the list, padded to 50 with the 18
+    # stalest greens (last driver-checked in round 1 or 2).  With this
+    # window green, every one of the 154 registered queries has at least
+    # one driver-green row across rounds (cross-round union 154/154).
+    # Rows-only queries are the langid/model family (not SQL-expressible;
+    # gated by the pytest kernel-vs-scalar suite) and the approximate
+    # sketches / ANN entries (each has an exact SQL-verified twin or a
+    # recall/planted-pair pytest gate).
     return {
-        # ---- round-4 additions, SQL-verified (window head) ----
+        # ---- never driver-checked, SQL-verified (round-5 window head) ----
+        "corpus_datacard": _q_corpus_datacard,
+        "events_funnel_count": _q_events_funnel_count,
+        "events_retention": _q_events_retention,
+        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
+        "transcript_tool_chains": _q_transcript_tool_chains,
+        "conv_context_truncate": _q_conv_context_truncate,
+        "conv_role_balance": _q_conv_role_balance,
+        "transcript_contamination": _q_transcript_contamination,
+        "transcript_loop_detect": _q_transcript_loop_detect,
+        "turn_context_window": _q_turn_context_window,
+        "conv_pack_assign": _q_conv_pack_assign,
+        "transcript_sessionize": _q_transcript_sessionize,
+        "conv_exchange_extract": _q_conv_exchange_extract,
+        # ---- never driver-checked, rows-only (pytest-gated) ----
+        "embedding_pca_project": _q_embedding_pca_project,
+        "conv_lang_switches": _q_conv_lang_switches,
+        "multilang_turns": _q_multilang_turns,
+        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
+        "conv_neardup": _q_conv_neardup,
+        "bpe_train": _q_bpe_train,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "conv_quality_rollup": _q_conv_quality_rollup,
+        "neardup_indexed": _q_neardup_indexed,
+        "linear_probe_train": _q_linear_probe_train,
+        "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
+        "knn_ivf_persisted": _q_knn_ivf_persisted,
+        "distinct_words_hll": _q_distinct_words_hll,
+        "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
+        "semantic_dedup": _q_semantic_dedup,
+        "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
+        # ---- stalest greens: last driver-checked round 1-2, SQL-verified ----
+        "lineitem_unpivot": _q_lineitem_unpivot,
+        "orders_price_zscore": _q_orders_price_zscore,
+        "events_rollup": _q_events_rollup,
+        "doc_length_pctrank": _q_doc_length_pctrank,
+        "doc_length_rank": _q_doc_length_rank,
+        "events_stats": _q_events_stats,
+        "events_hourly": _q_events_hourly,
+        # ---- stalest greens: last driver-checked round 1-2, rows-only ----
+        "langid_documents_lowacc": _q_langid_documents_lowacc,
+        "multilang_documents": _q_multilang_documents,
+        "accuracy_report": _q_accuracy_report,
+        "embedding_neardup": _q_embedding_neardup,
+        "quality_filter_transcripts": _q_quality_filter_transcripts,
+        "langid_documents": _q_langid_documents,
+        "train_ngrams": _q_train_ngrams,
+        "seq_packing": _q_seq_packing,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "simhash": _q_simhash,
+        # ---- after the window: driver-green in rounds 1-4 ----
         "media_dims": _q_media_dims,
         "audio_meta": _q_audio_meta,
         "embedding_pca_stats": _q_embedding_pca_stats,
-        # ---- never-driver-checked, SQL-verified (round-4 window head) ----
         "orders_price_quantiles": _q_orders_price_quantiles,
         "events_sessions": _q_events_sessions,
         "orders_by_segment": _q_orders_by_segment,
@@ -4650,7 +4692,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "embedding_inference": _q_embedding_inference,
         "gopher_filter": _q_gopher_filter,
-        # ---- new in round 4, SQL-verified ----
         "bm25_topk": _q_bm25_topk,
         "bm25_indexed": _q_bm25_indexed,
         "dsir_select": _q_dsir_select,
@@ -4664,40 +4705,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_turn_dedup": _q_session_turn_dedup,
         "substring_dedup_sampled": _q_substring_dedup_sampled,
         "substring_dedup_winnowed": _q_substring_dedup_winnowed,
-        "corpus_datacard": _q_corpus_datacard,
-        "events_funnel_count": _q_events_funnel_count,
-        "events_retention": _q_events_retention,
-        "orders_price_bands_bucketed": _q_orders_price_bands_bucketed,
-        "embedding_pca_project": _q_embedding_pca_project,
-        "conv_lang_switches": _q_conv_lang_switches,
-        "multilang_turns": _q_multilang_turns,
-        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
-        "conv_neardup": _q_conv_neardup,
-        # ---- never-driver-checked, rows-only (pytest-gated) ----
-        "bpe_train": _q_bpe_train,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "conv_quality_rollup": _q_conv_quality_rollup,
-        "neardup_indexed": _q_neardup_indexed,
-        "linear_probe_train": _q_linear_probe_train,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "embedding_kmeans_sizes": _q_embedding_kmeans_sizes,
-        "knn_ivf_persisted": _q_knn_ivf_persisted,
-        "distinct_words_hll": _q_distinct_words_hll,
-        "distinct_words_by_lang_hll": _q_distinct_words_by_lang_hll,
-        "semantic_dedup": _q_semantic_dedup,
-        "transcript_tool_chains": _q_transcript_tool_chains,
-        "conv_context_truncate": _q_conv_context_truncate,
-        "conv_role_balance": _q_conv_role_balance,
-        "transcript_contamination": _q_transcript_contamination,
-        "transcript_loop_detect": _q_transcript_loop_detect,
-        "turn_context_window": _q_turn_context_window,
-        "conv_pack_assign": _q_conv_pack_assign,
-        "transcript_sessionize": _q_transcript_sessionize,
-        "conv_exchange_extract": _q_conv_exchange_extract,
-        "knn_pq": _q_knn_pq,
-        "knn_ivfpq": _q_knn_ivfpq,
-        # ---- driver-green in rounds 1-3, SQL-verified ----
         "conversations_assembled": _q_conversations_assembled,
         "transcript_scrub": _q_transcript_scrub,
         "transcript_role_stats": _q_transcript_role_stats,
@@ -4748,28 +4755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_probe_stats": _q_linear_probe_stats,
         "events_last_per_user": _q_events_last_per_user,
         "events_value_salted": _q_events_value_salted,
-        "lineitem_unpivot": _q_lineitem_unpivot,
-        "orders_price_zscore": _q_orders_price_zscore,
-        "events_rollup": _q_events_rollup,
-        "doc_length_pctrank": _q_doc_length_pctrank,
-        "doc_length_rank": _q_doc_length_rank,
-        "events_stats": _q_events_stats,
-        "events_hourly": _q_events_hourly,
-        # ---- driver-green in rounds 1-3, rows-only ----
-        "quality_filter_transcripts": _q_quality_filter_transcripts,
-        "langid_documents": _q_langid_documents,
         "langid_confidences": _q_langid_confidences,
-        "langid_documents_lowacc": _q_langid_documents_lowacc,
-        "multilang_documents": _q_multilang_documents,
-        "accuracy_report": _q_accuracy_report,
-        "train_ngrams": _q_train_ngrams,
-        "seq_packing": _q_seq_packing,
         "seq_packing_by_lang": _q_seq_packing_by_lang,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_clusters": _q_dedup_clusters,
         "dedup_fuzzy_keep": _q_dedup_fuzzy_keep,
-        "simhash": _q_simhash,
-        "embedding_neardup": _q_embedding_neardup,
         "orders_price_quantiles_approx": _q_orders_price_quantiles_approx,
     }
 

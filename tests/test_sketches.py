@@ -97,6 +97,50 @@ def test_bloom_block_merge_commutes():
     assert (whole == merged).all()
 
 
+def test_bloom_fold_tree_bounds_driver_rows(ray_session):
+    """The distributed OR-merge level leaves at most tree_fanin bitmap
+    rows for the driver (bytes bounded by bitmap-size × fan-in, never ×
+    n_blocks) and is byte-identical to the flat fold — OR is
+    associative, so any fold tree commutes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from lingua_ray.functions.sketches import (bloom_block, bloom_fold,
+                                               bloom_or_batch, bloom_params)
+    rng = np.random.default_rng(7)
+    fps = rng.integers(0, 2**63, 4000, dtype=np.int64).astype(np.uint64)
+    m, k = bloom_params(len(fps))
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        b = batch.column("fp").to_numpy().astype(np.uint64)
+        return pa.table({"bitmap":
+                         pa.array([bloom_block(b, m, k).tobytes()],
+                                  pa.binary())})
+
+    per_block_ds = (ray.data.from_arrow(pa.table({"fp": fps.astype(np.int64)}))
+                    .repartition(40)
+                    .map_batches(per_block, batch_format="pyarrow"))
+    # the tree level is what bounds the driver: ≤ fanin rows survive it
+    fanin = 4
+    merged = per_block_ds.repartition(fanin).map_batches(
+        bloom_or_batch, batch_format="pyarrow", batch_size=None)
+    assert merged.count() <= fanin
+    tree = bloom_fold(per_block_ds, m, tree_fanin=fanin)
+    flat = bloom_fold(per_block_ds, m, tree_fanin=None)
+    assert (tree == flat).all()
+    assert (tree == bloom_block(fps, m, k)).all()
+
+
+def test_bloom_or_batch_empty_block_is_typed():
+    """repartition(fanin) can hand bloom_or_batch an empty block; it must
+    return a binary-typed empty table, not a null-typed column."""
+    import pyarrow as pa
+    from lingua_ray.functions.sketches import bloom_or_batch
+    out = bloom_or_batch(pa.table({"bitmap": pa.array([], pa.binary())}))
+    assert out.num_rows == 0
+    assert out.schema.field("bitmap").type == pa.binary()
+
+
 def test_incremental_bloom_contains_exact_result(ray_session):
     """Bloom variant drops a SUPERSET of what the exact anti-join drops
     (no false negatives), and over-drops at most ~2% (false positives)."""
