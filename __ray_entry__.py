@@ -3539,11 +3539,19 @@ def _q_doc_length_minmax_by_lang(sf_dir: str):
            for r in ds.groupby("lang").aggregate(
                Min("n_chars"), Max("n_chars")).take_all()}
 
+    # broadcast as aligned arrays so the attach is a vectorized gather
+    # (pc.index_in + take), not a per-row dict lookup
+    ext_langs = pa.array(sorted(ext))
+    ext_lo = np.array([ext[l][0] for l in sorted(ext)], np.float64)
+    ext_hi = np.array([ext[l][1] for l in sorted(ext)], np.float64)
+
     def attach(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_pylist()
+        import pyarrow.compute as pc
+        code = pc.index_in(batch.column("lang"),
+                           ext_langs).to_numpy(zero_copy_only=False)
         v = batch.column("n_chars").to_numpy().astype(np.float64)
-        lo = np.array([ext[l][0] for l in langs], np.float64)
-        hi = np.array([ext[l][1] for l in langs], np.float64)
+        lo = ext_lo[code]
+        hi = ext_hi[code]
         rng = hi - lo
         norm = np.where(rng > 0, (v - lo) / np.where(rng > 0, rng, 1.0),
                         0.0)
@@ -5305,7 +5313,8 @@ def oracle_sql() -> dict[str, str]:
         CAST(sum(length(text)) AS BIGINT) AS n_chars,
         CAST(sum(length(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
           AS n_ws_tokens,
-        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+          AS n_distinct_texts,
         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
       FROM documents),
     k AS (SELECT CAST(sum(CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)

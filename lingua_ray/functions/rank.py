@@ -164,6 +164,14 @@ def partitioned_row_number(ds, part_col: str, value_col: str, id_col: str,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
     def counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty: pa.array(np.unique(<empty object array>))
+            # would yield a null-typed part column and break schema
+            # unification in the downstream groupby
+            return pa.table({
+                _RANGE: pa.array([], pa.int32()),
+                part_col: pa.array([], batch.schema.field(part_col).type),
+                "cnt": pa.array([], pa.int64())})
         r = batch.column(_RANGE).to_numpy().astype(np.int64)
         p = np.asarray(batch.column(part_col).to_numpy(zero_copy_only=False))
         uniq_p, codes = np.unique(p, return_inverse=True)

@@ -51,14 +51,32 @@ def _term_hashes(terms: tuple[str, ...]) -> np.ndarray:
 def bm25_stats_local(batch: pa.Table, terms: tuple[str, ...],
                      text_col: str = "text",
                      id_col: str = "doc_id") -> pa.Table:
-    """Combiner: per-query-term df partials + one corpus-stats row."""
+    """Combiner: per-query-term df partials + one corpus-stats row.
+
+    ``terms`` must be distinct (the public entry points dedupe): a
+    duplicated term would emit two identical key rows per block and the
+    downstream groupby-sum would double its df.
+
+    One ``np.isin`` mask + lexsort first-occurrence count instead of a
+    per-term boolean scan — O(tokens · log) total rather than
+    O(|Q| · tokens)."""
     th = _term_hashes(terms)
     wh, rows = _doc_word_hashes(batch, text_col, id_col)
     wh = wh.view(np.int64)
     n = batch.num_rows
     dfs = np.zeros(len(th), dtype=np.int64)
-    for i, t in enumerate(th):
-        dfs[i] = len(np.unique(rows[wh == t]))
+    sel = np.isin(wh, th)
+    if sel.any():
+        h_s, r_s = wh[sel], rows[sel]
+        order = np.lexsort((r_s, h_s))
+        h_s, r_s = h_s[order], r_s[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+        vals, cnts = np.unique(h_s[first], return_counts=True)
+        pos = np.searchsorted(vals, th)
+        ok = pos < len(vals)
+        ok[ok] = vals[pos[ok]] == th[ok]
+        dfs[ok] = cnts[pos[ok]]
     keys = np.concatenate([th, [_STATS_KEY]])
     return pa.table({
         "key": pa.array(keys, type=pa.int64()),
@@ -118,6 +136,10 @@ def bm25_topk(ds, terms: tuple[str, ...], k: int = 50,
     Returns an Arrow table (id_col, bm25) — docs matching no term are
     excluded, score rounded to 6 decimals before the rank cut.
     """
+    # order-preserving dedupe: a duplicated query term would double its
+    # df in the groupby-sum AND its score contribution in the per-term
+    # accumulation loop
+    terms = tuple(dict.fromkeys(terms))
     df, n_docs, avgdl = _collect_stats(ds, terms, text_col, id_col)
     th = _term_hashes(terms)
     idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -212,6 +234,10 @@ def bm25_query_index(ds, index_dir: str, terms: tuple[str, ...],
     pruning idiom) — the corpus-wide stats pass is skipped entirely."""
     import json
     from pathlib import Path
+
+    # same dedupe rationale as bm25_topk (duplicate terms would
+    # double-count their score contribution)
+    terms = tuple(dict.fromkeys(terms))
 
 
     p = Path(index_dir) / _META_FILE

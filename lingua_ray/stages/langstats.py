@@ -52,6 +52,14 @@ def lang_switch_stats(tagged, bucket_size: int = 64,
                            bucket_size=bucket_size)
 
     def switch_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty — np.unique on an empty object array would
+            # yield a null-typed conv_id and break groupby unification
+            return pa.table({
+                "conv_id": pa.array([],
+                                    batch.schema.field("conv_id").type),
+                "lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
         sw = np.asarray(pc.fill_null(
             pc.not_equal(batch.column("prev_lang"), batch.column("lang")),
             False).to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -65,6 +73,12 @@ def lang_switch_stats(tagged, bucket_size: int = 64,
             "n": pa.array(sums.astype(np.int64))})
 
     def lang_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([],
+                                    batch.schema.field("conv_id").type),
+                "lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
         c = np.asarray(batch.column("conv_id")
                        .to_numpy(zero_copy_only=False))
         l = np.asarray(batch.column("lang").to_numpy(zero_copy_only=False))

@@ -35,6 +35,12 @@ _DOCS_SENTINEL = -1  # bucket id of the per-label document-count row
 
 def _nb_count_partial(batch: pa.Table, text_col: str, label_col: str,
                       n_buckets: int) -> pa.Table:
+    if batch.num_rows == 0:
+        # typed empty — np.unique on an empty label array would yield a
+        # null-typed label column and break groupby schema unification
+        return pa.table({"label": pa.array([], pa.string()),
+                         "bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     buckets, rows = _token_buckets(batch, text_col, n_buckets)
     labels = np.asarray(utf8_filled(batch.column(label_col))
                         .to_numpy(zero_copy_only=False))

@@ -75,3 +75,42 @@ def test_probe_reads_only_touched_buckets(ray_session, corpus_ds,
     assert index_reads, "probe read no index partitions"
     got = {int(p.split("bucket=")[1].split("/")[0]) for p in index_reads}
     assert got == want
+
+
+def test_duplicate_query_terms_equal_distinct(ray_session, corpus_ds,
+                                              tmp_path):
+    """A duplicated query term must neither double its df in the stats
+    groupby nor double its score contribution — entry points dedupe."""
+    from lingua_ray.stages.bm25 import (bm25_query_index, bm25_topk,
+                                        build_bm25_index)
+
+    distinct = bm25_topk(corpus_ds, ("alpha", "gamma"), k=10)
+    dup = bm25_topk(corpus_ds, ("alpha", "gamma", "alpha"), k=10)
+    assert dup.to_pydict() == distinct.to_pydict()
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(corpus_ds, idx)
+    probed = bm25_query_index(corpus_ds, idx,
+                              ("alpha", "gamma", "alpha"), k=10)
+    assert probed.to_pydict() == distinct.to_pydict()
+
+
+def test_stats_local_vectorized_df_matches_scalar(ray_session):
+    """The np.isin/lexsort df combiner equals the obvious per-term
+    distinct-row count on a corpus with repeats inside documents."""
+    import numpy as np
+    from lingua_ray.stages.bm25 import _term_hashes, bm25_stats_local
+    from lingua_ray.stages.tfidf import _doc_word_hashes
+
+    batch = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha alpha beta", "beta gamma", "", "alpha  beta"]})
+    terms = ("alpha", "beta", "zeta")
+    out = bm25_stats_local(batch, terms)
+    th = _term_hashes(terms)
+    wh, rows = _doc_word_hashes(batch, "text", "doc_id")
+    wh = wh.view(np.int64)
+    want = [len(np.unique(rows[wh == t])) for t in th]
+    got = dict(zip(out.column("key").to_pylist(),
+                   out.column("df").to_pylist()))
+    assert [got[int(t)] for t in th] == want == [2, 3, 0]
