@@ -4586,6 +4586,393 @@ _PCA_STATS_SQL = """
 """
 
 
+# ------------------------------------------------- round-5 operator tranche
+
+_CF_SNIPPET = "```\nprint('hello')\n```"
+_RP_PREFIX = "You are a helpful AI assistant. "
+
+
+def _cf_plant(batch):
+    """Append a fenced code block to docs with doc_id%7==0 — the
+    deterministic-planting pattern (the synthetic corpus has no code
+    fences, so the phenomenon is planted identically in both engines;
+    see _pd_plant / _di_plant)."""
+    import pyarrow.compute as pc
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    t = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+    t = pc.if_else(pa.array(did % 7 == 0),
+                   pc.binary_join_element_wise(
+                       t, pa.scalar(_CF_SNIPPET), pa.scalar("\n")), t)
+    i = batch.schema.get_field_index("text")
+    return batch.set_column(i, "text", t)
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup: within each NORMALIZED-text duplicate group
+    keep the BEST document (max n_chars, tie → min doc_id) rather than
+    the first — the production selection rule when near-identical pages
+    differ in completeness.  Normalization + fingerprint in the
+    combiner (16-byte rows on the wire, never text), then the argmax
+    primitive (per-block best + per-group finalize).  [SQL-verified —
+    DuckDB groups by the normal form itself; identical as long as the
+    64-bit fingerprint is collision-free, which the compare catches]"""
+    import pyarrow.compute as pc
+    from lingua_ray.functions.argmax import last_per_key
+    from lingua_ray.functions.textstats import fingerprint64_array
+
+    def norm_fp(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({
+            "fp": pa.array(fingerprint64_array(t).view(np.int64)),
+            "n_chars": batch.column("n_chars"),
+            # max over (n_chars, -doc_id) = max n_chars then MIN doc_id
+            "neg_id": pc.negate(batch.column("doc_id")),
+            "doc_id": batch.column("doc_id")})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    best = last_per_key(ds.map_batches(norm_fp, batch_format="pyarrow"),
+                        "fp", ["n_chars", "neg_id"])
+    return best.select_columns(["doc_id", "n_chars"])
+
+
+def _q_pii_leak_report(sf_dir: str):
+    """Per-source PII audit: occurrence counts of each scrub class
+    (email/IP/SSN/credit-card/phone) using the SAME RE2 patterns the
+    scrubber rewrites — the pre-redaction risk report a curation run
+    publishes.  Per-block (source × class) combiner rows, one tiny
+    groupby; text never shuffles.  [SQL-verified — both engines run
+    RE2-family regexes]"""
+    import pyarrow.compute as pc
+    pats = [("n_email", _EMAIL), ("n_ip", _IP), ("n_ssn", _SSN),
+            ("n_cc", _CC), ("n_phone", _PHONE)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {"source": pa.array([], pa.string())}
+            cols.update({n: pa.array([], pa.int64()) for n, _ in pats})
+            return pa.table(cols)
+        t = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+        src = np.asarray(batch.column("source")
+                         .to_numpy(zero_copy_only=False))
+        us, codes = np.unique(src, return_inverse=True)
+        cols = {"source": pa.array(us)}
+        for name, pat in pats:
+            c = (pc.count_substring_regex(t, pat)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+            cols[name] = pa.array(
+                np.bincount(codes, weights=c,
+                            minlength=len(us)).astype(np.int64))
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source").sum([n for n, _ in pats]))
+    return out.rename_columns({f"sum({n})": n for n, _ in pats})
+
+
+def _q_token_length_histogram(sf_dir: str):
+    """Whitespace-token-count histogram in fixed 32-token buckets per
+    language — the length-distribution panel of a data card.  Integer
+    bucket arithmetic only (no float log2 — the power-of-two rounding
+    trap).  Per-block (lang, bucket) combiner, one tiny groupby.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        t = pc.fill_null(batch.column("text"), "")
+        ntok = (pc.add(pc.count_substring(t, " "), 1)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        b = ntok // 32
+        lang = np.asarray(batch.column("lang")
+                          .to_numpy(zero_copy_only=False))
+        ul, codes = np.unique(lang, return_inverse=True)
+        key = codes.astype(np.int64) * (1 << 32) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(ul[(uk >> 32).astype(np.int64)]),
+            "bucket": pa.array(uk & ((1 << 32) - 1)),
+            "n_docs": pa.array(cnt.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "bucket"]).sum("n_docs"))
+    return out.rename_columns({"sum(n_docs)": "n_docs"})
+
+
+def _q_domain_reweight(sf_dir: str):
+    """DoReMi-style static domain reweighting table: per source, doc and
+    token counts, the source's token share, and the uniform-target
+    weight total/(n_sources · tokens).  One combiner + one
+    ≤|sources|-row groupby; the driver arithmetic runs on a provably
+    tiny table.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        t = pc.fill_null(batch.column("text"), "")
+        ntok = (pc.add(pc.count_substring(t, " "), 1)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        src = np.asarray(batch.column("source")
+                         .to_numpy(zero_copy_only=False))
+        us, codes = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us),
+            "n_docs": pa.array(np.bincount(
+                codes, minlength=len(us)).astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(
+                codes, weights=ntok, minlength=len(us)).astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    rows = sorted((ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("source").sum(["n_docs", "n_tokens"])
+                   .take_all()), key=lambda r: r["source"])
+    total = float(sum(r["sum(n_tokens)"] for r in rows))
+    n_src = len(rows)
+    nt = np.array([r["sum(n_tokens)"] for r in rows], np.float64)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows]),
+        "n_docs": pa.array([r["sum(n_docs)"] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r["sum(n_tokens)"] for r in rows],
+                             pa.int64()),
+        "token_share": pa.array(round_half_away(nt / total, 6)),
+        "weight": pa.array(round_half_away(total / (n_src * nt), 6))})
+
+
+def _q_code_fence_stats(sf_dir: str):
+    """Code-bearing document stats per language (code-data curation):
+    docs containing a ``` fence (planted, doc_id%7==0), count and
+    fraction.  Shuffle-free combiner + tiny groupby + driver division
+    on ≤|langs| rows.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_fenced": pa.array([], pa.int64())})
+        batch = _cf_plant(batch)
+        t = batch.column("text")
+        fenced = (pc.greater(pc.count_substring(t, "```"), 0)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        lang = np.asarray(batch.column("lang")
+                          .to_numpy(zero_copy_only=False))
+        ul, codes = np.unique(lang, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul),
+            "n_docs": pa.array(np.bincount(
+                codes, minlength=len(ul)).astype(np.int64)),
+            "n_fenced": pa.array(np.bincount(
+                codes, weights=fenced, minlength=len(ul)).astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").sum(["n_docs", "n_fenced"]).take_all())
+    nd = np.array([r["sum(n_docs)"] for r in rows], np.float64)
+    nf = np.array([r["sum(n_fenced)"] for r in rows], np.float64)
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows]),
+        "n_docs": pa.array(nd.astype(np.int64)),
+        "n_fenced": pa.array(nf.astype(np.int64)),
+        "fenced_frac": pa.array(round_half_away(nf / nd, 6))})
+
+
+def _q_repeated_prefix_convs(sf_dir: str):
+    """Template detection over transcripts: conversation openings (first
+    24 chars of turn 0) shared by ≥2 conversations — the boilerplate
+    signal for synthetic/system-prompt dedup.  Planted deterministically
+    (convs whose id ends in '0' get a shared system prefix).  Only
+    turn-0 rows leave the scan; the groupby key is a 24-char prefix.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("turn_idx"), 0))
+        if batch.num_rows == 0:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+        t = pc.if_else(
+            pc.ends_with(batch.column("conv_id"), "0"),
+            pc.binary_join_element_wise(pa.scalar(_RP_PREFIX), t,
+                                        pa.scalar("")), t)
+        pre = pc.utf8_slice_codeunits(t, 0, 24)
+        u = np.unique(np.asarray(pre.to_numpy(zero_copy_only=False)),
+                      return_counts=True)
+        return pa.table({"prefix": pa.array(u[0]),
+                         "n": pa.array(u[1].astype(np.int64))})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("prefix").sum("n"))
+
+    def keep_repeated(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        batch = batch.filter(pc2.greater_equal(batch.column("sum(n)"), 2))
+        return pa.table({"prefix": batch.column("prefix"),
+                         "n_convs": batch.column("sum(n)")})
+
+    return agg.map_batches(keep_repeated, batch_format="pyarrow")
+
+
+def _q_conv_response_latency(sf_dir: str):
+    """Per-conversation first-response latency: microseconds between the
+    earliest user turn and the earliest assistant turn (negative if the
+    log shows the assistant first — both engines agree).  Per-block
+    (conv, per-role min-ts) combiner rows, one groupby-min; the shuffle
+    carries 24-byte rows.  Convs lacking either role drop out.
+    [SQL-verified]"""
+    import pyarrow.compute as pc
+    TS_MAX = np.int64(2**62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "user_us": pa.array([], pa.int64()),
+                             "asst_us": pa.array([], pa.int64())})
+        role = np.asarray(batch.column("role")
+                          .to_numpy(zero_copy_only=False))
+        us = (pc.cast(batch.column("ts"), pa.int64())
+              .to_numpy(zero_copy_only=False))
+        conv = np.asarray(batch.column("conv_id")
+                          .to_numpy(zero_copy_only=False))
+        uc, codes = np.unique(conv, return_inverse=True)
+        umin = np.full(len(uc), TS_MAX, np.int64)
+        amin = np.full(len(uc), TS_MAX, np.int64)
+        m = role == "user"
+        np.minimum.at(umin, codes[m], us[m])
+        m = role == "assistant"
+        np.minimum.at(amin, codes[m], us[m])
+        return pa.table({"conv_id": pa.array(uc),
+                         "user_us": pa.array(umin),
+                         "asst_us": pa.array(amin)})
+
+    ds = _read_transcripts(sf_dir, ["conv_id", "role", "ts"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("conv_id").min(["user_us", "asst_us"]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        u = batch.column("min(user_us)").to_numpy()
+        a = batch.column("min(asst_us)").to_numpy()
+        keep = (u < TS_MAX) & (a < TS_MAX)
+        return pa.table({
+            "conv_id": batch.column("conv_id").filter(pa.array(keep)),
+            "latency_us": pa.array((a - u)[keep])})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_length_stratified_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split on md5(doc_id) with
+    per-(lang, split) counts — the reproducible-split report (hash
+    split, not random: stable across runs, partitionings and cluster
+    sizes; same md5-threshold primitive as corpus_mix).
+    [SQL-verified]"""
+    from lingua_ray.stages.sampling import _md5_threshold
+    from lingua_ray.stages.util import md5_hex_ranks
+    t80, t90 = _md5_threshold(0.8), _md5_threshold(0.9)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "split": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        d = md5_hex_ranks(batch.column("doc_id").to_pylist())
+        split = np.where([x < t80 for x in d], "train",
+                         np.where([x < t90 for x in d], "val", "test"))
+        lang = np.asarray(batch.column("lang")
+                          .to_numpy(zero_copy_only=False))
+        key = np.char.add(np.char.add(lang.astype(str), "\x00"),
+                          split.astype(str))
+        uk, idx, cnt = np.unique(key, return_index=True,
+                                 return_counts=True)
+        return pa.table({"lang": pa.array(lang[idx]),
+                         "split": pa.array(split[idx]),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "split"]).sum("n_docs"))
+    return out.rename_columns({"sum(n_docs)": "n_docs"})
+
+
+def _q_redpajama_signals(sf_dir: str):
+    """RedPajama/Gopher-adjacent structural quality signals per doc:
+    line count, terminal-punctuation line count, distinct-line count,
+    mean word length — all offset-arithmetic over ONE line split (no
+    per-row Python), shuffle-free.  Distinct lines use the 64-bit
+    fingerprint (collision-free on real input; the SQL compare groups
+    the actual strings and would catch a collision).  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.functions.textstats import fingerprint64_array
+    from lingua_ray.stages.util import round_half_away
+
+    def sig(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+        lines = pc.split_pattern(t, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        nlines = (pc.list_value_length(lines)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(lines)
+        rowidx = np.repeat(np.arange(len(nlines)), nlines)
+        punct = (pc.match_substring_regex(flat, "[.!?]$")
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        npunct = np.bincount(rowidx, weights=punct,
+                             minlength=len(nlines)).astype(np.int64)
+        fp = fingerprint64_array(flat)
+        order = np.lexsort((fp, rowidx))
+        fr, fo = rowidx[order], fp[order]
+        first = np.ones(len(fr), dtype=bool)
+        first[1:] = (fr[1:] != fr[:-1]) | (fo[1:] != fo[:-1])
+        nuniq = np.bincount(fr[first],
+                            minlength=len(nlines)).astype(np.int64)
+        nonspace = (pc.subtract(pc.utf8_length(t),
+                                pc.count_substring(t, " "))
+                    .to_numpy(zero_copy_only=False).astype(np.float64))
+        nwords = (pc.count_substring_regex(t, "[^ ]+")
+                  .to_numpy(zero_copy_only=False).astype(np.float64))
+        mean = np.where(nwords > 0,
+                        nonspace / np.where(nwords > 0, nwords, 1.0), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(nlines),
+            "n_punct_lines": pa.array(npunct),
+            "n_uniq_lines": pa.array(nuniq),
+            "mean_word_len": pa.array(round_half_away(mean, 6))})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def _q_turn_length_quantiles_by_role(sf_dir: str):
+    """Per-role turn-length quantiles over transcripts (p50/p90/p99):
+    the exact histogram-quantile primitive — (role, len, cnt) partials,
+    ONE hash shuffle of a KB-scale histogram.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.functions.quantiles import grouped_quantiles
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column("text"), "")
+        return pa.table({"role": batch.column("role"),
+                         "len": pc.cast(pc.utf8_length(t), pa.int64())})
+
+    ds = _read_transcripts(sf_dir, ["role", "text"])
+    return grouped_quantiles(ds.map_batches(prep, batch_format="pyarrow"),
+                             "role", "len",
+                             {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -4599,10 +4986,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hash-green in earlier rounds follow.  The round-5 window closes the
     # book: the final 32 never-driver-checked entries (13 SQL-verified +
     # 19 rows-only — the ANN family, HLL/BPE pairs, and the round-4
-    # rows-only compositions) head the list, padded to 50 with the 18
-    # stalest greens (last driver-checked in round 1 or 2).  With this
-    # window green, every one of the 154 registered queries has at least
-    # one driver-green row across rounds (cross-round union 154/154).
+    # rows-only compositions) head the list, followed by the 10 NEW
+    # round-5 SQL-verified operators (training-data curation tranche:
+    # quality-aware dedup, PII audit, data-card histograms, DoReMi
+    # reweighting, code-fence stats, template/prefix detection,
+    # response latency, hash splits, RedPajama signals, per-role
+    # quantiles), padded to 50 with the 8 stalest greens (last
+    # driver-checked in round 1 or 2).  With this window green, every
+    # one of the 164 registered queries has at least one driver-green
+    # row across rounds (cross-round union 164/164).
     # Rows-only queries are the langid/model family (not SQL-expressible;
     # gated by the pytest kernel-vs-scalar suite) and the approximate
     # sketches / ANN entries (each has an exact SQL-verified twin or a
@@ -4642,7 +5034,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
-        # ---- stalest greens: last driver-checked round 1-2, SQL-verified ----
+        # ---- new in round 5, SQL-verified (never checked by design) ----
+        "dedup_keep_best": _q_dedup_keep_best,
+        "pii_leak_report": _q_pii_leak_report,
+        "token_length_histogram": _q_token_length_histogram,
+        "domain_reweight": _q_domain_reweight,
+        "code_fence_stats": _q_code_fence_stats,
+        "repeated_prefix_convs": _q_repeated_prefix_convs,
+        "conv_response_latency": _q_conv_response_latency,
+        "length_stratified_split": _q_length_stratified_split,
+        "redpajama_signals": _q_redpajama_signals,
+        "turn_length_quantiles_by_role": _q_turn_length_quantiles_by_role,
+        # ---- stalest greens: last driver-checked round 1-2 ----
         "lineitem_unpivot": _q_lineitem_unpivot,
         "orders_price_zscore": _q_orders_price_zscore,
         "events_rollup": _q_events_rollup,
@@ -4650,19 +5053,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_rank": _q_doc_length_rank,
         "events_stats": _q_events_stats,
         "events_hourly": _q_events_hourly,
-        # ---- stalest greens: last driver-checked round 1-2, rows-only ----
+        "langid_documents": _q_langid_documents,
+        # ---- after the window: driver-green in rounds 1-4 ----
         "langid_documents_lowacc": _q_langid_documents_lowacc,
         "multilang_documents": _q_multilang_documents,
         "accuracy_report": _q_accuracy_report,
         "embedding_neardup": _q_embedding_neardup,
         "quality_filter_transcripts": _q_quality_filter_transcripts,
-        "langid_documents": _q_langid_documents,
         "train_ngrams": _q_train_ngrams,
         "seq_packing": _q_seq_packing,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
-        # ---- after the window: driver-green in rounds 1-4 ----
         "media_dims": _q_media_dims,
         "audio_meta": _q_audio_meta,
         "embedding_pca_stats": _q_embedding_pca_stats,
@@ -6145,4 +6547,124 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN documents d ON d.doc_id = r.doc_id
             WHERE rn = 1 GROUP BY d.lang, r.lang
         """
+
+    # ---- round-5 operator tranche ----
+    sqls["dedup_keep_best"] = """
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY trim(regexp_replace(
+                     lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn = 1
+    """
+    sqls["pii_leak_report"] = f"""
+        SELECT source,
+          CAST(sum(length(regexp_extract_all(coalesce(text, ''),
+            '{_EMAIL}'))) AS BIGINT) AS n_email,
+          CAST(sum(length(regexp_extract_all(coalesce(text, ''),
+            '{_IP}'))) AS BIGINT) AS n_ip,
+          CAST(sum(length(regexp_extract_all(coalesce(text, ''),
+            '{_SSN}'))) AS BIGINT) AS n_ssn,
+          CAST(sum(length(regexp_extract_all(coalesce(text, ''),
+            '{_CC}'))) AS BIGINT) AS n_cc,
+          CAST(sum(length(regexp_extract_all(coalesce(text, ''),
+            '{_PHONE}'))) AS BIGINT) AS n_phone
+        FROM documents GROUP BY source
+    """
+    sqls["token_length_histogram"] = """
+        SELECT lang,
+          CAST(length(string_split(coalesce(text, ''), ' ')) // 32
+               AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, bucket
+    """
+    sqls["domain_reweight"] = """
+        WITH s AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(length(string_split(coalesce(text, ''), ' ')))
+                 AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source)
+        SELECT source, n_docs, n_tokens,
+          round(n_tokens / (sum(n_tokens) OVER ()), 6) AS token_share,
+          round((sum(n_tokens) OVER ())
+                / ((count(*) OVER ()) * n_tokens), 6) AS weight
+        FROM s
+    """
+    sqls["code_fence_stats"] = """
+        WITH p AS (
+          SELECT lang,
+            CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || chr(10)
+              || '```' || chr(10) || 'print(''hello'')' || chr(10) || '```'
+            ELSE coalesce(text, '') END AS text
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN position('```' in text) > 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS n_fenced,
+          round(sum(CASE WHEN position('```' in text) > 0 THEN 1 ELSE 0
+                    END) / count(*), 6) AS fenced_frac
+        FROM p GROUP BY lang
+    """
+    sqls["repeated_prefix_convs"] = _transcript_oracle(f"""
+        WITH t0 AS (
+          SELECT CASE WHEN conv_id LIKE '%0'
+                      THEN '{_RP_PREFIX}' || coalesce(text, '')
+                      ELSE coalesce(text, '') END AS text
+          FROM {{src}} WHERE turn_idx = 0)
+        SELECT substr(text, 1, 24) AS prefix,
+               CAST(count(*) AS BIGINT) AS n_convs
+        FROM t0 GROUP BY prefix HAVING count(*) >= 2
+    """)
+    sqls["conv_response_latency"] = _transcript_oracle("""
+        SELECT conv_id,
+          CAST(epoch_us(min(CASE WHEN role = 'assistant' THEN ts END))
+             - epoch_us(min(CASE WHEN role = 'user' THEN ts END))
+             AS BIGINT) AS latency_us
+        FROM {src} GROUP BY conv_id
+        HAVING min(CASE WHEN role = 'assistant' THEN ts END) IS NOT NULL
+           AND min(CASE WHEN role = 'user' THEN ts END) IS NOT NULL
+    """)
+    from lingua_ray.stages.sampling import _md5_threshold as _mt
+    sqls["length_stratified_split"] = f"""
+        SELECT lang,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_mt(0.8)}'
+               THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < '{_mt(0.9)}'
+               THEN 'val' ELSE 'test' END AS split,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, split
+    """
+    sqls["redpajama_signals"] = """
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), chr(10))) AS line
+          FROM documents),
+        l AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN regexp_matches(line, '[.!?]$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_lines,
+            CAST(count(DISTINCT line) AS BIGINT) AS n_uniq_lines
+          FROM lines GROUP BY doc_id),
+        w AS (
+          SELECT doc_id,
+            length(replace(coalesce(text, ''), ' ', '')) AS nonspace,
+            length(regexp_extract_all(coalesce(text, ''), '[^ ]+'))
+              AS nwords
+          FROM documents)
+        SELECT l.doc_id, l.n_lines, l.n_punct_lines, l.n_uniq_lines,
+          round(CASE WHEN w.nwords > 0
+                THEN CAST(w.nonspace AS DOUBLE) / w.nwords
+                ELSE 0 END, 6) AS mean_word_len
+        FROM l JOIN w ON l.doc_id = w.doc_id
+    """
+    sqls["turn_length_quantiles_by_role"] = _transcript_oracle("""
+        SELECT role, count(*) AS n,
+          CAST(quantile_disc(length(coalesce(text, '')), 0.5)
+               AS BIGINT) AS p50,
+          CAST(quantile_disc(length(coalesce(text, '')), 0.9)
+               AS BIGINT) AS p90,
+          CAST(quantile_disc(length(coalesce(text, '')), 0.99)
+               AS BIGINT) AS p99
+        FROM {src} GROUP BY role
+    """)
     return sqls

@@ -163,7 +163,14 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "session_turn_dedup", "bm25_indexed",
                      "transcript_validation", "events_funnel_count",
                      "events_retention", "nb_confusion",
-                     "corpus_datacard"]
+                     "corpus_datacard",
+                     # round-5 curation tranche
+                     "dedup_keep_best", "pii_leak_report",
+                     "token_length_histogram", "domain_reweight",
+                     "code_fence_stats", "repeated_prefix_convs",
+                     "conv_response_latency", "length_stratified_split",
+                     "redpajama_signals",
+                     "turn_length_quantiles_by_role"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

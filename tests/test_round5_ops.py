@@ -1,0 +1,100 @@
+"""Edge semantics of the round-5 operator tranche (the sf gates cover
+oracle parity; these pin the local decision rules on tiny inputs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_dedup_keep_best_prefers_longest_then_min_id(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        # 1,2,3 normalize identically; 2 is the longest raw form;
+        # 4,5 tie on n_chars -> min doc_id (4) wins
+        "text": ["a  b", "A   B ", "a b", "xyz", "XYZ"],
+        "n_chars": [4, 6, 3, 3, 3],
+        "lang": ["en"] * 5, "source": ["s"] * 5})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = E.queries()["dedup_keep_best"](str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 4]
+
+
+def test_conv_response_latency_drops_one_role_convs(ray_session):
+    import __ray_entry__ as E
+    q = E.queries()["conv_response_latency"]
+    out = q("/root/testdata/sf0.001").to_pandas()
+    assert (out.columns == ["conv_id", "latency_us"]).all()
+    assert len(out) > 0
+    # latency is exact integer microseconds, no NaN survivors
+    assert out["latency_us"].notna().all()
+
+
+def test_repeated_prefix_convs_groups_planted_prefix(ray_session):
+    import __ray_entry__ as E
+    out = (E.queries()["repeated_prefix_convs"]("/root/testdata/sf0.001")
+           .to_pandas())
+    # the planted system prefix (convs ending in '0') must dominate
+    planted = out[out["prefix"] == E._RP_PREFIX[:24]]
+    assert len(planted) == 1 and planted["n_convs"].iloc[0] >= 2
+    assert (out["n_convs"] >= 2).all()
+
+
+def test_domain_reweight_shares_sum_to_one(ray_session):
+    import __ray_entry__ as E
+    out = E.queries()["domain_reweight"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert abs(df["token_share"].sum() - 1.0) < 1e-4
+    # uniform-target weight: share * weight == 1/n_sources (pre-round)
+    approx = df["token_share"] * df["weight"] * len(df)
+    assert np.allclose(approx, 1.0, atol=1e-3)
+
+
+def test_token_length_histogram_counts_docs_once(ray_session):
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    out = E.queries()["token_length_histogram"](
+        "/root/testdata/sf0.001").to_pandas()
+    n_docs = pq.ParquetFile(
+        "/root/testdata/sf0.001/documents.parquet").metadata.num_rows
+    assert out["n_docs"].sum() == n_docs
+    assert (out["bucket"] >= 0).all()
+
+
+def test_redpajama_signals_hand_checked_row(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    text = "One line.\nsecond line\nOne line.\nends here!"
+    docs = pa.table({"doc_id": [7], "text": [text],
+                     "n_chars": [len(text)], "lang": ["en"],
+                     "source": ["s"]})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = E.queries()["redpajama_signals"](str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert r["n_lines"] == 4
+    assert r["n_punct_lines"] == 3        # two "One line." + "ends here!"
+    assert r["n_uniq_lines"] == 3
+    # 4 lines -> words split on ' ' only: "One" "line.\nsecond" ...
+    nonspace = len(text.replace(" ", ""))
+    nwords = len([w for w in text.split(" ") if w])
+    assert r["mean_word_len"] == pytest.approx(
+        round(nonspace / nwords, 6), abs=1e-9)
+
+
+def test_length_stratified_split_is_deterministic_partition(ray_session):
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    out = E.queries()["length_stratified_split"](
+        "/root/testdata/sf0.001").to_pandas()
+    n_docs = pq.ParquetFile(
+        "/root/testdata/sf0.001/documents.parquet").metadata.num_rows
+    assert out["n_docs"].sum() == n_docs
+    by_split = out.groupby("split")["n_docs"].sum()
+    assert by_split["train"] > by_split.get("val", 0)
+    # rerun -> identical table (hash split, not random)
+    out2 = E.queries()["length_stratified_split"](
+        "/root/testdata/sf0.001").to_pandas()
+    a = out.sort_values(["lang", "split"]).reset_index(drop=True)
+    b = out2.sort_values(["lang", "split"]).reset_index(drop=True)
+    assert a.equals(b)
