@@ -4973,6 +4973,175 @@ def _q_turn_length_quantiles_by_role(sf_dir: str):
                              {"p50": 0.5, "p90": 0.9, "p99": 0.99})
 
 
+# ------------------------------------------- round-5 tranche, second wave
+
+def _q_events_dau(sf_dir: str):
+    """Daily active users — exact distinct via the two-stage distinct
+    pattern (per-block DISTINCT (day, user) pairs, one dedupe groupby,
+    one per-day count): the exchange carries at most |days × users|
+    16-byte pairs per block, never events.  [SQL-verified]"""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.timestamp("us")),
+                             "user_id": pa.array([], pa.int64())})
+        day = (pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                       pa.int64()).to_numpy(zero_copy_only=False))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.stack([day, uid], axis=1)
+        uk = np.unique(key, axis=0)
+        return pa.table({"day": pa.array(uk[:, 0]).cast(pa.timestamp("us")),
+                         "user_id": pa.array(uk[:, 1])})
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    dedup = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["day", "user_id"]).count())
+    return (dedup.groupby("day").count()
+            .rename_columns({"count()": "dau"}))
+
+
+def _q_conv_duration_stats(sf_dir: str):
+    """Per-conversation duration and pace: turn count, wall-clock span in
+    exact microseconds, and turns/minute (round 6; 0 for zero-span
+    convs).  One (conv, n, min, max) combiner row per block per conv —
+    24 bytes + key on the wire.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "ts_min": pa.array([], pa.int64()),
+                             "ts_max": pa.array([], pa.int64())})
+        conv = np.asarray(batch.column("conv_id")
+                          .to_numpy(zero_copy_only=False))
+        us = (pc.cast(batch.column("ts"), pa.int64())
+              .to_numpy(zero_copy_only=False))
+        uc, codes = np.unique(conv, return_inverse=True)
+        n = np.bincount(codes, minlength=len(uc)).astype(np.int64)
+        tmin = np.full(len(uc), np.iinfo(np.int64).max, np.int64)
+        tmax = np.full(len(uc), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(tmin, codes, us)
+        np.maximum.at(tmax, codes, us)
+        return pa.table({"conv_id": pa.array(uc), "n": pa.array(n),
+                         "ts_min": pa.array(tmin),
+                         "ts_max": pa.array(tmax)})
+
+    from ray.data.aggregate import Max, Min, Sum
+    ds = _read_transcripts(sf_dir, ["conv_id", "ts"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("conv_id")
+           .aggregate(Sum("n"), Min("ts_min"), Max("ts_max")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy().astype(np.float64)
+        dur = (batch.column("max(ts_max)").to_numpy()
+               - batch.column("min(ts_min)").to_numpy())
+        mins = dur / 60_000_000.0
+        pace = np.where(mins > 0, n / np.where(mins > 0, mins, 1.0), 0.0)
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "n_turns": pa.array(n.astype(np.int64)),
+            "duration_us": pa.array(dur),
+            "turns_per_min": pa.array(round_half_away(pace, 6))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_events_anomaly_zscore(sf_dir: str):
+    """Daily-count anomaly score per event type: z-score of each (type,
+    day) count against that type's own daily distribution (population
+    std via the sum/sumsq identity — the orders_price_zscore formula,
+    partitioned).  The (type, day, n) table is provably tiny (|types| ×
+    |days|), so stats assemble on the driver after one combiner +
+    groupby.  [SQL-verified]"""
+    import pyarrow.compute as pc
+    from lingua_ray.stages.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.timestamp("us")),
+                             "n": pa.array([], pa.int64())})
+        day = (pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                       pa.int64()).to_numpy(zero_copy_only=False))
+        et = np.asarray(batch.column("event_type")
+                        .to_numpy(zero_copy_only=False))
+        ue, codes = np.unique(et, return_inverse=True)
+        key = codes.astype(np.int64) * (1 << 40) + (day // 86_400_000_000)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(ue[(uk >> 40).astype(np.int64)]),
+            "day": pa.array((uk & ((1 << 40) - 1)) * 86_400_000_000)
+                     .cast(pa.timestamp("us")),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "day"]).sum("n").take_all())
+    et = np.array([r["event_type"] for r in rows])
+    day = np.array([r["day"] for r in rows])
+    n = np.array([r["sum(n)"] for r in rows], np.float64)
+    ue, codes = np.unique(et, return_inverse=True)
+    cnt = np.bincount(codes, minlength=len(ue))
+    s = np.bincount(codes, weights=n, minlength=len(ue))
+    ss = np.bincount(codes, weights=n * n, minlength=len(ue))
+    mean = s / cnt
+    var = np.maximum(ss / cnt - mean * mean, 0.0)
+    std = np.sqrt(var)
+    z = np.where(std[codes] > 0,
+                 (n - mean[codes]) / np.where(std[codes] > 0,
+                                              std[codes], 1.0), 0.0)
+    return pa.table({
+        "event_type": pa.array(et),
+        "day": pa.array(list(day), pa.timestamp("us")),
+        "n": pa.array(n.astype(np.int64)),
+        "z": pa.array(round_half_away(z, 6))})
+
+
+def _q_source_lang_entropy(sf_dir: str):
+    """Language-mix entropy per source (nats) — the diversity panel of a
+    data card: -Σ p·ln p over each source's language distribution.  One
+    (source, lang, n) combiner + tiny groupby; the |sources|×|langs|
+    table assembles on the driver.  [SQL-verified — same -Σ p·ln p
+    shape as the hash-green doc_entropy oracle]"""
+    from lingua_ray.stages.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src = np.asarray(batch.column("source")
+                         .to_numpy(zero_copy_only=False))
+        lang = np.asarray(batch.column("lang")
+                          .to_numpy(zero_copy_only=False))
+        key = np.char.add(np.char.add(src.astype(str), "\x00"),
+                          lang.astype(str))
+        uk, idx, cnt = np.unique(key, return_index=True,
+                                 return_counts=True)
+        return pa.table({"source": pa.array(src[idx]),
+                         "lang": pa.array(lang[idx]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"]).sum("n").take_all())
+    src = np.array([r["source"] for r in rows])
+    n = np.array([r["sum(n)"] for r in rows], np.float64)
+    us, codes = np.unique(src, return_inverse=True)
+    tot = np.bincount(codes, weights=n, minlength=len(us))
+    p = n / tot[codes]
+    ent = np.bincount(codes, weights=-p * np.log(p), minlength=len(us))
+    nl = np.bincount(codes, minlength=len(us)).astype(np.int64)
+    return pa.table({
+        "source": pa.array(us),
+        "n_langs": pa.array(nl),
+        "lang_entropy": pa.array(round_half_away(ent, 6))})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001-scale transcripts."""
     return _q_quality_filter_transcripts("/root/testdata/sf0.001")
@@ -4991,10 +5160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # quality-aware dedup, PII audit, data-card histograms, DoReMi
     # reweighting, code-fence stats, template/prefix detection,
     # response latency, hash splits, RedPajama signals, per-role
-    # quantiles), padded to 50 with the 8 stalest greens (last
+    # quantiles, plus DAU / conv-duration / daily-anomaly-zscore /
+    # source-lang-entropy), padded to 50 with the 4 stalest greens (last
     # driver-checked in round 1 or 2).  With this window green, every
-    # one of the 164 registered queries has at least one driver-green
-    # row across rounds (cross-round union 164/164).
+    # one of the 168 registered queries has at least one driver-green
+    # row across rounds (cross-round union 168/168).
     # Rows-only queries are the langid/model family (not SQL-expressible;
     # gated by the pytest kernel-vs-scalar suite) and the approximate
     # sketches / ANN entries (each has an exact SQL-verified twin or a
@@ -5045,16 +5215,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_stratified_split": _q_length_stratified_split,
         "redpajama_signals": _q_redpajama_signals,
         "turn_length_quantiles_by_role": _q_turn_length_quantiles_by_role,
+        "events_dau": _q_events_dau,
+        "conv_duration_stats": _q_conv_duration_stats,
+        "events_anomaly_zscore": _q_events_anomaly_zscore,
+        "source_lang_entropy": _q_source_lang_entropy,
         # ---- stalest greens: last driver-checked round 1-2 ----
         "lineitem_unpivot": _q_lineitem_unpivot,
         "orders_price_zscore": _q_orders_price_zscore,
         "events_rollup": _q_events_rollup,
+        "langid_documents": _q_langid_documents,
+        # ---- after the window: driver-green in rounds 1-4 ----
         "doc_length_pctrank": _q_doc_length_pctrank,
         "doc_length_rank": _q_doc_length_rank,
         "events_stats": _q_events_stats,
         "events_hourly": _q_events_hourly,
-        "langid_documents": _q_langid_documents,
-        # ---- after the window: driver-green in rounds 1-4 ----
         "langid_documents_lowacc": _q_langid_documents_lowacc,
         "multilang_documents": _q_multilang_documents,
         "accuracy_report": _q_accuracy_report,
@@ -6656,6 +6830,54 @@ def oracle_sql() -> dict[str, str]:
                 THEN CAST(w.nonspace AS DOUBLE) / w.nwords
                 ELSE 0 END, 6) AS mean_word_len
         FROM l JOIN w ON l.doc_id = w.doc_id
+    """
+    sqls["events_dau"] = """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY day
+    """
+    sqls["conv_duration_stats"] = _transcript_oracle("""
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+          CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+            AS duration_us,
+          round(CASE WHEN epoch_us(max(ts)) - epoch_us(min(ts)) > 0
+                THEN count(*) / (CAST(epoch_us(max(ts)) -
+                     epoch_us(min(ts)) AS DOUBLE) / 60000000.0)
+                ELSE 0 END, 6) AS turns_per_min
+        FROM {src} GROUP BY conv_id
+    """)
+    sqls["events_anomaly_zscore"] = """
+        WITH d AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, day)
+        SELECT event_type, day, n,
+          round(CASE WHEN sqrt(greatest(
+                  sum(CAST(n AS DOUBLE) * n) OVER w / count(*) OVER w
+                  - (sum(CAST(n AS DOUBLE)) OVER w / count(*) OVER w)
+                    * (sum(CAST(n AS DOUBLE)) OVER w / count(*) OVER w),
+                  0)) > 0
+            THEN (n - sum(CAST(n AS DOUBLE)) OVER w / count(*) OVER w)
+                 / sqrt(greatest(
+                  sum(CAST(n AS DOUBLE) * n) OVER w / count(*) OVER w
+                  - (sum(CAST(n AS DOUBLE)) OVER w / count(*) OVER w)
+                    * (sum(CAST(n AS DOUBLE)) OVER w / count(*) OVER w),
+                  0))
+            ELSE 0 END, 6) AS z
+        FROM d WINDOW w AS (PARTITION BY event_type)
+    """
+    sqls["source_lang_entropy"] = """
+        WITH c AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source, lang),
+        t AS (SELECT source, sum(n) AS tot,
+                     CAST(count(*) AS BIGINT) AS n_langs
+              FROM c GROUP BY source)
+        SELECT c.source, t.n_langs,
+          round(-sum((CAST(n AS DOUBLE) / tot) *
+                     ln(CAST(n AS DOUBLE) / tot)), 6) AS lang_entropy
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source, t.n_langs
     """
     sqls["turn_length_quantiles_by_role"] = _transcript_oracle("""
         SELECT role, count(*) AS n,

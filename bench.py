@@ -170,7 +170,9 @@ def run_queries(sf_dir: str, repeat: int = 2) -> dict[str, float]:
                      "code_fence_stats", "repeated_prefix_convs",
                      "conv_response_latency", "length_stratified_split",
                      "redpajama_signals",
-                     "turn_length_quantiles_by_role"]
+                     "turn_length_quantiles_by_role", "events_dau",
+                     "conv_duration_stats", "events_anomaly_zscore",
+                     "source_lang_entropy"]
     qs = E.queries()
     import ray
     for _ in range(max(1, repeat)):

@@ -98,3 +98,48 @@ def test_length_stratified_split_is_deterministic_partition(ray_session):
     a = out.sort_values(["lang", "split"]).reset_index(drop=True)
     b = out2.sort_values(["lang", "split"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_events_dau_counts_each_user_once_per_day(ray_session):
+    import duckdb
+    import __ray_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["events_dau"](sf).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet') "
+        f"WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts))"
+        f" FROM read_parquet('{sf}/events.parquet'))").fetchone()[0]
+    got = out.sort_values("day").iloc[0]["dau"]
+    assert got == want
+
+
+def test_conv_duration_zero_span_pace_is_zero(ray_session):
+    import __ray_entry__ as E
+    out = E.queries()["conv_duration_stats"](
+        "/root/testdata/sf0.001").to_pandas()
+    zero = out[out["duration_us"] == 0]
+    assert (zero["turns_per_min"] == 0).all()
+    assert (out["duration_us"] >= 0).all()
+
+
+def test_events_anomaly_zscore_zero_mean_per_type(ray_session):
+    import numpy as np
+    import __ray_entry__ as E
+    out = E.queries()["events_anomaly_zscore"](
+        "/root/testdata/sf0.001").to_pandas()
+    # population z-scores per partition sum to ~0
+    for _, g in out.groupby("event_type"):
+        assert abs(g["z"].mean()) < 1e-3
+
+
+def test_source_lang_entropy_bounds(ray_session):
+    import numpy as np
+    import __ray_entry__ as E
+    out = E.queries()["source_lang_entropy"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert (out["lang_entropy"] >= 0).all()
+    # entropy <= ln(n_langs)
+    assert (out["lang_entropy"]
+            <= np.log(out["n_langs"]) + 1e-9).all()
