@@ -4612,29 +4612,50 @@ def _q_dedup_keep_best(sf_dir: str):
     keep the BEST document (max n_chars, tie → min doc_id) rather than
     the first — the production selection rule when near-identical pages
     differ in completeness.  Normalization + fingerprint in the
-    combiner (16-byte rows on the wire, never text), then the argmax
-    primitive (per-block best + per-group finalize).  [SQL-verified —
-    DuckDB groups by the normal form itself; identical as long as the
-    64-bit fingerprint is collision-free, which the compare catches]"""
+    combiner (a vectorized per-block argmax leaves ≤1 row per distinct
+    fp per block — 24-byte rows on the wire, never text); the global
+    pick is NATIVE hash aggregates only (max n_chars per fp → filter
+    rows at the max → min doc_id per fp), because a
+    ``groupby(fp).map_groups`` finalize would make one Python call per
+    duplicate group and group cardinality here is O(n_docs) — the one
+    case where the argmax primitive's per-group finalize is the wrong
+    tool.  [SQL-verified — DuckDB groups by the normal form itself;
+    identical as long as the 64-bit fingerprint is collision-free,
+    which the compare catches]"""
     import pyarrow.compute as pc
-    from lingua_ray.functions.argmax import last_per_key
+    import ray
+    from lingua_ray.functions.argmax import argmax_local
     from lingua_ray.functions.textstats import fingerprint64_array
 
     def norm_fp(batch: pa.Table) -> pa.Table:
         t = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
         t = pc.utf8_trim(t, characters=" ")
-        return pa.table({
+        cand = pa.table({
             "fp": pa.array(fingerprint64_array(t).view(np.int64)),
             "n_chars": batch.column("n_chars"),
             # max over (n_chars, -doc_id) = max n_chars then MIN doc_id
             "neg_id": pc.negate(batch.column("doc_id")),
             "doc_id": batch.column("doc_id")})
+        return argmax_local(cand, "fp", ["n_chars", "neg_id"],
+                            keep="max").drop_columns(["neg_id"])
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
-    best = last_per_key(ds.map_batches(norm_fp, batch_format="pyarrow"),
-                        "fp", ["n_chars", "neg_id"])
-    return best.select_columns(["doc_id", "n_chars"])
+    cand = ds.map_batches(norm_fp, batch_format="pyarrow").materialize()
+    best_n = (cand.groupby("fp").max("n_chars")
+              .rename_columns({"max(n_chars)": "best_n"}))
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    def only_max(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("n_chars"),
+                                     batch.column("best_n")))
+
+    at_max = (cand.join(best_n, "inner", nparts, on=("fp",))
+              .map_batches(only_max, batch_format="pyarrow"))
+    kept = (at_max.groupby("fp").min("doc_id")
+            .rename_columns({"min(doc_id)": "doc_id"}))
+    out = kept.join(best_n, "inner", nparts, on=("fp",))
+    return (out.rename_columns({"best_n": "n_chars"})
+            .select_columns(["doc_id", "n_chars"]))
 
 
 def _q_pii_leak_report(sf_dir: str):

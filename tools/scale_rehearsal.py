@@ -47,6 +47,9 @@ DEFAULT_QUERIES = [
     "session_turn_dedup", "conv_lang_switches", "conv_neardup",
     "doc_tfidf", "inverted_index", "bm25_topk", "semantic_dedup",
     "knn_pq", "events_sessions",
+    # round-5 curation tranche representatives
+    "dedup_keep_best", "redpajama_signals", "events_dau",
+    "conv_duration_stats", "repeated_prefix_convs",
 ]
 
 
