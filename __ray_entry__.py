@@ -4651,10 +4651,12 @@ def _q_dedup_keep_best(sf_dir: str):
 
     at_max = (cand.join(best_n, "inner", nparts, on=("fp",))
               .map_batches(only_max, batch_format="pyarrow"))
-    kept = (at_max.groupby("fp").min("doc_id")
-            .rename_columns({"min(doc_id)": "doc_id"}))
-    out = kept.join(best_n, "inner", nparts, on=("fp",))
-    return (out.rename_columns({"best_n": "n_chars"})
+    # every at_max row already carries the group max, so ONE groupby
+    # with two aggregates finishes — no second join to re-attach it
+    from ray.data.aggregate import Max, Min
+    out = at_max.groupby("fp").aggregate(Min("doc_id"), Max("n_chars"))
+    return (out.rename_columns({"min(doc_id)": "doc_id",
+                                "max(n_chars)": "n_chars"})
             .select_columns(["doc_id", "n_chars"]))
 
 

@@ -69,6 +69,12 @@ def test_sigkill_mid_wave_then_resume_byte_identical(turns_dir, tmp_path):
             pytest.fail("first wave never committed within 180 s")
         os.killpg(proc.pid, signal.SIGKILL)
     finally:
+        # the failure paths above raise BEFORE the killpg — kill here too
+        # or proc.wait() blocks this test forever on a wedged pipeline
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
         proc.wait()
 
     committed = len(list(manifest_dir.glob("shard-*.json")))

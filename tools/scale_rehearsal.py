@@ -9,8 +9,10 @@ without touching /root/testdata.  Results land in BASELINE.md.
 Replication is structure-preserving, not degenerate:
 - documents: 10 replicas per row, doc_id → doc_id*10+rep, text words
   ROTATED by rep positions (split/join on single spaces — preserves
-  length and vocabulary so n_chars stays consistent, but shifts every
-  shingle so replicas are NOT near-duplicates of each other).
+  length and vocabulary so n_chars stays consistent, and shifts every
+  shingle so replicas of ≥REPS-token docs are not near-duplicates;
+  docs with fewer tokens than REPS collide by pigeonhole and plant
+  exact-duplicate groups — see _rotate_words).
 - embeddings: vec_id → vec_id*10+rep, vector np.roll'ed by rep
   (norm-preserving, direction-changing).
 - events: event_id → event_id*10+rep, user_id → user_id*10+rep (10×
@@ -55,7 +57,14 @@ DEFAULT_QUERIES = [
 
 def _rotate_words(texts: pa.ChunkedArray, rep: int) -> pa.Array:
     """Rotate each text's space-separated tokens by ``rep`` positions —
-    vectorized via Arrow list ops (no per-row Python)."""
+    vectorized via Arrow list ops (no per-row Python).
+
+    Pigeonhole caveat: a doc with k < REPS tokens has only k distinct
+    rotations, so its replicas at rep and rep+k are byte-identical —
+    short docs DO plant exact-duplicate groups in the scaled corpus
+    (dedup operators then have real work, which is fine for a timing
+    rehearsal, but the expansion is only fully duplicate-free for docs
+    with ≥ REPS tokens)."""
     if rep == 0:
         return texts.combine_chunks()
     parts = pc.split_pattern(texts, " ")
@@ -131,9 +140,16 @@ def ensure_scaled(dst: Path = DST, src: str = SRC, reps: int = REPS) -> Path:
 
 def main() -> None:
     names = DEFAULT_QUERIES
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--queries="):
             names = a.split("=", 1)[1].split(",")
+        elif a == "--queries":          # space-separated form
+            if i + 1 >= len(argv):
+                raise SystemExit("--queries needs a comma-separated list")
+            names = argv[i + 1].split(",")
+        elif not (argv[i - 1] == "--queries" if i else False):
+            raise SystemExit(f"unknown argument: {a}")
 
     import ray
     if not ray.is_initialized():
