@@ -2256,10 +2256,10 @@ def _q_dedup_normalized(sf_dir: str):
     def norm_fp(batch: pa.Table) -> pa.Table:
         t = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-        # trim exactly the SPACE character, matching the oracle's
-        # trim(x, ' '): utf8_trim_whitespace also strips non-ASCII
-        # whitespace (NBSP etc.) that DuckDB trim() would keep, so the
-        # two normal forms would silently diverge on non-ASCII edges
+        # trim exactly the SPACE character, and the oracle says
+        # trim(x, ' ') explicitly: DuckDB's bare trim() strips Unicode
+        # whitespace (NBSP etc.) that utf8_trim(' ') keeps — the
+        # adversarial-input property test caught exactly that divergence
         t = pc.utf8_trim(t, characters=" ")
         fps = fingerprint64_array(t)
         return pa.table({"fp": pa.array(fps.view(np.int64)),
@@ -2465,7 +2465,7 @@ def _dedup_incremental_sql() -> str:
       SELECT doc_id,
         CASE WHEN doc_id % 5 = 2
              THEN '{_DI_PREFIX}' || CAST(doc_id % 3 AS VARCHAR)
-             ELSE text END AS text
+             ELSE coalesce(text, '') END AS text
       FROM documents)
     SELECT d.doc_id FROM prepped d
     WHERE d.doc_id % 2 = 1
@@ -5841,14 +5841,14 @@ def oracle_sql() -> dict[str, str]:
     quality = f"""
     WITH q AS (
       SELECT doc_id,
-        length(text) AS n_chars,
-        length(string_split(text, ' ')) AS n_words,
-        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
-        length(regexp_replace(text, '{LOGOGRAM_RE_CLASS}', '', 'g'))
+        length(coalesce(text, '')) AS n_chars,
+        length(string_split(coalesce(text, ''), ' ')) AS n_words,
+        length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS n_digits,
+        length(regexp_replace(coalesce(text, ''), '{LOGOGRAM_RE_CLASS}', '', 'g'))
           AS n_logograms,
-        length(list_distinct(string_split(text, ' '))) AS n_distinct_words,
-        length(replace(text, ' ', '')) AS word_chars
+        length(list_distinct(string_split(coalesce(text, ''), ' '))) AS n_distinct_words,
+        length(replace(coalesce(text, ''), ' ', '')) AS word_chars
       FROM documents
     )
     SELECT doc_id, n_chars, n_words, n_alpha, n_digits, n_logograms,
@@ -5870,7 +5870,7 @@ def oracle_sql() -> dict[str, str]:
     FROM q
     """
     scrub = f"""
-    WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+    WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),
     s1 AS (SELECT doc_id, t0,
              regexp_replace(t0, '{_EMAIL}', '<EMAIL>', 'g') AS t1 FROM s0),
     s2 AS (SELECT *, regexp_replace(t1, '{_IP}', '<IP>', 'g') AS t2 FROM s1),
@@ -5891,8 +5891,8 @@ def oracle_sql() -> dict[str, str]:
     """
     tokens = f"""
     SELECT doc_id,
-      CAST(length(regexp_extract_all(text, '{_TOKEN}')) AS BIGINT) AS n_tokens,
-      CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens
+      CAST(length(regexp_extract_all(coalesce(text, ''), '{_TOKEN}')) AS BIGINT) AS n_tokens,
+      CAST(length(regexp_extract_all(coalesce(text, ''), '[^ ]+')) AS BIGINT) AS n_ws_tokens
     FROM documents
     """
     clean_corpus = f"""
@@ -5909,8 +5909,8 @@ def oracle_sql() -> dict[str, str]:
     WITH qq AS ({quality}),
     base AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        CAST(sum(length(regexp_extract_all(text, '[^ ]+'))) AS BIGINT)
+        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+        CAST(sum(length(regexp_extract_all(coalesce(text, ''), '[^ ]+'))) AS BIGINT)
           AS n_ws_tokens,
         CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
           AS n_distinct_texts,
@@ -5932,7 +5932,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_scrub": scrub,
         "doc_tokens": tokens,
         "doc_fingerprint":
-            "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+            "SELECT doc_id, md5(coalesce(text, '')) AS fingerprint FROM documents",
         "media_dims": _MEDIA_DIMS_SQL,
         "audio_meta": _AUDIO_META_SQL,
         "embedding_pca_stats": _PCA_STATS_SQL,
@@ -5971,7 +5971,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id,
                          CASE WHEN length(lower(coalesce(text, ''))) < 5
                               THEN rpad(lower(coalesce(text, '')), 5, ' ')
-                              ELSE lower(text) END AS s
+                              ELSE lower(coalesce(text, '')) END AS s
                        FROM documents),
             grams AS (
               SELECT DISTINCT doc_id, substring(s, i, 5) AS g
@@ -6045,23 +6045,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "dedup_exact":
-            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY coalesce(text, '')",
         "dedup_normalized": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY trim(regexp_replace(lower(coalesce(text, '')),
-                                         '\\s+', ' ', 'g'))
+                                         '\\s+', ' ', 'g'), ' ')
         """,
         "doc_stopwords": """
             SELECT doc_id,
-              CAST(length(list_filter(string_split(lower(text), ' '),
+              CAST(length(list_filter(string_split(lower(coalesce(text, '')), ' '),
                 w -> list_contains({stop}, w))) AS BIGINT) AS n_stopwords,
-              CAST(length(string_split(text, ' ')) AS BIGINT)
+              CAST(length(string_split(coalesce(text, ''), ' ')) AS BIGINT)
                 AS n_words_total
             FROM documents
         """.replace("{stop}", _sql_stopword_list()),
         "word_counts": """
             SELECT word, count(*) AS n
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
                   FROM documents)
             GROUP BY word
             ORDER BY n DESC, word ASC
@@ -6134,7 +6134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bigram_pmi": """
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
                        FROM documents),
             pairs AS (
               SELECT ws[i] AS w1, ws[i + 1] AS w2
@@ -6143,7 +6143,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             bg AS (SELECT w1, w2, count(*) AS n2 FROM pairs
                    GROUP BY w1, w2),
-            uni AS (SELECT unnest(string_split(text, ' ')) AS word
+            uni AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
                     FROM documents),
             uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
             tot AS (SELECT (SELECT count(*) FROM uni) AS n1,
@@ -6160,7 +6160,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_kl": """
             WITH w AS (SELECT source,
-                              unnest(string_split(text, ' ')) AS word
+                              unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             sc AS (SELECT source, word, count(*) AS n FROM w
                    GROUP BY source, word),
@@ -6187,7 +6187,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "inverted_index": """
             WITH p AS (SELECT DISTINCT word, doc_id FROM (
-              SELECT unnest(string_split(text, ' ')) AS word, doc_id
+              SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word, doc_id
               FROM documents))
             SELECT word, count(*) AS df,
               array_to_string(list(doc_id ORDER BY doc_id), ',')
@@ -6197,7 +6197,7 @@ def oracle_sql() -> dict[str, str]:
         "word_counts_by_lang": """
             WITH c AS (
               SELECT lang, word, count(*) AS n
-              FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
                     FROM documents)
               GROUP BY lang, word
             )
@@ -6212,7 +6212,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_validation": """
             SELECT source,
               count(*) AS n_rows,
-              CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+              CAST(sum(CASE WHEN text IS NULL OR length(coalesce(text, '')) = 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_null_lang,
@@ -6226,15 +6226,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": """
             SELECT doc_id, gs - 1 AS chunk_idx,
-              substring(text, (gs - 1) * 400 + 1, 500) AS chunk_text
+              substring(coalesce(text, ''), (gs - 1) * 400 + 1, 500)
+                AS chunk_text
             FROM documents,
               unnest(generate_series(1,
-                1 + CAST(ceil(greatest(length(text) - 500, 0) / 400.0)
+                1 + CAST(ceil(greatest(length(coalesce(text, '')) - 500, 0) / 400.0)
                          AS BIGINT))) AS t(gs)
         """,
         "word_heavy_hitters": """
             SELECT word, count(*) AS n
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
                   FROM documents)
             GROUP BY word
             ORDER BY n DESC, word ASC
@@ -6242,7 +6243,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_mix": _corpus_mix_sql(),
         "doc_tfidf": """
-            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             df AS (SELECT word, count(DISTINCT doc_id) AS df
                    FROM w GROUP BY word),
@@ -6253,7 +6254,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_split": _doc_split_sql(),
         "bm25_topk": """
-            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             dl AS (SELECT doc_id, count(*) AS len FROM w GROUP BY doc_id),
             st AS (SELECT count(*) AS n,
@@ -6279,7 +6280,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bm25 DESC, doc_id LIMIT 50
         """,
         "ccnet_buckets": """
-            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             c AS (SELECT doc_id, word, count(*) AS n FROM w
                   GROUP BY doc_id, word),
@@ -6362,7 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_select": """
             WITH w AS (SELECT doc_id, lang,
-                              unnest(string_split(text, ' ')) AS word
+                              unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             b AS (SELECT doc_id, lang,
                     CAST(('0x' || substr(md5(word), 1, 13))::UBIGINT % 1024
@@ -6390,7 +6391,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS text
                        FROM documents),
-            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
                   FROM t),
             agg AS (
               SELECT doc_id,
@@ -6458,7 +6459,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rn <= 20
         """,
         "contamination": """
-            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
                        FROM documents),
             grams AS (
               SELECT doc_id, array_to_string(ws[gs:gs+7], ' ') AS g
@@ -6482,7 +6483,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT lang, substring(text, gs, 3) AS ngram
               FROM documents,
-                   unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                   unnest(generate_series(1, greatest(length(coalesce(text, '')) - 2, 0)))
                      AS t(gs)
             ),
             c AS (SELECT lang, ngram, count(*) AS cnt
@@ -6495,7 +6496,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "doc_entropy": """
             WITH w AS (SELECT doc_id,
-                              unnest(string_split(text, ' ')) AS word
+                              unnest(string_split(coalesce(text, ''), ' ')) AS word
                        FROM documents),
             c AS (SELECT doc_id, word, count(*) AS n FROM w
                   GROUP BY doc_id, word),
@@ -6510,7 +6511,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_words_by_lang": """
             SELECT lang, count(DISTINCT word) AS n_distinct_words
-            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
                   FROM documents)
             GROUP BY lang
         """,
@@ -6595,7 +6596,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS BIGINT) AS n_words_rep
             FROM (
               SELECT doc_id, w, count(*) AS c FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
                 FROM documents)
               GROUP BY doc_id, w)
             GROUP BY doc_id
@@ -6684,7 +6685,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_words_exact": """
             SELECT count(DISTINCT word) AS n_distinct_words
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
                   FROM documents)
         """,
         "local_supplier_volume": """
@@ -6751,7 +6752,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, n_chars,
                  row_number() OVER (
                    PARTITION BY trim(regexp_replace(
-                     lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+                     lower(coalesce(text, '')), '\\s+', ' ', 'g'), ' ')
                    ORDER BY n_chars DESC, doc_id) AS rn
           FROM documents) WHERE rn = 1
     """
