@@ -114,3 +114,57 @@ def test_round5_docs_ops_match_oracle_on_adversarial_input(
         a, b = _canon(got), _canon(want)
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                       obj=f"{name} (seed {seed})")
+
+
+EVENT_OPS = ["events_sessions", "events_hourly", "events_stats",
+             "events_lag", "events_sliding", "events_cumsum",
+             "events_funnel", "events_funnel_count", "events_retention",
+             "events_top_spenders", "events_last_per_user",
+             "events_value_salted", "events_rollup", "events_pivot",
+             "events_attribution", "events_dau", "events_anomaly_zscore"]
+
+
+def _random_events(rng: np.random.Generator, n: int) -> pa.Table:
+    """Heavy exact-timestamp ties, one hot user, negative values —
+    the tie-break and skew edges the fixture's smooth event stream
+    never produces."""
+    base = np.int64(1_700_000_000_000_000)
+    ts = (base + rng.integers(0, 50, n) * np.int64(3_600_000_000)
+          + rng.integers(0, 4, n) * np.int64(60_000_000))
+    users = rng.choice([1, 2, 3, 42, 42, 42, 99], size=n)
+    et = rng.choice(["view", "click", "purchase", "signup", "error"], n)
+    val = np.round(rng.normal(0, 50, n), 2)
+    props = rng.choice(["", "a=1", "x", "long" * 10], n)
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array([str(x) for x in et]),
+        "value": pa.array(val),
+        "props": pa.array([str(x) for x in props])})
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_events_ops_match_oracle_on_tied_skewed_input(
+        ray_session, tmp_path, seed):
+    import __ray_entry__ as E
+    rng = np.random.default_rng(seed)
+    ev = _random_events(rng, 400)
+    d = tmp_path / f"ev{seed}"
+    d.mkdir()
+    pq.write_table(ev, d / "events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    for name in EVENT_OPS:
+        got = qs[name](str(d))
+        if not isinstance(got, (pa.Table, pd.DataFrame)):
+            got = got.to_pandas()
+        elif isinstance(got, pa.Table):
+            got = got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False,
+                                      obj=f"{name} (seed {seed})")
