@@ -618,22 +618,49 @@ def _q_transcript_sessionize(sf_dir: str):
             "val": pc.cast(pc.greater(gap, pa.scalar(GAP_US, pa.int64())),
                            pa.int64())})
 
-    def heads(batch: pa.Table) -> pa.Table:
-        f = batch.filter(pc.equal(batch.column("turn_idx"),
-                                  pa.scalar(0, pa.int64())))
+    # each conversation's FIRST turn has no adjacent-pairs row, so it is
+    # seeded into the cumsum with indicator 0.  The first turn is the
+    # per-conv MIN turn_idx — not literally idx 0: a stream whose convs
+    # were head-trimmed upstream (dropped system preamble, dedup) starts
+    # at arbitrary ordinals, and the idx==0 shortcut silently dropped
+    # those convs' first turns (caught by the adversarial transcript
+    # sweep).  One 16-byte-row combiner + tiny groupby-min.
+    def min_turn_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int64())})
+        conv = np.asarray(batch.column("conv_id")
+                          .to_numpy(zero_copy_only=False))
+        ti = batch.column("turn_idx").to_numpy()
+        uc, codes = np.unique(conv, return_inverse=True)
+        mins = np.full(len(uc), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, codes, ti)
+        return pa.table({"conv_id": pa.array(uc),
+                         "turn_idx": pa.array(mins)})
+
+    def heads_final(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "conv_id": f.column("conv_id"),
-            "turn_idx": f.column("turn_idx"),
-            "val": pa.array(np.zeros(f.num_rows, dtype=np.int64))})
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("min(turn_idx)"),
+            "val": pa.array(np.zeros(batch.num_rows, dtype=np.int64))})
+
+    def heads(b):
+        return (b.map_batches(min_turn_partial, batch_format="pyarrow")
+                .groupby("conv_id").min("turn_idx")
+                .map_batches(heads_final, batch_format="pyarrow"))
 
     # bounded_cumsum consumes its input twice; without a spill that
     # re-executes the adjacent_pairs shuffle.  The marks table is 3 thin
     # columns per turn — spill once, stream twice (stages/spill.py owns
     # the /tmp lifecycle; a production run points this at shared storage).
     from lingua_ray.stages.spill import spill
+    # materialize the (one-row-per-conv, 16-byte) heads table BEFORE the
+    # union: unioning two live all-to-all branches starves a small CPU
+    # reservation into a deadlock (the round-4 two-consumer hang, in
+    # union form); sequencing the tiny groupby first costs nothing
+    heads_t = heads(base).materialize()
     marks = spill(
-        pairs.map_batches(breaks, batch_format="pyarrow").union(
-            base.map_batches(heads, batch_format="pyarrow")),
+        pairs.map_batches(breaks, batch_format="pyarrow").union(heads_t),
         "sessmarks", Path(sf_dir).name)
     cum = bounded_cumsum(marks, "conv_id", "turn_idx", "val",
                          bucket_size=_TURN_BUCKET)
@@ -767,6 +794,14 @@ def _q_dpo_pairs(sf_dir: str):
         """One (prompt, best, worst) row per distinct prompt of t —
         ``best``/``worst`` columns may pre-exist (merge pass) or be the
         raw response (combiner pass)."""
+        if t.num_rows == 0:
+            # a block can legitimately hold zero user→assistant pairs
+            # (all tool/system turns): [True]-seeded run detection would
+            # emit index 0 into a 0-row take and crash
+            return pa.table({"ph": pa.array([], pa.int64()),
+                             "prompt": pa.array([], pa.string()),
+                             "worst": pa.array([], pa.string()),
+                             "best": pa.array([], pa.string())})
         idx = pc.sort_indices(t, sort_keys=[("ph", "ascending"),
                                             ("len", "ascending"),
                                             ("resp", "ascending")])

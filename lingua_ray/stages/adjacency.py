@@ -123,6 +123,14 @@ def rolling_join(ds, key_col: str, order_col: str, text_col: str,
         # present in this group, so positions home[i]-lens+1 .. home[i]
         lens = np.minimum(o[home] + 1, k + 1)
         starts = home - lens + 1
+        if len(starts) and starts.min() < 0:
+            # fail loudly at the contract, not with an ArrowIndexError
+            # three frames deep in a worker
+            raise ValueError(
+                "rolling_join requires DENSE 0-based per-key ordinals "
+                "(see docstring): a window reaches before this bucket's "
+                "rows, which only happens when ordinals have gaps or a "
+                "key does not start at 0")
         # flat gather: concat of [starts[i] .. home[i]] ranges
         flat = (np.arange(int(lens.sum()))
                 - np.repeat(np.cumsum(lens) - lens, lens)

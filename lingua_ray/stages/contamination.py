@@ -134,11 +134,19 @@ class ContaminationTagger:
 
 
 def contamination_check(corpus_ds, bench_ds, n: int = 8,
-                        text_col: str = "text", concurrency: int = 4):
-    """Tag every corpus document with its benchmark n-gram overlap."""
+                        text_col: str = "text", concurrency=None):
+    """Tag every corpus document with its benchmark n-gram overlap.
+
+    ``concurrency`` defaults to an ELASTIC (1, min(4, CPUs)) pool: a
+    fixed pool size equal to the session's CPU count is an
+    all-or-nothing reservation that can starve the rest of the plan
+    (observed as a wedge on a 4-CPU test session)."""
     import ray
     bench = benchmark_gram_hashes(bench_ds, n=n, text_col=text_col)
     ref = ray.put(bench)
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, min(4, max(1, cpus)))
     return corpus_ds.map_batches(
         ContaminationTagger, concurrency=concurrency,
         fn_constructor_kwargs={"bench_ref": ref, "n": n,

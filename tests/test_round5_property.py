@@ -168,3 +168,97 @@ def test_events_ops_match_oracle_on_tied_skewed_input(
         pd.testing.assert_frame_equal(_canon(got), _canon(want),
                                       check_dtype=False,
                                       obj=f"{name} (seed {seed})")
+
+
+# transcript-table ops: the fixture generator is monkeypatched so BOTH
+# engines read the same random shards.  Excluded: conv_lookup (targets
+# a fixture-specific conv id — empty-vs-empty on random data),
+# turn_context_window (rolling_join documents a DENSE-ordinal contract
+# and now raises a clear ValueError on sparse input — tested below),
+# weighted_sample_by_lang (reads the documents table).
+TRANSCRIPT_OPS = [
+    "conv_context_truncate", "conv_exchange_extract", "conv_pack_assign",
+    "conv_response_latency", "conv_role_balance", "dpo_pairs",
+    "session_turn_dedup", "transcript_contamination",
+    "transcript_conv_stats", "transcript_loop_detect",
+    "transcript_refusals", "transcript_role_stats",
+    "transcript_role_transitions", "transcript_scrub",
+    "transcript_sessionize", "transcript_tool_chains",
+    "transcript_tool_usage", "transcript_turn_gaps",
+    "transcript_validation", "conversations_assembled", "turn_dedup",
+    "conv_dedup", "repeated_prefix_convs", "conv_duration_stats",
+    "turn_length_quantiles_by_role"]
+
+
+def _random_transcripts(rng: np.random.Generator, n_convs: int) -> pa.Table:
+    """Sparse/gapped turn ordinals, convs NOT starting at 0, system and
+    tool roles, null/empty/NBSP texts, exact-timestamp ties — this
+    caught the idx==0 sessionize seed bug and the dpo_pairs empty-block
+    crash that three fixture-green rounds never could."""
+    rows = []
+    base = np.int64(1_700_000_000_000_000)
+    for c in range(n_convs):
+        conv = f"rc{c:05d}"
+        n = int(rng.integers(1, 12))
+        start = base + int(rng.integers(0, 1000)) * np.int64(60_000_000)
+        idxs = sorted(rng.choice(np.arange(0, n * 3), size=n,
+                                 replace=False).tolist())
+        if rng.integers(3) == 0:
+            idxs[0] = 0
+        for k, ti in enumerate(idxs):
+            role = str(rng.choice(["user", "assistant", "system", "tool"]))
+            kind = rng.integers(0, 6)
+            text = (None if kind == 0 else "" if kind == 1 else
+                    str(rng.choice(["I cannot help with that.",
+                                    "hello  world", "damn", "ok",
+                                    "mail bob@example.com", "日本語 です",
+                                    "a\nb", "repeat repeat repeat repeat",
+                                    "\xa0 nbsp"])))
+            tool = str(rng.choice(["", "", "", "search", "code"]))
+            ts = start + k * np.int64(rng.choice([0, 1, 60]) * 1_000_000)
+            rows.append((conv, ti, role, text, tool, ts))
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows], pa.large_string()),
+        "tool": pa.array([r[4] for r in rows]),
+        "ts": pa.array([int(r[5]) for r in rows]).cast(pa.timestamp("us"))})
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_transcript_ops_match_oracle_on_sparse_gapped_input(
+        ray_session, tmp_path, monkeypatch, seed):
+    import __ray_entry__ as E
+    rng = np.random.default_rng(seed)
+    tt = _random_transcripts(rng, 60)
+    d = tmp_path / f"tr{seed}"
+    d.mkdir()
+    pq.write_table(tt, d / "part-00000.parquet")
+    pq.write_table(tt.slice(0, 0), d / "part-00001.parquet")  # empty shard
+    monkeypatch.setattr(E, "_transcripts_for_sf", lambda sf_dir: d)
+    con = duckdb.connect()
+    oracles = E.oracle_sql()
+    qs = E.queries()
+    for name in TRANSCRIPT_OPS:
+        got = qs[name]("UNUSED")
+        if not isinstance(got, (pa.Table, pd.DataFrame)):
+            got = got.to_pandas()
+        elif isinstance(got, pa.Table):
+            got = got.to_pandas()
+        want = con.execute(oracles[name]).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False,
+                                      obj=f"{name} (seed {seed})")
+
+
+def test_rolling_join_sparse_ordinals_fail_loudly(ray_session):
+    """rolling_join's dense-ordinal contract violation must surface as
+    a clear ValueError, not an ArrowIndexError deep in a worker."""
+    import ray.data
+    from lingua_ray.stages.adjacency import rolling_join
+    t = pa.table({"k": ["a"] * 3, "o": pa.array([3, 7, 9], pa.int64()),
+                  "text": ["x", "y", "z"]})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="DENSE 0-based"):
+        rolling_join(ds, "k", "o", "text", k=2).materialize()
